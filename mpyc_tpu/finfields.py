@@ -1,0 +1,1094 @@
+"""Finite (Galois) fields: scalar elements on the host, arrays on the TPU.
+
+Capability parity target: /root/reference/mpyc/finfields.py. Same public
+factory surface (``GF``, ``find_prime_root``, ``find_irreducible``; element
+classes with overloaded operators and an attached ``.array`` type), but a
+TPU-first split of responsibilities:
+
+  * **scalar elements** hold Python ints / gfpx polynomials and compute on the
+    host — they appear in configuration math (Lagrange vectors, curve
+    constants) where single-value latency beats device dispatch;
+  * **arrays** hold device uint32 limb data (Montgomery form for GF(p),
+    packed bitmasks for GF(2^d), coefficient stacks for GF(p^d)) and execute
+    cached jit kernels from mpyc_tpu.ops — these are the protocol hot path,
+    replacing the reference's numpy object-dtype arrays
+    (finfields.py:695-1563) with MXU/VPU-friendly fixed-width data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpyc_tpu import gmpy as gmpy2
+from mpyc_tpu import gfpx
+from mpyc_tpu.ops import limb
+from mpyc_tpu.ops.fieldops import prime_field_ctx
+from mpyc_tpu.ops.binary import binary_field_ctx
+from mpyc_tpu.ops.extension import ext_field_ctx
+
+
+def GF(modulus):
+    """Create a finite field type for a prime number or irreducible polynomial."""
+    if isinstance(modulus, gfpx.Polynomial):
+        field = xGF(type(modulus), int(modulus))
+    else:
+        if isinstance(modulus, tuple):
+            p, n, w = modulus
+        else:
+            p = modulus
+            n, w = (1, 1) if p == 2 else (2, p - 1)
+        field = pGF(p, n, w)
+    return field
+
+
+def find_prime_root(l, blum=True, n=1):
+    """Find prime p of bit length >= l, p % 4 == 3 if blum, with a primitive
+    root w of prime order >= n. Returns (p, n, w).
+
+    Mirrors the reference construction (finfields.py:311-344) so generated
+    field moduli agree between frameworks.
+    """
+    if l <= 2:
+        if not blum:
+            p = 2
+            assert n == 1
+            w = 1
+        else:
+            p = 3
+            n, w = 2, p - 1
+    elif n <= 2:
+        p = gmpy2.prev_prime(1 << l)
+        if blum:
+            while p % 4 != 3:
+                p = gmpy2.prev_prime(p)
+        w = p - 1 if n == 2 else 1
+    else:
+        assert blum
+        if not gmpy2.is_prime(n):
+            n = gmpy2.next_prime(n)
+        p = 1 + 2 * n * (3 + 2 * ((1 << (l - 3)) // n))
+        while not gmpy2.is_prime(p):
+            p += 4 * n
+        a = 2
+        while (w := gmpy2.powmod(a, (p - 1) // n, p)) == 1:
+            a += 1
+    return int(p), int(n), int(w)
+
+
+def find_irreducible(p, d):
+    """Smallest irreducible polynomial of degree d over GF(p)."""
+    return gfpx.GFpX(p).next_irreducible(p ** d - 1)
+
+
+# ===========================================================================
+# scalar elements (host-side values)
+# ===========================================================================
+
+class FiniteFieldElement:
+    """Abstract base for field elements; value is host-side and reduced."""
+
+    __slots__ = ('value',)
+
+    modulus = None
+    order = None
+    characteristic = None
+    ext_deg = None
+    byte_length = None
+    is_signed = None
+    array: type = None
+    _mix_types: type = int
+
+    def __init__(self, value):
+        self.value = value
+
+    def __int__(self):
+        raise NotImplementedError('abstract method')
+
+    @classmethod
+    def to_bytes(cls, x):
+        """Wire marshal: iterable of int-encoded values -> little-endian bytes."""
+        r = cls.byte_length
+        return b''.join(int(v).to_bytes(r, 'little') for v in x)
+
+    @classmethod
+    def from_bytes(cls, data):
+        """Wire unmarshal: bytes -> list of int-encoded values."""
+        r = cls.byte_length
+        return [int.from_bytes(data[i:i + r], 'little')
+                for i in range(0, len(data), r)]
+
+    # subclasses define _v(other) -> raw value or NotImplemented,
+    # plus raw-value ops _vadd/_vsub/_vmul/...
+
+    @classmethod
+    def _v(cls, other):
+        if isinstance(other, cls):
+            return other.value
+        if isinstance(other, cls._mix_types):
+            return other
+        return NotImplemented
+
+    def __add__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(self.value + v)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(self.value - v)
+
+    def __rsub__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(v - self.value)
+
+    def __neg__(self):
+        return type(self)(-self.value)
+
+    def __pos__(self):
+        return type(self)(+self.value)
+
+    def __mul__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(self.value * v)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(self.value * type(self)._reciprocal(v))
+
+    def __rtruediv__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)(type(self)._reciprocal(self.value) * v)
+
+    def __lshift__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return type(self)(self.value << other)
+
+    def __rshift__(self, other):
+        raise NotImplementedError('abstract method')
+
+    @classmethod
+    def _reciprocal(cls, a):
+        raise NotImplementedError('abstract method')
+
+    def reciprocal(self):
+        """Multiplicative inverse."""
+        cls = type(self)
+        return cls(cls._reciprocal(self.value))
+
+    @classmethod
+    def _sqrt(cls, a, INV=False):
+        raise NotImplementedError('abstract method')
+
+    def sqrt(self, INV=False):
+        """Modular (inverse) square root."""
+        cls = type(self)
+        return cls(cls._sqrt(self.value, INV=INV))
+
+    @classmethod
+    def _is_sqr(cls, a):
+        raise NotImplementedError('abstract method')
+
+    def is_sqr(self):
+        """Quadratic residuosity test (0 counts as square)."""
+        return self._is_sqr(self.value)
+
+    def __eq__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return self.value == self._reduce(v)
+
+    @classmethod
+    def _reduce(cls, v):
+        return v % cls.modulus
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.value))
+
+    def __bool__(self):
+        return bool(self.value)
+
+
+@functools.cache
+def pGF(p, n, w):
+    """Create the prime field GF(p) with n-th root of unity w."""
+    if not gmpy2.is_prime(p):
+        raise ValueError('modulus is not a prime')
+
+    cls = type(f'GF({p})', (PrimeFieldElement,), {'__slots__': ()})
+    cls.__doc__ = 'Prime field element class.'
+    cls.modulus = p
+    cls.order = p
+    cls.characteristic = p
+    cls.ext_deg = 1
+    cls.byte_length = (p.bit_length() + 7) >> 3
+    cls.is_signed = True
+    cls.nth = n
+    cls.root = w % p
+    cls.array = _make_prime_array_class(cls)
+    return cls
+
+
+class PrimeFieldElement(FiniteFieldElement):
+    """GF(p) element: a Python int reduced mod p (host-side)."""
+
+    __slots__ = ()
+
+    nth = None
+    root = None
+    _mix_types = int
+
+    def __init__(self, value):
+        if not isinstance(value, int):
+            raise TypeError(f'int required, got {type(value).__name__}')
+        super().__init__(value % self.modulus)
+
+    def __int__(self):
+        """Signed int representation if is_signed, else unsigned."""
+        return self.signed_() if self.is_signed else self.unsigned_()
+
+    def __abs__(self):
+        return abs(self.__int__())
+
+    def __pow__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return type(self)(pow(self.value, other, self.modulus))
+
+    @classmethod
+    def _reciprocal(cls, a):
+        return gmpy2.invert(a, cls.modulus)
+
+    @classmethod
+    @functools.lru_cache(maxsize=1)
+    def _reciprocal2(cls, n):
+        """Inverse of 2**n (1-place cache: trunc uses one n repeatedly)."""
+        return cls._reciprocal(1 << n)
+
+    def __rshift__(self, other):
+        """Right shift = multiplication by the inverse of 2**other."""
+        if not isinstance(other, int):
+            return NotImplemented
+        cls = type(self)
+        return cls(self.value * cls._reciprocal2(other))
+
+    @classmethod
+    def _sqrt(cls, a, INV=False):
+        p = cls.modulus
+        if a == 0:
+            if INV:
+                raise ZeroDivisionError('no inverse sqrt of 0')
+            return a
+        if p == 2:
+            return a
+        if p & 3 == 3:
+            # a^((p+1)/4) is a root; INV folds in the inversion exponent
+            e = (p * 3 - 5) >> 2 if INV else (p + 1) >> 2
+            return pow(a, e, p)
+        # p % 4 == 1: Cipolla-Lehmer in GF(p^2) = GF(p)[X]/(X^2 - b X + a)
+        b = 1
+        while gmpy2.legendre(b * b - 4 * a, p) != -1:
+            b += 1
+        u, v = 0, 1  # u X + v = X^e mod (X^2 - b X + a)
+        e = (p + 1) >> 1
+        for i in range(e.bit_length() - 1, -1, -1):
+            u2 = u * u % p
+            u = ((u << 1) * v + b * u2) % p
+            v = (v * v - a * u2) % p
+            if (e >> i) & 1:
+                u, v = (v + b * u) % p, (-a * u) % p
+        if INV:
+            v = cls._reciprocal(v)
+        return v
+
+    @classmethod
+    def _is_sqr(cls, a):
+        p = cls.modulus
+        return True if p == 2 else gmpy2.legendre(a, p) != -1
+
+    def signed_(self):
+        v = self.value
+        if v > self.modulus >> 1:
+            v -= self.modulus
+        return v
+
+    def unsigned_(self):
+        return self.value
+
+    def __repr__(self):
+        return f'{self.__int__()}'
+
+
+@functools.cache
+def xGF(polycls, modulus_int):
+    """Create the field GF(p^d) for irreducible modulus (gfpx class + int)."""
+    modulus = polycls(modulus_int)
+    p = polycls.p
+    if not polycls.is_irreducible(modulus):
+        raise ValueError('modulus is not irreducible')
+
+    d = modulus.degree()
+    base = BinaryFieldElement if p == 2 else ExtensionFieldElement
+    cls = type(f'GF({p}^{d})', (base,), {'__slots__': ()})
+    cls.__doc__ = f'{"Binary" if p == 2 else "Extension"} field element class.'
+    cls.modulus = modulus
+    cls.order = p ** d
+    cls.characteristic = p
+    cls.ext_deg = d
+    cls.byte_length = (cls.order.bit_length() + 7) >> 3
+    if p == 2:
+        cls.array = _make_binary_array_class(cls)
+    else:
+        cls.array = _make_ext_array_class(cls)
+    return cls
+
+
+class ExtensionFieldElement(FiniteFieldElement):
+    """GF(p^d) element: a gfpx polynomial reduced mod the field modulus."""
+
+    __slots__ = ()
+
+    is_signed = False
+    _mix_types = (int, gfpx.Polynomial)
+
+    def __init__(self, value):
+        cls = type(self.modulus)
+        value = cls(value) % self.modulus
+        super().__init__(value)
+
+    @classmethod
+    def _v(cls, other):
+        if isinstance(other, cls):
+            return other.value
+        if isinstance(other, cls._mix_types):
+            return type(cls.modulus)(other)
+        return NotImplemented
+
+    @classmethod
+    def _reduce(cls, v):
+        return type(cls.modulus)(v) % cls.modulus
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+
+    def __int__(self):
+        return int(self.value)
+
+    def __add__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((self.value + v) % self.modulus)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((self.value - v) % self.modulus)
+
+    def __rsub__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((v - self.value) % self.modulus)
+
+    def __mul__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((self.value * v) % self.modulus)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((self.value * type(self)._reciprocal(v)) % self.modulus)
+
+    def __rtruediv__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return type(self)((type(self)._reciprocal(self.value) * v) % self.modulus)
+
+    def __pow__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        if other < 0:
+            base = type(self)._reciprocal(self.value)
+            other = -other
+        else:
+            base = self.value
+        return type(self)(pow(base, other, self.modulus))
+
+    def __neg__(self):
+        return type(self)((-self.value) % self.modulus)
+
+    def __rshift__(self, other):
+        return NotImplemented
+
+    @classmethod
+    def _reciprocal(cls, a):
+        poly = type(cls.modulus)
+        return poly.invert(a, cls.modulus)
+
+    @classmethod
+    def _sqrt(cls, a, INV=False):
+        poly = type(cls.modulus)
+        a = poly(a)
+        if int(a) == 0:
+            if INV:
+                raise ZeroDivisionError('no inverse sqrt of 0')
+            return a
+        q = cls.order
+        if q % 2 == 0:
+            return pow(a, q >> 1, cls.modulus)
+        if q & 3 == 3:
+            e = (q * 3 - 5) >> 2 if INV else (q + 1) >> 2
+            return pow(a, e, cls.modulus)
+        # Tonelli-Shanks over GF(q), q = p^d odd
+        n = cls._tonelli_nonsquare()
+        q1 = q - 1
+        s = (q1 & -q1).bit_length() - 1
+        t = q1 >> s
+        A = pow(a, t, cls.modulus)
+        D = pow(n, t, cls.modulus)
+        m = 0
+        one = poly(1)
+        for i in range(s):
+            x = A * pow(D, m, cls.modulus) % cls.modulus
+            if pow(x, 1 << (s - 1 - i), cls.modulus) != one:
+                m += 1 << i
+        x = pow(a, (t + 1) >> 1, cls.modulus) * pow(D, m >> 1, cls.modulus) \
+            % cls.modulus
+        if INV:
+            x = poly(cls._reciprocal(x))
+        return x
+
+    @classmethod
+    @functools.lru_cache(maxsize=None)
+    def _tonelli_nonsquare(cls):
+        poly = type(cls.modulus)
+        q = cls.order
+        i = 2
+        while True:
+            n = poly(i)
+            if int(n) and pow(n, (q - 1) >> 1, cls.modulus) != poly(1):
+                return n
+            i += 1
+
+    @classmethod
+    def _is_sqr(cls, a):
+        poly = type(cls.modulus)
+        a = poly(a)
+        q = cls.order
+        if q % 2 == 0:
+            return True
+        return int(a) == 0 or pow(a, (q - 1) >> 1, cls.modulus) == poly(1)
+
+    def __eq__(self, other):
+        v = self._v(other)
+        if v is NotImplemented:
+            return NotImplemented
+        return self.value == self._reduce(v)
+
+    def __hash__(self):
+        return hash((type(self).__name__, int(self.value)))
+
+    def __bool__(self):
+        return bool(self.value)
+
+    def __repr__(self):
+        return repr(self.value)
+
+
+class BinaryFieldElement(ExtensionFieldElement):
+    """GF(2^d) element: a binary polynomial (int bitmask) reduced mod f."""
+
+    __slots__ = ()
+
+    _mix_types = (int, gfpx.BinaryPolynomial)
+
+    @classmethod
+    def _sqrt(cls, a, INV=False):
+        poly = type(cls.modulus)
+        a = poly(a)
+        if int(a) == 0:
+            if INV:
+                raise ZeroDivisionError('no inverse sqrt of 0')
+            return a
+        e = cls.order >> 1
+        x = pow(a, e, cls.modulus)
+        if INV:
+            x = poly(cls._reciprocal(x))
+        return x
+
+    @classmethod
+    def _is_sqr(cls, a):
+        return True
+
+
+# ===========================================================================
+# arrays (device-side limb data)
+# ===========================================================================
+
+class FiniteFieldArray:
+    """Abstract base for device-backed field arrays.
+
+    Subclasses store `_data` (a jax uint32 array) whose trailing axes encode
+    the element representation; `shape` is the logical element shape.
+    """
+
+    __slots__ = ('_data',)
+
+    field: type = None            # scalar element class
+    _elem_ndim: int = 0           # trailing representation axes
+
+    def __init__(self, value, _internal=False):
+        if _internal:
+            self._data = value if isinstance(value, jax.Array) \
+                else jnp.asarray(value)
+            return
+        self._data = jnp.asarray(self._encode(value))
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def _encode(cls, value):
+        raise NotImplementedError
+
+    @classmethod
+    def from_data(cls, data):
+        """Wrap raw device representation data (no validation)."""
+        return cls(data, _internal=True)
+
+    @property
+    def data(self):
+        """Raw device representation (uint32)."""
+        return self._data
+
+    # -- shape interface ---------------------------------------------------
+
+    @property
+    def shape(self):
+        nd = self._data.ndim - self._elem_ndim
+        return self._data.shape[:nd]
+
+    @property
+    def ndim(self):
+        return self._data.ndim - self._elem_ndim
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
+
+    def __len__(self):
+        if not self.shape:
+            raise TypeError('len() of unsized (scalar) field array')
+        return self.shape[0]
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        tail = self._data.shape[self._data.ndim - self._elem_ndim:]
+        return type(self).from_data(self._data.reshape(tuple(shape) + tail))
+
+    def flatten(self):
+        return self.reshape(-1)
+
+    def copy(self):
+        return type(self).from_data(self._data)
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def transpose(self, *axes):
+        nd = self.ndim
+        if not axes:
+            axes = tuple(range(nd - 1, -1, -1))
+        elif len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
+        perm = tuple(a % nd for a in axes) + tuple(range(nd, self._data.ndim))
+        return type(self).from_data(jnp.transpose(self._data, perm))
+
+    def swapaxes(self, a, b):
+        nd = self.ndim
+        return type(self).from_data(jnp.swapaxes(self._data, a % nd, b % nd))
+
+    def __getitem__(self, idx):
+        return type(self).from_data(self._data[idx])
+
+    def __setitem__(self, idx, value):
+        value = self._coerce(value)
+        if value is NotImplemented:
+            raise TypeError('cannot assign this type into field array')
+        self._data = self._data.at[idx].set(
+            jnp.broadcast_to(value._data, self._data[idx].shape))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    # -- coercion ----------------------------------------------------------
+
+    @classmethod
+    def _coerce(cls, other):
+        """Coerce to same-field array; NotImplemented if impossible."""
+        if isinstance(other, cls):
+            return other
+        if isinstance(other, FiniteFieldArray):
+            if other.field.modulus != cls.field.modulus:
+                return NotImplemented
+            return cls.from_data(other._data)
+        if isinstance(other, cls.field):
+            return cls(np.array(other.value if isinstance(other.value, int)
+                                else int(other.value), dtype=object))
+        if isinstance(other, (int, np.integer)):
+            return cls(np.array(int(other), dtype=object))
+        if isinstance(other, (list, tuple, np.ndarray)):
+            return cls(other)
+        return NotImplemented
+
+    # -- value extraction ----------------------------------------------------
+
+    @property
+    def value(self):
+        """Object ndarray of int-encoded values (host transfer + decode)."""
+        return self._decode()
+
+    def tolist(self):
+        """Nested list of scalar field elements."""
+        vals = self._decode()
+        f = self.field
+        if vals.ndim == 0:
+            return f(int(vals[()]))
+        return np.vectorize(lambda v: f(int(v)), otypes=[object])(vals).tolist()
+
+    def __int__(self):
+        if self.shape != ():
+            raise TypeError('only scalar (shape-()) arrays convert to int')
+        return int(self.field(int(self._decode()[()])))
+
+    # -- operators (implemented per representation subclass) -----------------
+
+    def _binop(self, other, opname, reflected=False):
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return self._binop(other, 'add')
+
+    def __radd__(self, other):
+        return self._binop(other, 'add')
+
+    def __sub__(self, other):
+        return self._binop(other, 'sub')
+
+    def __rsub__(self, other):
+        return self._binop(other, 'sub', reflected=True)
+
+    def __mul__(self, other):
+        return self._binop(other, 'mul')
+
+    def __rmul__(self, other):
+        return self._binop(other, 'mul')
+
+    def __truediv__(self, other):
+        return self._binop(other, 'div')
+
+    def __rtruediv__(self, other):
+        return self._binop(other, 'div', reflected=True)
+
+    def __matmul__(self, other):
+        return self._matmul(other)
+
+    def __rmatmul__(self, other):
+        return self._matmul(other, reflected=True)
+
+    def __repr__(self):
+        return f'{type(self).__name__}({self._decode()!r})'
+
+
+def _as_pytree(cls):
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda a: ((a._data,), None),
+        lambda aux, ch: cls.from_data(ch[0]))
+    return cls
+
+
+class PrimeFieldArray(FiniteFieldArray):
+    """GF(p) array: (..., L) uint32 Montgomery-form limbs on device."""
+
+    __slots__ = ()
+
+    ctx = None
+    _elem_ndim = 1
+
+    @classmethod
+    def _encode(cls, value):
+        ctx = cls.ctx
+        if isinstance(value, FiniteFieldArray):
+            return value._data
+        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+            # raw limbs passed explicitly; must already be Montgomery form
+            return value
+        arr = np.asarray(value, dtype=object)
+        conv = np.vectorize(
+            lambda v: int(v.value) if isinstance(v, PrimeFieldElement) else int(v),
+            otypes=[object])
+        arr = conv(arr) if arr.size else arr
+        return ctx.encode_ints(arr)
+
+    def _decode(self):
+        return self.ctx.decode_ints(np.asarray(self._data))
+
+    def __getitem__(self, idx):
+        return type(self).from_data(self._data[idx])
+
+    def _binop(self, other, opname, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        ad = jnp.broadcast_to(a._data, jnp.broadcast_shapes(a._data.shape, b._data.shape))
+        bd = jnp.broadcast_to(b._data, ad.shape)
+        out = getattr(self.ctx, opname)(ad, bd)
+        return type(self).from_data(out)
+
+    def __neg__(self):
+        return type(self).from_data(self.ctx.neg(self._data))
+
+    def __pos__(self):
+        return self
+
+    def __pow__(self, e):
+        if not isinstance(e, int):
+            return NotImplemented
+        return type(self).from_data(self.ctx.pow_const(e)(self._data))
+
+    def __lshift__(self, n):
+        if not isinstance(n, int):
+            return NotImplemented
+        return type(self).from_data(self.ctx.mul_const(1 << n)(self._data))
+
+    def __rshift__(self, n):
+        if not isinstance(n, int):
+            return NotImplemented
+        inv2n = gmpy2.invert(1 << n, self.ctx.p)
+        return type(self).from_data(self.ctx.mul_const(inv2n)(self._data))
+
+    def __eq__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        ad = jnp.broadcast_to(self._data,
+                              jnp.broadcast_shapes(self._data.shape, o._data.shape))
+        bd = jnp.broadcast_to(o._data, ad.shape)
+        return np.asarray(self.ctx.eq(ad, bd))
+
+    def __ne__(self, other):
+        r = self.__eq__(other)
+        return NotImplemented if r is NotImplemented else ~r
+
+    def __hash__(self):
+        raise TypeError('field arrays are unhashable')
+
+    def reciprocal(self):
+        return type(self).from_data(self.ctx.inv(self._data))
+
+    def sqrt(self, INV=False):
+        ctx = self.ctx
+        if ctx.p % 4 == 3:
+            return type(self).from_data(ctx.sqrt(INV=INV)(self._data))
+        # host fallback for p % 4 == 1 (Cipolla per element)
+        vals = self._decode()
+        f = self.field
+        out = np.vectorize(lambda v: f._sqrt(int(v), INV=INV), otypes=[object])(vals)
+        return type(self)(out)
+
+    def is_sqr(self):
+        leg = np.asarray(self.ctx.legendre(self._data))
+        return leg != -1
+
+    def sum(self, axis=None):
+        d = self._data
+        if axis is None:
+            d = d.reshape(-1, self.ctx.L)
+            axis = 0
+        else:
+            axis = axis % self.ndim
+            d = jnp.moveaxis(d, axis, 0)
+        return type(self).from_data(self.ctx.sum(d))
+
+    def _matmul(self, other, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        ad, bd = a._data, b._data
+        a1 = ad.ndim - 1 == 1  # logical 1-D
+        b1 = bd.ndim - 1 == 1
+        if a1:
+            ad = ad[None, :, :]
+        if b1:
+            bd = bd[:, None, :]
+        out = self.ctx.matmul(ad, bd)
+        if a1:
+            out = out[..., 0, :, :]
+        if b1:
+            out = out[..., 0, :]
+        return type(self).from_data(out)
+
+
+class BinaryFieldArray(FiniteFieldArray):
+    """GF(2^d) array: one packed d-bit polynomial per uint32 lane."""
+
+    __slots__ = ()
+
+    ctx = None
+    _elem_ndim = 0
+
+    @classmethod
+    def _encode(cls, value):
+        if isinstance(value, FiniteFieldArray):
+            return value._data
+        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+            return value
+        arr = np.asarray(value, dtype=object)
+        conv = np.vectorize(
+            lambda v: int(v.value) if isinstance(v, FiniteFieldElement) else int(v),
+            otypes=[object])
+        arr = conv(arr) if arr.size else arr
+        return cls.ctx.encode_ints(arr)
+
+    def _decode(self):
+        return self.ctx.decode_ints(np.asarray(self._data))
+
+    def __getitem__(self, idx):
+        return type(self).from_data(self._data[idx])
+
+    def _binop(self, other, opname, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        out = getattr(self.ctx, opname)(a._data, b._data)
+        return type(self).from_data(out)
+
+    def __neg__(self):
+        return self
+
+    __pos__ = __neg__
+
+    def __pow__(self, e):
+        if not isinstance(e, int):
+            return NotImplemented
+        return type(self).from_data(self.ctx.pow_const(e)(self._data))
+
+    def __eq__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        return np.asarray(self._data == o._data)
+
+    def __ne__(self, other):
+        r = self.__eq__(other)
+        return NotImplemented if r is NotImplemented else ~r
+
+    def __hash__(self):
+        raise TypeError('field arrays are unhashable')
+
+    def reciprocal(self):
+        return type(self).from_data(self.ctx.inv(self._data))
+
+    def sqrt(self, INV=False):
+        out = self.ctx.sqrt(self._data)
+        if INV:
+            out = self.ctx.inv(out)
+        return type(self).from_data(out)
+
+    def is_sqr(self):
+        return np.ones(self.shape, dtype=bool)
+
+    def sum(self, axis=None):
+        d = self._data
+        if axis is None:
+            d = d.reshape(-1)
+            axis = 0
+        red = jax.jit(lambda x: jax.lax.reduce(
+            x, jnp.uint32(0), lambda p, q: p ^ q, (axis % max(d.ndim, 1),)))
+        return type(self).from_data(red(d))
+
+    def _matmul(self, other, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        ad, bd = a._data, b._data
+        a1 = ad.ndim == 1
+        b1 = bd.ndim == 1
+        if a1:
+            ad = ad[None, :]
+        if b1:
+            bd = bd[:, None]
+        out = self.ctx.matmul(ad, bd)
+        if a1:
+            out = out[..., 0, :]
+        if b1:
+            out = out[..., 0]
+        return type(self).from_data(out)
+
+
+class ExtensionFieldArray(FiniteFieldArray):
+    """GF(p^d) array, odd p: (..., d, L) Montgomery coefficient stacks."""
+
+    __slots__ = ()
+
+    ctx = None
+    _elem_ndim = 2
+
+    @classmethod
+    def _encode(cls, value):
+        if isinstance(value, FiniteFieldArray):
+            return value._data
+        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+            return value
+        arr = np.asarray(value, dtype=object)
+        conv = np.vectorize(
+            lambda v: v.value if isinstance(v, FiniteFieldElement) else v,
+            otypes=[object])
+        arr = conv(arr) if arr.size else arr
+        return cls.ctx.encode_polys(arr)
+
+    def _decode(self):
+        return self.ctx.decode_ints(np.asarray(self._data))
+
+    def __getitem__(self, idx):
+        return type(self).from_data(self._data[idx])
+
+    def _binop(self, other, opname, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        ad = jnp.broadcast_to(a._data,
+                              jnp.broadcast_shapes(a._data.shape, b._data.shape))
+        bd = jnp.broadcast_to(b._data, ad.shape)
+        out = getattr(self.ctx, opname)(ad, bd)
+        return type(self).from_data(out)
+
+    def __neg__(self):
+        return type(self).from_data(self.ctx.neg(self._data))
+
+    def __pos__(self):
+        return self
+
+    def __pow__(self, e):
+        if not isinstance(e, int):
+            return NotImplemented
+        return type(self).from_data(self.ctx.pow_const(e)(self._data))
+
+    def __eq__(self, other):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        ad = jnp.broadcast_to(self._data,
+                              jnp.broadcast_shapes(self._data.shape, o._data.shape))
+        bd = jnp.broadcast_to(o._data, ad.shape)
+        return np.asarray(self.ctx.eq(ad, bd))
+
+    def __ne__(self, other):
+        r = self.__eq__(other)
+        return NotImplemented if r is NotImplemented else ~r
+
+    def __hash__(self):
+        raise TypeError('field arrays are unhashable')
+
+    def reciprocal(self):
+        return type(self).from_data(self.ctx.inv(self._data))
+
+    def is_sqr(self):
+        vals = self._decode()
+        f = self.field
+        return np.vectorize(lambda v: f._is_sqr(v), otypes=[bool])(vals)
+
+    def sqrt(self, INV=False):
+        vals = self._decode()
+        f = self.field
+        out = np.vectorize(lambda v: f._sqrt(v, INV=INV), otypes=[object])(vals)
+        return type(self)(out)
+
+    @classmethod
+    def _coerce(cls, other):
+        if isinstance(other, cls):
+            return other
+        if isinstance(other, cls.field):
+            return cls(np.array(other.value, dtype=object))
+        if isinstance(other, (int, gfpx.Polynomial)):
+            return cls(np.array(type(cls.field.modulus)(other), dtype=object))
+        if isinstance(other, (list, tuple, np.ndarray)):
+            return cls(other)
+        return NotImplemented
+
+
+# -- dynamic array class factories -------------------------------------------
+
+@functools.cache
+def _make_prime_array_class(field_cls):
+    p = field_cls.modulus
+    if p == 2:
+        ctx = binary_field_ctx(2)  # GF(2) == GF(2^1) arithmetically
+        cls = type(f'Array{field_cls.__name__}', (BinaryFieldArray,),
+                   {'__slots__': ()})
+    else:
+        ctx = prime_field_ctx(p)
+        cls = type(f'Array{field_cls.__name__}', (PrimeFieldArray,),
+                   {'__slots__': ()})
+    cls.field = field_cls
+    cls.ctx = ctx
+    return _as_pytree(cls)
+
+
+@functools.cache
+def _make_binary_array_class(field_cls):
+    ctx = binary_field_ctx(int(field_cls.modulus))
+    cls = type(f'Array{field_cls.__name__}', (BinaryFieldArray,),
+               {'__slots__': ()})
+    cls.field = field_cls
+    cls.ctx = ctx
+    return _as_pytree(cls)
+
+
+@functools.cache
+def _make_ext_array_class(field_cls):
+    modulus = field_cls.modulus
+    ctx = ext_field_ctx(type(modulus).p, tuple(modulus.value))
+    cls = type(f'Array{field_cls.__name__}', (ExtensionFieldArray,),
+               {'__slots__': ()})
+    cls.field = field_cls
+    cls.ctx = ctx
+    return _as_pytree(cls)

@@ -1,0 +1,160 @@
+"""Device kernels for binary fields GF(2^d), d <= 32, and GF(2) itself.
+
+Elements are d-bit polynomials packed one-per-lane in uint32 arrays (no
+object dtype anywhere, unlike the reference's numpy object arrays,
+cf. /root/reference/mpyc/finfields.py BinaryFieldArray).
+
+Multiplication is carry-less: XLA has no clmul, so the product is built from
+d conditional shift-XORs (VPU friendly, fully unrolled at trace time), and
+the reduction mod f uses host-precomputed residues x^k mod f for
+k in [d, 2d-2], turning reduction into d-1 masked XORs with constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+@functools.cache
+def binary_field_ctx(modulus: int):
+    return BinaryFieldCtx(modulus)
+
+
+class BinaryFieldCtx:
+    """Kernel cache for GF(2^d) with irreducible modulus (int bitmask)."""
+
+    def __init__(self, modulus: int):
+        self.modulus = int(modulus)
+        self.d = d = self.modulus.bit_length() - 1
+        assert 1 <= d <= 32, 'binary fields supported up to GF(2^32)'
+        self.order = 1 << d
+        self.mask = np.uint32(self.order - 1) if d < 32 else np.uint32(0xFFFFFFFF)
+        # residues red[j] = x^(d+j) mod f for j in [0, d-2]
+        red = []
+        if d >= 2:
+            r = self.modulus ^ (1 << d)  # x^d mod f
+            red.append(np.uint32(r))
+            for _ in range(d - 2):
+                r <<= 1
+                if (r >> d) & 1:
+                    r ^= self.modulus
+                red.append(np.uint32(r))
+        self._red = red
+        self._jit_cache = {}
+
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # -- kernels ------------------------------------------------------------
+
+    @property
+    def add(self):
+        return self._jit('add', lambda a, b: a ^ b)
+
+    sub = add
+
+    @property
+    def neg(self):
+        return self._jit('neg', lambda a: a)
+
+    def _clmul_reduce(self, a, b):
+        d = self.d
+        zero = jnp.zeros_like(b)
+        lo = zero
+        hi = zero
+        for i in range(d):
+            bit = ((a >> i) & 1) != 0
+            lo = lo ^ jnp.where(bit, b << i if i else b, zero)
+            if i > 0 and d > 32 - i:
+                hi = hi ^ jnp.where(bit, b >> (32 - i), zero)
+        # reduce bits [d, 2d-2] using precomputed residues
+        res = lo & self.mask
+        for j in range(d - 1):
+            k = d + j
+            bit_k = ((lo >> k) & 1) if k < 32 else ((hi >> (k - 32)) & 1)
+            res = res ^ jnp.where(bit_k != 0, jnp.asarray(self._red[j]), zero)
+        return res
+
+    @property
+    def mul(self):
+        return self._jit('mul', self._clmul_reduce)
+
+    def pow_const(self, e: int):
+        """a**e, static exponent, exponent reduced mod 2^d - 1 (keeping >0)."""
+        e = int(e)
+        q1 = self.order - 1  # multiplicative group order
+        if e < 0 or e >= q1:
+            e = e % q1
+            if e == 0:
+                e = q1  # keeps 0**e == 0 and a**(q-1) == 1 for a != 0
+        name = f'pow_{e}'
+
+        def _pow(a):
+            if e == 0:
+                return jnp.ones_like(a)
+            bits = bin(e)[2:]
+            res = a
+            for bchr in bits[1:]:
+                res = self._clmul_reduce(res, res)
+                if bchr == '1':
+                    res = self._clmul_reduce(res, a)
+            return res
+        return self._jit(name, _pow)
+
+    @property
+    def inv(self):
+        """Multiplicative inverse a^(2^d - 2); inverse of 0 is 0."""
+        return self.pow_const(self.order - 2)
+
+    @property
+    def div(self):
+        def _div(a, b):
+            return self._clmul_reduce(a, self.inv(b))
+        return self._jit('div', _div)
+
+    @property
+    def sqrt(self):
+        """Square root: a^(2^(d-1)); every element of GF(2^d) is a square."""
+        return self.pow_const(1 << (self.d - 1)) if self.d > 1 else \
+            self._jit('sqrt_id', lambda a: a)
+
+    @property
+    def matmul(self):
+        """(…, M, K) @ (…, K, N) over GF(2^d)."""
+        def _matmul(a, b):
+            K = a.shape[-1]
+            acc = None
+            for k in range(K):
+                term = self._clmul_reduce(a[..., :, k][..., :, None],
+                                          b[..., k, :][..., None, :])
+                acc = term if acc is None else acc ^ term
+            return acc
+        return self._jit('matmul', _matmul)
+
+    # -- host encode/decode (trivial: value == representation) --------------
+
+    def encode_ints(self, xs) -> np.ndarray:
+        arr = np.asarray(xs, dtype=object)
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=np.uint32)
+        for i in range(flat.shape[0]):
+            out[i] = int(flat[i]) & (self.order - 1) if self.d < 32 \
+                else int(flat[i]) & 0xFFFFFFFF
+        return out.reshape(arr.shape)
+
+    def decode_ints(self, vals) -> np.ndarray:
+        vals = np.asarray(vals)
+        out = np.empty(vals.shape, dtype=object)
+        flat_in = vals.reshape(-1)
+        flat_out = out.reshape(-1)
+        for i in range(flat_in.shape[0]):
+            flat_out[i] = int(flat_in[i])
+        return out

@@ -1,0 +1,272 @@
+"""Jit-compiled, cached device kernels for prime-field arrays.
+
+A ``PrimeFieldCtx`` holds all host-precomputed Montgomery constants for one
+prime p and exposes cached jitted kernels operating on stacked uint32 limb
+arrays of shape ``(..., L)`` holding values in Montgomery form
+(x_mont = x * R mod p, R = 2^(32 L)).
+
+This is the TPU replacement for the reference's GMP/numpy substrate
+(/root/reference/mpyc/finfields.py arrays, /root/reference/mpyc/gmpy.py):
+everything here vectorizes over arbitrary batch shapes on the VPU and can be
+fused inside larger jitted protocol pipelines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpyc_tpu import gmpy
+from mpyc_tpu.ops import limb
+
+
+def _limbify(x: int, L: int):
+    return tuple(np.uint32((x >> (32 * i)) & 0xFFFFFFFF) for i in range(L))
+
+
+@functools.cache
+def prime_field_ctx(p: int):
+    return PrimeFieldCtx(p)
+
+
+class PrimeFieldCtx:
+    """Montgomery context and kernel cache for GF(p), p an odd prime (or 2).
+
+    p == 2 is handled by the binary kernels elsewhere; this class requires
+    odd p so Montgomery reduction applies.
+    """
+
+    def __init__(self, p: int):
+        assert p > 2 and p % 2 == 1, 'PrimeFieldCtx requires an odd prime'
+        self.p = p
+        self.bits = p.bit_length()
+        self.L = L = (self.bits + 31) // 32
+        self.R = R = 1 << (32 * L)
+        self.R2 = R * R % p
+        self.Rinv = pow(R, -1, p)
+        self.n0inv = np.uint32((-pow(p, -1, 1 << 32)) % (1 << 32))
+        self.p_limbs = _limbify(p, L)
+        self.one_mont = _limbify(R % p, L)
+        self.r2_limbs = _limbify(self.R2, L)
+        self._jit_cache = {}
+
+    # -- host encode / decode ----------------------------------------------
+
+    def encode_ints(self, xs) -> np.ndarray:
+        """Object/int ndarray or nested list of ints -> (..., L) uint32 Mont."""
+        arr = np.asarray(xs, dtype=object)
+        p, R = self.p, self.R
+        flat = arr.reshape(-1)
+        enc = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            enc[i] = (int(flat[i]) % p) * R % p
+        return limb.ints_to_limbs(enc, self.L).reshape(arr.shape + (self.L,))
+
+    def decode_ints(self, mont) -> np.ndarray:
+        """(..., L) uint32 Mont -> object ndarray of ints in [0, p)."""
+        vals = limb.limbs_to_ints(np.asarray(mont))
+        p, Rinv = self.p, self.Rinv
+        flat = vals.reshape(-1)
+        for i in range(flat.shape[0]):
+            flat[i] = int(flat[i]) * Rinv % p
+        return flat.reshape(vals.shape)
+
+    def encode_const(self, x: int):
+        """Single int -> Montgomery limb tuple (for baking into traces)."""
+        return _limbify((int(x) % self.p) * self.R % self.p, self.L)
+
+    # -- cached jitted kernels ----------------------------------------------
+
+    def _jit(self, name, fn, **jit_kwargs):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, **jit_kwargs)
+        return self._jit_cache[name]
+
+    # All kernels take/return stacked (..., L) uint32 arrays.
+
+    @property
+    def add(self):
+        def _add(a, b):
+            return limb.stack(limb.add_mod(limb.unstack(a, self.L),
+                                           limb.unstack(b, self.L),
+                                           self.p_limbs))
+        return self._jit('add', _add)
+
+    @property
+    def sub(self):
+        def _sub(a, b):
+            return limb.stack(limb.sub_mod(limb.unstack(a, self.L),
+                                           limb.unstack(b, self.L),
+                                           self.p_limbs))
+        return self._jit('sub', _sub)
+
+    @property
+    def neg(self):
+        def _neg(a):
+            return limb.stack(limb.neg_mod(limb.unstack(a, self.L),
+                                           self.p_limbs))
+        return self._jit('neg', _neg)
+
+    @property
+    def mul(self):
+        def _mul(a, b):
+            return limb.stack(limb.mont_mul(limb.unstack(a, self.L),
+                                            limb.unstack(b, self.L),
+                                            self.p_limbs, self.n0inv))
+        return self._jit('mul', _mul)
+
+    @property
+    def inv(self):
+        def _inv(a):
+            return limb.stack(limb.mont_inv(limb.unstack(a, self.L), self.p,
+                                            self.p_limbs, self.n0inv,
+                                            self.one_mont))
+        return self._jit('inv', _inv)
+
+    @property
+    def div(self):
+        def _div(a, b):
+            ib = limb.mont_inv(limb.unstack(b, self.L), self.p, self.p_limbs,
+                               self.n0inv, self.one_mont)
+            return limb.stack(limb.mont_mul(limb.unstack(a, self.L), ib,
+                                            self.p_limbs, self.n0inv))
+        return self._jit('div', _div)
+
+    def pow_const(self, e: int):
+        """Kernel computing a**e elementwise, static exponent (cached)."""
+        e = int(e)
+        if e < 0 or e >= self.p - 1:
+            # reduce mod p-1 but keep e > 0 so 0**e stays 0 (Fermat only
+            # applies to nonzero a; this keeps both cases right)
+            e = e % (self.p - 1)
+            if e == 0:
+                e = self.p - 1
+        name = f'pow_{e}'
+
+        def _pow(a):
+            return limb.stack(limb.mont_pow_const(
+                limb.unstack(a, self.L), e, self.p_limbs, self.n0inv,
+                self.one_mont))
+        return self._jit(name, _pow)
+
+    def mul_const(self, c: int):
+        """Kernel multiplying by a public constant (baked into the trace)."""
+        cm = self.encode_const(c)
+        name = f'mulc_{int(c) % self.p}'
+
+        def _mulc(a):
+            return limb.stack(limb.mont_mul(
+                limb.unstack(a, self.L), [jnp.asarray(x) for x in cm],
+                self.p_limbs, self.n0inv))
+        return self._jit(name, _mulc)
+
+    @property
+    def eq(self):
+        def _eq(a, b):
+            return limb.eq_ll(limb.unstack(a, self.L), limb.unstack(b, self.L))
+        return self._jit('eq', _eq)
+
+    @property
+    def is_zero(self):
+        def _isz(a):
+            return limb.iszero_ll(limb.unstack(a, self.L))
+        return self._jit('is_zero', _isz)
+
+    @property
+    def legendre(self):
+        """0 -> 0, QR -> 1, non-QR -> -1 (int32)."""
+        def _leg(a):
+            r = limb.mont_pow_const(limb.unstack(a, self.L), (self.p - 1) >> 1,
+                                    self.p_limbs, self.n0inv, self.one_mont)
+            one = [jnp.asarray(x) for x in self.one_mont]
+            is_one = limb.eq_ll(r, [jnp.broadcast_to(x, r[0].shape) for x in one])
+            is_zero = limb.iszero_ll(limb.unstack(a, self.L))
+            return jnp.where(is_zero, 0, jnp.where(is_one, 1, -1)).astype(jnp.int32)
+        return self._jit('legendre', _leg)
+
+    def sqrt(self, INV=False):
+        """Elementwise sqrt (or 1/sqrt) kernel; fast path for p % 4 == 3.
+
+        Matches the reference convention (finfields.py:440-477): the root
+        returned is a**((p+1)/4) for Blum primes. For p % 4 == 1 no device
+        kernel is provided here (host fallback in finfields).
+        """
+        p = self.p
+        if p % 4 != 3:
+            raise NotImplementedError('device sqrt requires p % 4 == 3')
+        e = (p * 3 - 5) >> 2 if INV else (p + 1) >> 2
+        return self.pow_const(e)
+
+    @property
+    def sum(self):
+        """Sum along axis=0 of the batch dims (tree reduction mod p)."""
+        def _sum(a):
+            # a: (N, ..., L) -> (..., L)
+            ll = limb.unstack(a, self.L)
+            n = a.shape[0]
+            acc = [x[0] for x in ll]
+            for i in range(1, n):
+                acc = limb.add_mod(acc, [x[i] for x in ll], self.p_limbs)
+            return limb.stack(acc)
+        return self._jit('sum0', _sum)
+
+    @property
+    def matmul(self):
+        """(…, M, K, L) @ (…, K, N, L) -> (…, M, N, L) via scan over K."""
+        def _term(ak, bk):
+            # ak: (..., M, L), bk: (..., N, L) -> (..., M, N, L) products
+            M, N = ak.shape[-2], bk.shape[-2]
+            out_shape = jnp.broadcast_shapes(ak.shape[:-2], bk.shape[:-2]) \
+                + (M, N)
+            ak_l = [jnp.broadcast_to(x[..., :, None], out_shape)
+                    for x in limb.unstack(ak, self.L)]
+            bk_l = [jnp.broadcast_to(x[..., None, :], out_shape)
+                    for x in limb.unstack(bk, self.L)]
+            return limb.mont_mul(ak_l, bk_l, self.p_limbs, self.n0inv)
+
+        def _matmul(a, b):
+            K = a.shape[-2]
+            if K <= 8:  # unroll small contractions (protocol-sized)
+                acc = None
+                for k in range(K):
+                    term = _term(a[..., :, k, :], b[..., k, :, :])
+                    acc = term if acc is None else \
+                        limb.add_mod(acc, term, self.p_limbs)
+                return limb.stack(acc)
+            # large K: scan with (..., M, N, L) accumulator
+            a_k = jnp.moveaxis(a, -2, 0)   # (K, ..., M, L)
+            b_k = jnp.moveaxis(b, -3, 0)   # (K, ..., N, L)
+            acc0 = limb.stack(_term(a_k[0], b_k[0]))
+
+            def body(acc, kab):
+                ak, bk = kab
+                term = _term(ak, bk)
+                acc = limb.stack(limb.add_mod(
+                    limb.unstack(acc, self.L), term, self.p_limbs))
+                return acc, None
+
+            acc, _ = jax.lax.scan(body, acc0, (a_k[1:], b_k[1:]))
+            return acc
+        return self._jit('matmul', _matmul)
+
+    def reduce_chunks(self, n_chunks: int):
+        """Kernel reducing (…, n_chunks, L) wide LE values mod p -> Mont form.
+
+        Used to map PRF output streams / uniform randomness into the field:
+        value = sum_i chunk_i 2^(32 L i);  result = (value mod p) in Mont form.
+        """
+        radix = []
+        for i in range(n_chunks):
+            c = pow(2, 32 * self.L * i, self.p) * self.R2 % self.p
+            radix.append(_limbify(c, self.L))
+        name = f'reduce_chunks_{n_chunks}'
+
+        def _red(w):
+            chunks = [limb.unstack(w[..., i, :], self.L)
+                      for i in range(n_chunks)]
+            return limb.stack(limb.reduce_wide(chunks, radix, self.p_limbs,
+                                               self.n0inv))
+        return self._jit(name, _red)
