@@ -1,0 +1,258 @@
+"""Keccak-f[1600] / SHAKE128 on the device, bit-exact with hashlib.
+
+Lanes are 64-bit, represented as (hi, lo) uint32 pairs so the kernel runs on
+TPU integer lanes without 64-bit emulation. The permutation is fully unrolled
+(24 rounds of XOR/rotate/AND graphs) and vectorizes over any batch shape —
+one batch element = one independent sponge instance.
+
+Used for:
+  * the PRSS pseudorandom function (reference semantics:
+    /root/reference/mpyc/thresha.py:220-266 uses shake_128(key + input));
+  * counter-mode batched randomness: many single-block sponges evaluated in
+    parallel instead of one long sequential squeeze (TPU-first delta — the
+    sequential reference stream cannot be parallelized).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+RATE = 168  # shake128 rate in bytes (1344 bits); 21 lanes
+N_LANES = 25
+
+_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+
+# rotation offsets r[x][y] for lane A[x, y] (index x + 5 y)
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+
+def _rot64(hi, lo, r):
+    """Rotate a 64-bit (hi, lo) pair left by r (static)."""
+    r %= 64
+    if r == 0:
+        return hi, lo
+    if r == 32:
+        return lo, hi
+    if r < 32:
+        nhi = (hi << r) | (lo >> (32 - r))
+        nlo = (lo << r) | (hi >> (32 - r))
+        return nhi, nlo
+    r -= 32
+    nhi = (lo << r) | (hi >> (32 - r))
+    nlo = (hi << r) | (lo >> (32 - r))
+    return nhi, nlo
+
+
+_RC_ARR = np.array([[rc >> 32, rc & 0xFFFFFFFF] for rc in _RC],
+                   dtype=np.uint32)
+
+
+def keccak_f(hi, lo):
+    """One Keccak-f[1600] permutation.
+
+    hi, lo: lists of 25 uint32 arrays (arbitrary common batch shape).
+    Returns new (hi, lo) lists. The 24 rounds run under a fori_loop (one
+    round traced) to keep XLA graphs small; the round body is elementwise
+    XOR/rotate/AND, fully vectorized over the batch.
+    """
+    shape = jnp.broadcast_shapes(*(x.shape for x in hi), *(x.shape for x in lo))
+    state = jnp.stack([jnp.broadcast_to(x, shape) for x in hi]
+                      + [jnp.broadcast_to(x, shape) for x in lo], axis=0)
+    rc_arr = jnp.asarray(_RC_ARR)
+
+    def round_body(rnd, st):
+        hi = [st[i] for i in range(25)]
+        lo = [st[25 + i] for i in range(25)]
+        hi, lo = _keccak_round(hi, lo, rc_arr[rnd, 0], rc_arr[rnd, 1])
+        return jnp.stack(hi + lo, axis=0)
+
+    state = jax.lax.fori_loop(0, 24, round_body, state)
+    return [state[i] for i in range(25)], [state[25 + i] for i in range(25)]
+
+
+def _keccak_round(hi, lo, rc_hi, rc_lo):
+    if True:  # single round (theta, rho+pi, chi, iota)
+        # theta
+        chi_ = [None] * 5
+        clo_ = [None] * 5
+        for x in range(5):
+            h = hi[x]
+            l = lo[x]
+            for y in range(1, 5):
+                h = h ^ hi[x + 5 * y]
+                l = l ^ lo[x + 5 * y]
+            chi_[x] = h
+            clo_[x] = l
+        for x in range(5):
+            th, tl = _rot64(chi_[(x + 1) % 5], clo_[(x + 1) % 5], 1)
+            dh = chi_[(x + 4) % 5] ^ th
+            dl = clo_[(x + 4) % 5] ^ tl
+            for y in range(5):
+                hi[x + 5 * y] = hi[x + 5 * y] ^ dh
+                lo[x + 5 * y] = lo[x + 5 * y] ^ dl
+        # rho + pi
+        bh = [None] * 25
+        bl = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                nx, ny = y, (2 * x + 3 * y) % 5
+                bh[nx + 5 * ny], bl[nx + 5 * ny] = _rot64(
+                    hi[x + 5 * y], lo[x + 5 * y], _ROT[x][y])
+        # chi
+        for y in range(5):
+            row_h = [bh[x + 5 * y] for x in range(5)]
+            row_l = [bl[x + 5 * y] for x in range(5)]
+            for x in range(5):
+                hi[x + 5 * y] = row_h[x] ^ (~row_h[(x + 1) % 5] & row_h[(x + 2) % 5])
+                lo[x + 5 * y] = row_l[x] ^ (~row_l[(x + 1) % 5] & row_l[(x + 2) % 5])
+        # iota
+        hi[0] = hi[0] ^ rc_hi
+        lo[0] = lo[0] ^ rc_lo
+    return hi, lo
+
+
+def _pad_shake128(data: bytes) -> bytes:
+    """Multi-rate padding for shake128 (domain 0x1F), single or multi block."""
+    q = RATE - (len(data) % RATE)
+    pad = bytearray(q)
+    pad[0] = 0x1F
+    pad[-1] |= 0x80
+    return data + bytes(pad)
+
+
+def _absorb_host(data: bytes):
+    """Absorb padded input on the host -> initial lane words (np arrays).
+
+    Returns (hi, lo): two (25,) uint32 np arrays if input fits one block,
+    otherwise runs the permutation per extra block (host inputs are tiny:
+    key + uci counters).
+    """
+    padded = _pad_shake128(data)
+    hi = [np.uint32(0)] * N_LANES
+    lo = [np.uint32(0)] * N_LANES
+    n_blocks = len(padded) // RATE
+    for b in range(n_blocks):
+        blk = padded[b * RATE:(b + 1) * RATE]
+        for i in range(RATE // 8):
+            w = int.from_bytes(blk[8 * i:8 * i + 8], 'little')
+            hi[i] = np.uint32(int(hi[i]) ^ (w >> 32))
+            lo[i] = np.uint32(int(lo[i]) ^ (w & 0xFFFFFFFF))
+        if b < n_blocks - 1:
+            st = _keccak_f_state(jnp.asarray(
+                np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])))
+            st = np.asarray(st)
+            hi = [np.uint32(v) for v in st[0]]
+            lo = [np.uint32(v) for v in st[1]]
+    return hi, lo
+
+
+@jax.jit
+def _keccak_f_state(state):
+    """keccak_f on a (2, 25) scalar state (hi row 0, lo row 1)."""
+    hi, lo = keccak_f([state[0, i] for i in range(N_LANES)],
+                      [state[1, i] for i in range(N_LANES)])
+    return jnp.stack([jnp.stack(hi), jnp.stack(lo)])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _squeeze_ctr(state_words, n_instances: int):
+    """Counter-mode parallel squeeze.
+
+    state_words: (2, 25) uint32 (hi, lo) absorbed state of the *prefix*
+    (key + uci padded to one block, before the final permutation), whose
+    lane 20 (last rate lane) will be XORed with a per-instance counter so
+    every instance is an independent single-block sponge.
+
+    Returns (n_instances, 42) uint32: the rate portion (168 bytes) of each
+    instance's first squeezed block, words interleaved [lo0, hi0, lo1, ...]
+    in byte order.
+    """
+    ctr = jax.lax.broadcasted_iota(jnp.uint32, (n_instances, 1), 0)[:, 0]
+    hi = [jnp.broadcast_to(state_words[0, i], (n_instances,))
+          for i in range(N_LANES)]
+    lo = [jnp.broadcast_to(state_words[1, i], (n_instances,))
+          for i in range(N_LANES)]
+    # inject counter into lane 19 low word (inside rate, after 152 bytes)
+    lo[19] = lo[19] ^ ctr
+    hi, lo = keccak_f(hi, lo)
+    # output 21 rate lanes, little-endian word order (lo then hi per lane)
+    words = []
+    for i in range(RATE // 8):
+        words.append(lo[i])
+        words.append(hi[i])
+    return jnp.stack(words, axis=-1)
+
+
+def shake128_ctr_blocks(prefix: bytes, n_instances: int):
+    """n_instances independent 168-byte SHAKE128 blocks, counter-separated.
+
+    Instance j's bytes equal shake_128(prefix || ctr_j_at_offset_152).  This
+    is NOT the hashlib stream for prefix; it is a parallel counter-mode PRF
+    construction with the same security reduction (each instance is a
+    distinct single-block sponge input).
+
+    The instance count is padded up to a power of two (min 8) before the
+    kernel call so XLA compilations are shared across batch sizes; the
+    surplus instances are sliced off.
+    """
+    assert len(prefix) <= 144, 'prefix must leave room for the counter lane'
+    hi, lo = _absorb_host(prefix)
+    state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
+    n_pad = max(8, 1 << (int(n_instances) - 1).bit_length())
+    out = _squeeze_ctr(jnp.asarray(state), n_pad)
+    return out[:n_instances]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _squeeze_seq(state_words, n_blocks: int):
+    """Sequential squeeze of n_blocks rate-blocks (bit-exact hashlib stream).
+
+    Returns (n_blocks, 42) uint32 words. Sequential in n_blocks (latency
+    chain) — used by the compat PRF for test-vector parity on small sizes.
+    """
+    hi = [state_words[0, i] for i in range(N_LANES)]
+    lo = [state_words[1, i] for i in range(N_LANES)]
+    out = []
+    for _ in range(n_blocks):
+        hi, lo = keccak_f(hi, lo)
+        words = []
+        for i in range(RATE // 8):
+            words.append(lo[i])
+            words.append(hi[i])
+        out.append(jnp.stack(words, axis=-1))
+    return jnp.stack(out, axis=0)
+
+
+def shake128_device(data: bytes, n_bytes: int) -> bytes:
+    """Bit-exact shake_128(data).digest(n_bytes) computed on the device.
+
+    Small-input utility used to validate the kernel against hashlib and for
+    host-side compat paths when hashlib is unavailable.
+    """
+    hi, lo = _absorb_host(data)
+    state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
+    n_blocks = -(-n_bytes // RATE)
+    words = np.asarray(_squeeze_seq(jnp.asarray(state), n_blocks))
+    raw = words.astype('<u4').tobytes()
+    return raw[:n_bytes]

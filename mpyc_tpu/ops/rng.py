@@ -1,0 +1,161 @@
+"""Device randomness: counter-mode SHAKE128 streams mapped into fields.
+
+Two generators:
+  * KeccakRNG — cryptographic, counter-mode SHAKE128 (one parallel
+    single-block sponge per 168-byte block). Default for protocol secrets
+    (Shamir coefficients, masks), replacing the reference's
+    ``secrets.randbelow`` loops (thresha.py:37,60).
+  * FastRNG — jax.random (threefry); NOT cryptographic, for benchmarks.
+
+Mapping uniform bytes into GF(p) follows the reference PRF convention
+(thresha.py:226-236): for a non-power-of-2 bound, each value consumes
+byte_length(bound-1) + 16 extra bytes and is reduced mod bound, making the
+statistical distance to uniform < 2^-128; power-of-2 bounds take the low
+bits exactly.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpyc_tpu.ops import keccak
+from mpyc_tpu.ops.fieldops import prime_field_ctx
+
+_WIDEN_BYTES = 16  # statistical widening for mod-p reduction
+
+
+def _prod(shape):
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n
+
+
+def words_to_elements(blocks, n: int, l: int, L: int):
+    """(n_blocks, 42) uint32 words -> (n, n_chunks, L) uint32 wide values.
+
+    Each element consumes l bytes from within a single 168-byte block
+    (elements never straddle blocks; the tail of each block is discarded).
+    n_chunks = ceil(ceil(l/4) / L).
+    """
+    W = -(-l // 4)                  # uint32 words per element
+    n_chunks = -(-W // L)
+    k = keccak.RATE // l            # elements per block
+    if l % 4 == 0:
+        w_per = l // 4
+        usable = blocks[:, :k * w_per].reshape(-1, w_per)[:n]
+    else:
+        # byte-granular path
+        b = jnp.stack([(blocks >> (8 * j)) & 0xFF for j in range(4)],
+                      axis=-1).reshape(blocks.shape[0], keccak.RATE)
+        b = b[:, :k * l].reshape(-1, l)[:n]
+        pad = W * 4 - l
+        if pad:
+            b = jnp.pad(b, ((0, 0), (0, pad)))
+        usable = sum((b[:, j::4][:, :W] << (8 * j)) for j in range(4)).astype(jnp.uint32)
+    pad_w = n_chunks * L - W
+    if pad_w:
+        usable = jnp.pad(usable, ((0, 0), (0, pad_w)))
+    return usable.reshape(n, n_chunks, L)
+
+
+def blocks_needed(n: int, l: int) -> int:
+    k = keccak.RATE // l
+    return -(-n // k)
+
+
+class KeccakRNG:
+    """Counter-mode SHAKE128 generator with a session key and call nonce."""
+
+    def __init__(self, key: bytes | None = None):
+        self.key = key if key is not None else secrets.token_bytes(32)
+        self._nonce = 0
+
+    def _next_prefix(self) -> bytes:
+        n = self._nonce
+        self._nonce += 1
+        return self.key + n.to_bytes(8, 'little')
+
+    def _blocks(self, prefix: bytes, n_blocks: int):
+        return keccak.shake128_ctr_blocks(prefix, n_blocks)
+
+    def field_uniform(self, field, shape):
+        """Uniform random field.array of given shape (GF(p), odd p)."""
+        p = field.modulus
+        ctx = prime_field_ctx(p)
+        n = _prod(shape)
+        l = (p - 1).bit_length() + 7 >> 3
+        if p & (p - 1):
+            l += _WIDEN_BYTES
+        blocks = self._blocks(self._next_prefix(), max(blocks_needed(n, l), 1))
+        wide = words_to_elements(blocks, n, l, ctx.L)
+        mont = ctx.reduce_chunks(wide.shape[-2])(wide)
+        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+
+    def randbits_uint32(self, shape, k: int):
+        """Uniform k-bit values (k <= 32) as uint32 array."""
+        assert 0 < k <= 32
+        n = _prod(shape)
+        l = (k + 7) // 8
+        blocks = self._blocks(self._next_prefix(), max(blocks_needed(n, l), 1))
+        vals = words_to_elements(blocks, n, l, 1)[:, 0, 0]
+        mask = np.uint32((1 << k) - 1) if k < 32 else np.uint32(0xFFFFFFFF)
+        return (vals & mask).reshape(shape)
+
+    def uniform_below_pow2_wide(self, shape, k: int, L: int):
+        """Uniform k-bit values as (..., L) limb arrays (k <= 32*L)."""
+        n = _prod(shape)
+        l = (k + 7) // 8
+        blocks = self._blocks(self._next_prefix(), max(blocks_needed(n, l), 1))
+        wide = words_to_elements(blocks, n, l, L)
+        assert wide.shape[-2] == 1
+        vals = wide[:, 0, :]
+        # mask top word bits beyond k
+        rem = k % 32
+        top = (k - 1) // 32
+        if rem:
+            m = np.uint32((1 << rem) - 1)
+            vals = vals.at[:, top].set(vals[:, top] & m)
+        if top + 1 < L:
+            vals = vals.at[:, top + 1:].set(0)
+        return vals.reshape(tuple(shape) + (L,))
+
+
+class FastRNG:
+    """jax.random-based generator (threefry) — benchmarks only, NOT crypto."""
+
+    def __init__(self, seed: int = 0):
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def field_uniform(self, field, shape):
+        p = field.modulus
+        ctx = prime_field_ctx(p)
+        l = ((p - 1).bit_length() + 7 >> 3) + (_WIDEN_BYTES if p & (p - 1) else 0)
+        W = -(-l // 4)
+        n_chunks = -(-W // ctx.L)
+        n = _prod(shape)
+        bits = jax.random.bits(self._next_key(), (n, n_chunks * ctx.L),
+                               dtype=jnp.uint32)
+        # zero bytes beyond l to mirror the byte-budget of the keccak path
+        rem = l % 4
+        top_w = l // 4
+        if top_w < bits.shape[-1]:
+            bits = bits.at[:, top_w + (1 if rem else 0):].set(0)
+        if rem:
+            bits = bits.at[:, top_w].set(bits[:, top_w] & np.uint32((1 << (8 * rem)) - 1))
+        wide = bits.reshape(n, n_chunks, ctx.L)
+        mont = ctx.reduce_chunks(n_chunks)(wide)
+        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+
+    def randbits_uint32(self, shape, k: int):
+        bits = jax.random.bits(self._next_key(), tuple(shape), dtype=jnp.uint32)
+        mask = np.uint32((1 << k) - 1) if k < 32 else np.uint32(0xFFFFFFFF)
+        return bits & mask

@@ -1,0 +1,310 @@
+"""Threshold secret sharing: Shamir split/recombine and PRSS, TPU-native.
+
+Capability parity target: /root/reference/mpyc/thresha.py. Two planes:
+
+  * **compat plane** (``random_split``, ``recombine``, ``pseudorandom_share``,
+    ``pseudorandom_share_zero``, ``PRF``): host-side, list-of-ints in/out,
+    bit-exact with the reference given identical randomness/keys — these are
+    the correctness anchors (cf. reference tests/test_thresha.py).
+  * **device plane** (``np_*`` variants, ``DevicePRF``): field arrays on the
+    TPU; Shamir evaluation is a Horner chain of fused Montgomery kernels,
+    recombination a Lagrange-weighted reduction, PRSS a counter-mode SHAKE128
+    sponge batch. The counter-mode PRF stream intentionally differs from the
+    reference's sequential SHAKE squeeze (which cannot be parallelized); use
+    ``PRF`` when reference-stream equality is required.
+"""
+
+from __future__ import annotations
+
+import functools
+from hashlib import shake_128
+from math import prod
+import secrets
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpyc_tpu.ops import keccak, rng as rng_mod
+from mpyc_tpu.ops.fieldops import prime_field_ctx
+
+__all__ = ['random_split', 'recombine', 'pseudorandom_share',
+           'pseudorandom_share_zero', 'np_random_split', 'np_recombine',
+           'np_pseudorandom_share', 'np_pseudorandom_share_0', 'PRF',
+           'DevicePRF']
+
+
+# ===========================================================================
+# compat plane (host ints; bit-exact vs reference math)
+# ===========================================================================
+
+def random_split(field, s, t, m):
+    """Shamir-split each secret in list s into m shares with degree-t polys.
+
+    Returns an m-row matrix of int/poly values (row i = party i's shares).
+    Same polynomial-evaluation order as the reference (thresha.py:23-44) so
+    identical coefficient draws give identical shares.
+    """
+    p = field.modulus
+    order = field.order
+    zero = type(p)(0)
+    n = len(s)
+    shares = [[None] * n for _ in range(m)]
+    is_elt = isinstance(s[0], field)
+    for h in range(n):
+        s_h = s[h].value if is_elt else s[h]
+        coefs = [secrets.randbelow(order) for _ in range(t)]
+        if t and not isinstance(p, int):
+            poly = type(p)
+            coefs = [poly(c) for c in coefs]
+        for i in range(1, m + 1):
+            y = zero
+            for c in coefs:
+                y = (y + c) * i
+            shares[i - 1][h] = (y + s_h) % p
+    return shares
+
+
+@functools.cache
+def _recombination_vector(field, xs, x_r):
+    """Lagrange coefficients for interpolation point x_r from points xs."""
+    xs_v = [field(x).value for x in xs]
+    x_rv = field(x_r).value
+    vec = []
+    for i, x_i in enumerate(xs_v):
+        num = field(1)
+        den = field(1)
+        for j, x_j in enumerate(xs_v):
+            if i != j:
+                num *= x_rv - x_j
+                den *= x_i - x_j
+        vec.append((num / den).value)
+    return vec
+
+
+def recombine(field, points, x_rs=0):
+    """Recombine shares (lists of values) at x-coordinates x_rs (default 0)."""
+    xs, shares = list(zip(*points))
+    single = not isinstance(x_rs, list)
+    if single:
+        x_rs = (x_rs,)
+    vectors = [_recombination_vector(field, xs, x_r) for x_r in x_rs]
+    n = len(shares[0])
+    is_elt = isinstance(shares[0][0], field)
+    out = []
+    for vec in vectors:
+        sums = [0] * n
+        for i, row in enumerate(shares):
+            c_i = vec[i]
+            for h in range(n):
+                v = row[h].value if is_elt else row[h]
+                sums[h] += v * c_i
+        # NB: raw-value inputs return unreduced sums (reference behavior,
+        # thresha.py:102-113 — callers reduce downstream)
+        out.append([field(v) for v in sums] if is_elt else sums)
+    return out[0] if single else out
+
+
+@functools.cache
+def _f_S_i(field, m, i, S):
+    """f_S(i+1) where f_S is 1 at 0 and 0 at parties outside S (host int)."""
+    points = [(0, [1])] + [(x + 1, [0]) for x in range(m) if x not in S]
+    return recombine(field, points, i + 1)[0]
+
+
+def pseudorandom_share(field, m, i, prfs, uci, n):
+    """Party i's PRSS shares of n pseudorandom secrets (host plane)."""
+    sums = [0] * n
+    for S, prf_S in prfs.items():
+        f = _f_S_i(field, m, i, S)
+        vals = prf_S(uci, n)
+        for h in range(n):
+            sums[h] += vals[h] * f
+    return [field(v) for v in sums]
+
+
+def pseudorandom_share_zero(field, m, i, prfs, uci, n):
+    """Party i's PRSS shares of n sharings of zero, degree 2t (host plane)."""
+    zero = type(field.modulus)(0)
+    i1 = i + 1
+    sums = [0] * n
+    for S, prf_S in prfs.items():
+        f = _f_S_i(field, m, i, S)
+        d = m - len(S)
+        vals = prf_S(uci, n * d)
+        for h in range(n):
+            y = zero
+            for j in range(d):
+                y = (y + vals[h * d + j]) * i1
+            sums[h] += y * f
+    return [field(v) for v in sums]
+
+
+class PRF:
+    """Reference-compatible PRF: shake_128(key + input) chunks mod bound.
+
+    Bit-exact with the reference (thresha.py:220-266): byte_length widened by
+    len(key) for non-power-of-2 bounds; little-endian chunks reduced mod
+    bound, consumed from one continuous SHAKE stream.
+    """
+
+    def __init__(self, key, bound):
+        self.key = key
+        self.max = bound
+        self.byte_length = ((bound - 1).bit_length() + 7) // 8
+        if bound & (bound - 1):
+            self.byte_length += len(self.key)
+
+    def __call__(self, s, n=None):
+        if isinstance(n, tuple):
+            shape = n
+            n = prod(shape)
+        else:
+            shape = None
+        n_ = 1 if n is None else n
+        l = self.byte_length
+        if n_ == 0:
+            vals = []
+        elif l == 0:
+            vals = [0] * n_
+        else:
+            stream = shake_128(self.key + s).digest(n_ * l)
+            bound = self.max
+            vals = [int.from_bytes(stream[i:i + l], 'little') % bound
+                    for i in range(0, n_ * l, l)]
+        if shape is not None:
+            return np.array(vals, dtype=object).reshape(shape)
+        return vals[0] if n is None else vals
+
+
+# ===========================================================================
+# device plane (field arrays)
+# ===========================================================================
+
+def np_random_split(field, s, t, m, rng=None):
+    """Shamir-split a field array s of shape (n,) into an (m, n) share array.
+
+    TPU-native: coefficients drawn on device (counter-mode SHAKE by default),
+    share evaluation is a fused Horner chain over the party axis — the
+    reference's Vandermonde object-matmul (thresha.py:47-64) becomes m*t
+    Montgomery multiply-adds on the VPU.
+    """
+    if rng is None:
+        rng = _default_rng()
+    acls = field.array
+    if not isinstance(s, acls):
+        s = acls(s)
+    n = s.shape[0] if s.shape else 1
+    if t == 0:
+        data = jnp.broadcast_to(s.data[None], (m,) + s.data.shape)
+        return acls.from_data(data)
+    coefs = rng.field_uniform(field, (t, n))  # field array (t, n)
+    rows = []
+    for i in range(1, m + 1):
+        y = None
+        for j in range(t):
+            c_j = coefs[j]
+            y = c_j if y is None else (y + c_j)
+            y = y * i  # Horner step: (y + c_j) * i
+        rows.append(y + s)
+    return acls.from_data(jnp.stack([r.data for r in rows], axis=0))
+
+
+def np_recombine(field, points, x_rs=0):
+    """Recombine field-array shares at x_rs.
+
+    points: list of (x_i, field.array of shape (n,)). Lagrange coefficients
+    are host-computed scalars folded into cached constant-multiply kernels.
+    """
+    xs = tuple(x for x, _ in points)
+    shares = [sh for _, sh in points]
+    acls = field.array
+    shares = [sh if isinstance(sh, acls) else acls(sh) for sh in shares]
+    single = not isinstance(x_rs, list)
+    if single:
+        x_rs = (x_rs,)
+    outs = []
+    for x_r in x_rs:
+        vec = _recombination_vector(field, xs, int(x_r))
+        acc = None
+        for c_i, sh in zip(vec, shares):
+            term = sh * (c_i if isinstance(c_i, int) else c_i)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs[0] if single else outs
+
+
+class DevicePRF:
+    """Counter-mode SHAKE128 PRF producing field arrays on device.
+
+    Agreeing parties evaluating DevicePRF with the same key and input get
+    identical outputs (determinism preserved); the byte->value mapping
+    mirrors PRF but the stream is counter-parallel, so outputs differ from
+    the sequential reference stream by construction.
+    """
+
+    def __init__(self, key, bound):
+        self.key = key
+        self.max = bound
+        self.byte_length = ((bound - 1).bit_length() + 7) // 8
+        self.is_pow2 = not (bound & (bound - 1))
+        if not self.is_pow2:
+            self.byte_length += rng_mod._WIDEN_BYTES
+
+    def field_array(self, field, s: bytes, shape):
+        """PRF output as a field.array (bound must equal field.modulus)."""
+        assert self.max == field.modulus
+        ctx = prime_field_ctx(field.modulus)
+        n = prod(shape) if shape else 1
+        l = self.byte_length
+        blocks = keccak.shake128_ctr_blocks(
+            self.key + s, max(rng_mod.blocks_needed(n, l), 1))
+        wide = rng_mod.words_to_elements(blocks, n, l, ctx.L)
+        mont = ctx.reduce_chunks(wide.shape[-2])(wide)
+        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+
+    def bits_uint32(self, s: bytes, shape, k=None):
+        """PRF output as raw k-bit uint32 values (power-of-2 bounds, k<=32)."""
+        assert self.is_pow2
+        k = k if k is not None else (self.max - 1).bit_length()
+        assert k <= 32
+        n = prod(shape) if shape else 1
+        l = max(self.byte_length, 1)
+        blocks = keccak.shake128_ctr_blocks(
+            self.key + s, max(rng_mod.blocks_needed(n, l), 1))
+        vals = rng_mod.words_to_elements(blocks, n, l, 1)[:, 0, 0]
+        mask = np.uint32((1 << k) - 1) if k < 32 else np.uint32(0xFFFFFFFF)
+        return (vals & mask).reshape(shape)
+
+
+def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
+    """Party i's PRSS shares of n pseudorandom secrets, on device."""
+    acc = None
+    for S, prf_S in prfs.items():
+        f = _f_S_i(field, m, i, S)
+        vals = prf_S.field_array(field, uci, (n,))
+        term = vals * f
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
+    """Party i's PRSS shares of n zero-sharings (degree 2t), on device."""
+    i1 = i + 1
+    acc = None
+    for S, prf_S in prfs.items():
+        f = int(_f_S_i(field, m, i, S))
+        d = m - len(S)
+        vals = prf_S.field_array(field, uci, (n, d))
+        y = None
+        for j in range(d):
+            v = vals[:, j]
+            y = v if y is None else (y + v)
+            y = y * i1
+        term = y * f
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.cache
+def _default_rng():
+    return rng_mod.KeccakRNG()
