@@ -834,6 +834,19 @@ class PrimeFieldArray(FiniteFieldArray):
         leg = np.asarray(self.ctx.legendre(self._data))
         return leg != -1
 
+    def mod_pow2(self, f: int):
+        """Elementwise (value mod 2**f) as a new field array (device)."""
+        return type(self).from_data(self.ctx.mod_pow2(f)(self._data))
+
+    def to_uint_limbs(self):
+        """Standard-form little-endian uint32 limbs (device array)."""
+        return self.ctx.to_std(self._data)
+
+    @classmethod
+    def from_uint_limbs(cls, limbs):
+        """Wrap standard-form limbs (values < p) as a field array."""
+        return cls.from_data(cls.ctx.from_std(limbs))
+
     def sum(self, axis=None):
         d = self._data
         if axis is None:

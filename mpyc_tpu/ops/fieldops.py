@@ -252,6 +252,55 @@ class PrimeFieldCtx:
             return acc
         return self._jit('matmul', _matmul)
 
+    @property
+    def to_std(self):
+        """Montgomery form -> standard-form limbs (value as plain uint)."""
+        one = _limbify(1, self.L)
+
+        def _to_std(a):
+            return limb.stack(limb.mont_mul(
+                limb.unstack(a, self.L), [jnp.asarray(x) for x in one],
+                self.p_limbs, self.n0inv))
+        return self._jit('to_std', _to_std)
+
+    @property
+    def from_std(self):
+        """Standard-form limbs (< p) -> Montgomery form."""
+        def _from_std(a):
+            return limb.stack(limb.mont_mul(
+                limb.unstack(a, self.L),
+                [jnp.asarray(x) for x in self.r2_limbs],
+                self.p_limbs, self.n0inv))
+        return self._jit('from_std', _from_std)
+
+    def mod_pow2(self, f: int):
+        """Elementwise (value mod 2^f) kernel (Mont in, Mont out).
+
+        Used by truncation protocols (reference runtime.py:865-871 computes
+        ``c.value % (1 << f)`` on public opened values).
+        """
+        assert 0 <= f < 32 * self.L
+        one = _limbify(1, self.L)
+        w, rem = f // 32, f % 32
+        name = f'mod_pow2_{f}'
+
+        def _mp2(a):
+            std = limb.mont_mul(limb.unstack(a, self.L),
+                                [jnp.asarray(x) for x in one],
+                                self.p_limbs, self.n0inv)
+            masked = []
+            for i in range(self.L):
+                if i < w:
+                    masked.append(std[i])
+                elif i == w and rem:
+                    masked.append(std[i] & np.uint32((1 << rem) - 1))
+                else:
+                    masked.append(jnp.zeros_like(std[i]))
+            return limb.stack(limb.mont_mul(
+                masked, [jnp.asarray(x) for x in self.r2_limbs],
+                self.p_limbs, self.n0inv))
+        return self._jit(name, _mp2)
+
     def reduce_chunks(self, n_chunks: int):
         """Kernel reducing (…, n_chunks, L) wide LE values mod p -> Mont form.
 

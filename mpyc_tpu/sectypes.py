@@ -1,0 +1,865 @@
+"""Secure (secret-shared) types: numbers and arrays with operator overloading.
+
+Capability parity target: /root/reference/mpyc/sectypes.py. Every dunder
+forwards into the runtime's protocol ops (reference pattern,
+sectypes.py:95-349); the type factories SecFld/SecInt/SecFxp mint cached
+classes per parameter set (sectypes.py:568-737).
+
+TPU-first delta: every secure value's share is a *device field array*
+(mpyc_tpu.finfields array classes); scalar secure numbers are shape-()
+arrays, so one kernel library serves both scalars and arrays and the
+runtime's protocol code is shape-agnostic (cf. SURVEY.md §7 design delta 4).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from mpyc_tpu import gmpy as gmpy2
+from mpyc_tpu import gfpx
+from mpyc_tpu import finfields
+
+runtime = None  # set by mpyc_tpu.runtime at setup
+
+
+class SecureObject:
+    """Base class for secret-shared objects.
+
+    The share attribute holds a finite field array (device data). For
+    scalar secure numbers the share has shape ().
+    """
+
+    __slots__ = ('share',)
+
+    field: type = None
+    bit_length: int = None
+    frac_length: int = 0
+
+    def __init__(self, value=None):
+        self.share = value
+
+    def set_share(self, value):
+        self.share = value
+
+    def __bool__(self):
+        raise TypeError('cannot use secure type in Boolean expressions')
+
+
+class SecureNumber(SecureObject):
+    """Base class for secure scalar numbers."""
+
+    __slots__ = ()
+
+    def _coerce(self, other):
+        """Coerce other to the same secure type (or NotImplemented)."""
+        if isinstance(other, SecureObject):
+            if not isinstance(other, type(self)):
+                return NotImplemented
+            return other
+        if isinstance(other, (int, float)) or isinstance(other, self.field):
+            return type(self)(other)
+        return NotImplemented
+
+    def _coerce2(self, other):
+        """Like _coerce but leaves public Python numbers unwrapped."""
+        if isinstance(other, SecureObject):
+            if not isinstance(other, type(self)):
+                return NotImplemented
+        return other
+
+    # arithmetic
+
+    def __neg__(self):
+        return runtime.neg(self)
+
+    def __pos__(self):
+        return runtime.pos(self)
+
+    def __abs__(self):
+        return runtime.abs(self)
+
+    def __add__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.add(self, other)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.sub(self, other)
+
+    def __rsub__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.sub(other, self)
+
+    def __mul__(self, other):
+        other = self._coerce2(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.mul(self, other)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        other = self._coerce2(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.div(self, other)
+
+    def __rtruediv__(self, other):
+        other = self._coerce2(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.div(other, self)
+
+    def __mod__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.mod(self, other)
+
+    def __rmod__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.mod(other, self)
+
+    def __floordiv__(self, other):
+        q, _ = self.__divmod__(other)
+        return q
+
+    def __rfloordiv__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        q, _ = other.__divmod__(self)
+        return q
+
+    def __divmod__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        r = runtime.mod(self, other)
+        q = (self - r) / other
+        return q, r
+
+    def __rdivmod__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return other.__divmod__(self)
+
+    def __pow__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.pow(self, other)
+
+    # shifts
+
+    def __lshift__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.mul(self, 1 << other)
+
+    def __rshift__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.trunc(self, f=other)
+
+    # bitwise (char-2 fields only; overridden there)
+
+    def __and__(self, other):
+        return runtime.and_(self, other)
+
+    __rand__ = __and__
+
+    def __xor__(self, other):
+        return runtime.xor(self, other)
+
+    __rxor__ = __xor__
+
+    def __or__(self, other):
+        return runtime.or_(self, other)
+
+    __ror__ = __or__
+
+    def __invert__(self):
+        return runtime.invert(self)
+
+    # comparisons
+
+    def __lt__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.lt(self, other)
+
+    def __le__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.lt(other, self)
+
+    def __gt__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.lt(other, self)
+
+    def __ge__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.lt(self, other)
+
+    def __eq__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.eq(self, other)
+
+    def __ne__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.eq(self, other)
+
+    __hash__ = None
+
+    def if_else(self, x, y):
+        """Secure selection: x if self else y (self assumed 0/1)."""
+        return runtime.if_else(self, x, y)
+
+    def if_swap(self, x, y):
+        """Secure swap: (y, x) if self else (x, y) (self assumed 0/1)."""
+        return runtime.if_swap(self, x, y)
+
+
+class SecureFiniteField(SecureNumber):
+    """Secure finite field element (no order; comparisons unsupported)."""
+
+    __slots__ = ()
+
+    subfield = None
+
+    @classmethod
+    def _output_conversion(cls, a):
+        """Opened shape-() field array -> field element."""
+        v = a.value[()]
+        return cls.field(int(v) if isinstance(v, int) else v)
+
+    def __init__(self, value=None):
+        if value is not None:
+            if isinstance(value, int):
+                if self.subfield is not None:
+                    value = self.subfield(value)
+                    value = self.field(value.value)  # embed into ext field
+                else:
+                    value = self.field(value)
+            if isinstance(value, gfpx.Polynomial):
+                value = self.field(value)
+            if isinstance(value, finfields.FiniteFieldElement):
+                if self.subfield is not None and isinstance(value, self.subfield):
+                    value = self.field(value.value)
+                value = self.field.array(np.array(value.value, dtype=object))
+            elif not isinstance(value, finfields.FiniteFieldArray):
+                raise TypeError(f'cannot convert {type(value)} to {type(self)}')
+        super().__init__(value)
+
+    def __abs__(self):
+        raise TypeError("bad operand type for abs()")
+
+    def __mod__(self, other):
+        raise TypeError("bad operand type for %")
+
+    __rmod__ = __mod__
+    __floordiv__ = __mod__
+    __rfloordiv__ = __mod__
+    __divmod__ = __mod__
+    __rdivmod__ = __mod__
+
+    def __lshift__(self, other):
+        raise TypeError("bad operand type for <<")
+
+    __rlshift__ = __lshift__
+    __rshift__ = __lshift__
+    __rrshift__ = __lshift__
+
+    def __and__(self, other):
+        if self.field.characteristic != 2:
+            raise TypeError("bad operand type for &")
+        return runtime.and_(self, other)
+
+    __rand__ = __and__
+
+    def __xor__(self, other):
+        if self.field.characteristic != 2:
+            raise TypeError("bad operand type for ^")
+        return runtime.xor(self, other)
+
+    __rxor__ = __xor__
+
+    def __or__(self, other):
+        if self.field.characteristic != 2:
+            raise TypeError("bad operand type for |")
+        return runtime.or_(self, other)
+
+    __ror__ = __or__
+
+    def __invert__(self):
+        if self.field.characteristic != 2:
+            raise TypeError("bad operand type for ~")
+        return runtime.invert(self)
+
+    def __lt__(self, other):
+        raise TypeError("field elements are unordered")
+
+    __le__ = __lt__
+    __gt__ = __lt__
+    __ge__ = __lt__
+
+    def __eq__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.eq(self, other)
+
+    def __ne__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.eq(self, other)
+
+    __hash__ = None
+
+    def _coerce(self, other):
+        if isinstance(other, SecureObject):
+            if not isinstance(other, type(self)):
+                return NotImplemented
+            return other
+        if isinstance(other, (int, self.field)) or \
+                isinstance(other, gfpx.Polynomial):
+            return type(self)(other)
+        if self.subfield is not None and isinstance(other, self.subfield):
+            return type(self)(other)
+        return NotImplemented
+
+    _coerce2 = _coerce
+
+
+class SecureInteger(SecureNumber):
+    """Secure (signed) l-bit integer."""
+
+    __slots__ = ()
+
+    def __init__(self, value=None):
+        if value is not None:
+            if isinstance(value, int):
+                value = self.field.array(np.array(value, dtype=object))
+            elif isinstance(value, self.field):
+                value = self.field.array(np.array(value.value, dtype=object))
+            elif not isinstance(value, finfields.FiniteFieldArray):
+                raise TypeError(f'cannot convert {type(value)} to {type(self)}')
+        super().__init__(value)
+
+    @classmethod
+    def _output_conversion(cls, a):
+        return int(cls.field(int(a.value[()])))
+
+
+class SecureFixedPoint(SecureNumber):
+    """Secure fixed-point number with l-bit total, f-bit fraction."""
+
+    __slots__ = ('integral',)
+
+    def __init__(self, value=None, integral=None):
+        f = self.frac_length
+        if value is not None:
+            if isinstance(value, int):
+                self.integral = True if integral is None else integral
+                value = self.field.array(np.array(value << f, dtype=object))
+            elif isinstance(value, float):
+                self.integral = value.is_integer() if integral is None else integral
+                value = self.field.array(
+                    np.array(round(value * (1 << f)), dtype=object))
+            elif isinstance(value, self.field):
+                self.integral = integral
+                value = self.field.array(np.array(value.value, dtype=object))
+            else:
+                self.integral = integral
+                if not isinstance(value, finfields.FiniteFieldArray):
+                    raise TypeError(f'cannot convert {type(value)} to {type(self)}')
+        else:
+            self.integral = integral
+        super().__init__(value)
+
+    @classmethod
+    def _output_conversion(cls, a):
+        f = cls.frac_length
+        v = int(cls.field(int(a.value[()])))
+        return v / (1 << f)
+
+
+def SecFld(order=None, modulus=None, char=None, ext_deg=None, min_order=None,
+           signed=False):
+    """Secure finite field of order q = p**d (reference: sectypes.py:568)."""
+    if order is not None:
+        p, d = gmpy2.factor_prime_power(order)
+        char = char or p
+        assert char == p
+        ext_deg = ext_deg or d
+        assert ext_deg == d
+
+    if isinstance(modulus, str):
+        char = char or 2
+        modulus = gfpx.GFpX(char)(modulus)
+    if isinstance(modulus, int) and char and modulus > char:
+        modulus = gfpx.GFpX(char)(modulus)
+    if isinstance(modulus, gfpx.Polynomial):
+        char = char or modulus.p
+        assert char == modulus.p
+        ext_deg = ext_deg or modulus.degree()
+    elif isinstance(modulus, int):
+        char = char or modulus
+        assert char == modulus
+        ext_deg = ext_deg or 1
+        assert ext_deg == 1
+    else:
+        assert modulus is None
+        if min_order is None:
+            char = char or 2
+            ext_deg = ext_deg or 1
+            min_order = char ** ext_deg
+        else:
+            if char is None:
+                ext_deg = ext_deg or 1
+                root, exact = gmpy2.iroot(min_order, ext_deg)
+                min_char = root + (not exact)
+                char = int(gmpy2.next_prime(min_char - 1))
+            elif ext_deg is None:
+                ext_deg = math.ceil(math.log(min_order, char))
+
+        if ext_deg == 1:
+            modulus = char
+        else:
+            modulus = finfields.find_irreducible(char, ext_deg)
+
+    field = finfields.GF(modulus)
+    field.is_signed = signed
+    return _SecFld(field)
+
+
+@functools.cache
+def _SecFld(field):
+    l = (field.order - 1).bit_length()
+    name = f'SecFld{l}({field.__name__})'
+    secfld = type(name, (SecureFiniteField,), {'__slots__': ()})
+    secfld.__doc__ = 'Class of secret-shared finite field elements.'
+    t = runtime.threshold
+    m = len(runtime.parties)
+    q = field.order
+    if t == 0 or m < q:
+        secfld.subfield = None
+        secfld.field = field
+    else:
+        # extend the field so Shamir interpolation points exist for m parties,
+        # computing in the subfield (reference: sectypes.py:630-652)
+        secfld.subfield = field
+        assert field.ext_deg == 1
+        e = max(2, math.ceil(math.log(m + 1, q)))
+        modulus = finfields.find_irreducible(field.characteristic, e)
+        secfld.field = finfields.GF(modulus)
+
+        @classmethod
+        def out_conv(cls, a):
+            return cls.subfield.array(
+                np.vectorize(int, otypes=[object])(a.value))
+        secfld._output_conversion = out_conv
+    secfld.bit_length = l
+
+    arr_name = f'Array{name}'
+    secarr = type(arr_name, (SecureFiniteFieldArray,), {'__slots__': ()})
+    secarr.sectype = secfld
+    secarr.field = secfld.field
+    secarr.subfield = secfld.subfield
+    if secfld.subfield is not None:
+        secarr._output_conversion = secfld._output_conversion
+    secfld.array = secarr
+    return secfld
+
+
+def _pfield(l, f, p, n):
+    k = runtime.options.sec_param
+    if p is None:
+        p = finfields.find_prime_root(l + f + k + 2, n=n)
+    elif p.bit_length() <= l + f + k + 1:
+        raise ValueError(f'prime {p} too small')
+    field = finfields.GF(p)
+    assert runtime.threshold == 0 or len(runtime.parties) < field.order
+    return field
+
+
+def SecInt(l=None, p=None, n=2):
+    """Secure l-bit integers."""
+    if l is None:
+        l = runtime.options.bit_length
+    return _SecInt(l, p, n)
+
+
+@functools.cache
+def _SecInt(l, p, n):
+    name = f'SecInt{l}' if p is None else f'SecInt{l}({p})'
+    secint = type(name, (SecureInteger,), {'__slots__': ()})
+    secint.__doc__ = 'Class of secret-shared integers.'
+    secint.field = _pfield(l, 0, p, n)
+    secint.bit_length = l
+
+    secarr = type(f'Array{name}', (SecureIntegerArray,), {'__slots__': ()})
+    secarr.sectype = secint
+    secarr.field = secint.field
+    secarr.bit_length = l
+    secint.array = secarr
+    return secint
+
+
+def SecFxp(l=None, f=None, p=None, n=2):
+    """Secure l-bit fixed-point numbers, f-bit fractional part."""
+    if l is None:
+        l = runtime.options.bit_length
+    if f is None:
+        f = l // 2
+    return _SecFxp(l, f, p, n)
+
+
+@functools.cache
+def _SecFxp(l, f, p, n):
+    name = f'SecFxp{l}:{f}' if p is None else f'SecFxp{l}:{f}({p})'
+    secfxp = type(name, (SecureFixedPoint,), {'__slots__': ()})
+    secfxp.__doc__ = 'Class of secret-shared fixed-point numbers.'
+    secfxp.field = _pfield(l, f, p, n)
+    secfxp.bit_length = l
+    secfxp.frac_length = f
+
+    secarr = type(f'Array{name}', (SecureFixedPointArray,), {'__slots__': ()})
+    secarr.sectype = secfxp
+    secarr.field = secfxp.field
+    secarr.bit_length = l
+    secarr.frac_length = f
+    secfxp.array = secarr
+    return secfxp
+
+
+# ===========================================================================
+# secure arrays
+# ===========================================================================
+
+class SecureArray(SecureObject):
+    """Base class for secure arrays; share is a shaped field array."""
+
+    __slots__ = ('shape',)
+
+    sectype: type = None
+    _output_conversion = None
+
+    def __init__(self, value=None, shape=None):
+        if value is not None and not isinstance(value, finfields.FiniteFieldArray):
+            value = self._encode_public(value)
+        if value is not None:
+            shape = value.shape
+        self.shape = shape
+        super().__init__(value)
+
+    @classmethod
+    def _encode_public(cls, value):
+        """Encode a public numpy/list of numbers into a field array share."""
+        arr = np.asarray(value, dtype=object)
+        f = cls.frac_length
+
+        def enc(v):
+            if isinstance(v, SecureObject):
+                raise TypeError('cannot mix secure scalars into public array')
+            if isinstance(v, finfields.FiniteFieldElement):
+                return v.value
+            if f and isinstance(v, float):
+                return round(v * (1 << f))
+            if f:
+                return int(v) << f
+            return int(v) if isinstance(v, (int, np.integer)) else v
+        return cls.sectype.field.array(np.vectorize(enc, otypes=[object])(arr))
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def __len__(self):
+        if not self.shape:
+            raise TypeError('len() of unsized secure array')
+        return self.shape[0]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def _coerce(self, other):
+        if isinstance(other, SecureArray):
+            if other.sectype != self.sectype:
+                return NotImplemented
+            return other
+        if isinstance(other, SecureNumber):
+            if not isinstance(other, self.sectype):
+                return NotImplemented
+            return other
+        if isinstance(other, (int, float, np.integer, np.floating)):
+            return type(self)(np.array(other, dtype=object))
+        if isinstance(other, (list, tuple, np.ndarray)):
+            return type(self)(np.asarray(other, dtype=object))
+        if isinstance(other, finfields.FiniteFieldArray):
+            return type(self)(other)
+        return NotImplemented
+
+    # arithmetic — forwarded to the same runtime ops as scalars
+
+    def __neg__(self):
+        return runtime.neg(self)
+
+    def __pos__(self):
+        return runtime.pos(self)
+
+    def __abs__(self):
+        return runtime.abs(self)
+
+    def __add__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.add(self, other)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.sub(self, other)
+
+    def __rsub__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.sub(other, self)
+
+    def __mul__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.mul(self, other)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.div(self, other)
+
+    def __rtruediv__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.div(other, self)
+
+    def __pow__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.pow(self, other)
+
+    def __matmul__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.np_matmul(self, other)
+
+    def __rmatmul__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.np_matmul(other, self)
+
+    def __lshift__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.mul(self, 1 << other)
+
+    def __rshift__(self, other):
+        if not isinstance(other, int):
+            return NotImplemented
+        return runtime.np_trunc(self, f=other)
+
+    # comparisons (elementwise; return secure 0/1 arrays)
+
+    def __lt__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.np_less(self, other)
+
+    def __le__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.np_less(other, self)
+
+    def __gt__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.np_less(other, self)
+
+    def __ge__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.np_less(self, other)
+
+    def __eq__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.np_equal(self, other)
+
+    def __ne__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return 1 - runtime.np_equal(self, other)
+
+    __hash__ = None
+
+    # shape manipulation (local, no communication)
+
+    def __getitem__(self, idx):
+        return runtime.np_getitem(self, idx)
+
+    def reshape(self, *shape):
+        return runtime.np_reshape(self, shape if len(shape) != 1 else shape[0])
+
+    def flatten(self):
+        return runtime.np_flatten(self)
+
+    @property
+    def T(self):
+        return runtime.np_transpose(self)
+
+    def transpose(self, *axes):
+        return runtime.np_transpose(self, axes if axes else None)
+
+    def swapaxes(self, a, b):
+        return runtime.np_swapaxes(self, a, b)
+
+    def copy(self):
+        return runtime.np_copy(self)
+
+    def sum(self, axis=None):
+        return runtime.np_sum(self, axis=axis)
+
+    def flip(self, axis=None):
+        return runtime.np_flip(self, axis=axis)
+
+    def tolist(self):
+        return runtime.np_tolist(self)
+
+
+class SecureFiniteFieldArray(SecureArray):
+    __slots__ = ()
+
+    subfield = None
+
+    def __lt__(self, other):
+        raise TypeError('field elements are unordered')
+
+    __le__ = __lt__
+    __gt__ = __lt__
+    __ge__ = __lt__
+
+    def __xor__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.xor(self, other)
+
+    __rxor__ = __xor__
+
+    def __and__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.and_(self, other)
+
+    __rand__ = __and__
+
+    def __or__(self, other):
+        other = self._coerce(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return runtime.or_(self, other)
+
+    __ror__ = __or__
+
+    def __invert__(self):
+        return runtime.invert(self)
+
+    @classmethod
+    def _encode_public(cls, value):
+        arr = np.asarray(value, dtype=object)
+
+        def enc(v):
+            if isinstance(v, finfields.FiniteFieldElement):
+                return v.value
+            if cls.subfield is not None and isinstance(v, int):
+                return v  # subfield int embeds directly as constant poly
+            return v
+        return cls.sectype.field.array(np.vectorize(enc, otypes=[object])(arr))
+
+
+class SecureIntegerArray(SecureArray):
+    __slots__ = ()
+
+    @classmethod
+    def _output_conversion(cls, a):
+        signed = np.vectorize(lambda v: int(cls.sectype.field(int(v))),
+                              otypes=[object])
+        return signed(a.value)
+
+
+class SecureFixedPointArray(SecureArray):
+    __slots__ = ('integral',)
+
+    def __init__(self, value=None, shape=None, integral=None):
+        if integral is None and value is not None and \
+                not isinstance(value, finfields.FiniteFieldArray):
+            arr = np.asarray(value, dtype=object)
+            integral = all(isinstance(v, (int, np.integer))
+                           or (isinstance(v, float) and v.is_integer())
+                           for v in arr.reshape(-1))
+        self.integral = integral
+        super().__init__(value, shape)
+
+    @classmethod
+    def _output_conversion(cls, a):
+        f = cls.frac_length
+        conv = np.vectorize(lambda v: int(cls.sectype.field(int(v))) / (1 << f),
+                            otypes=[object])
+        return conv(a.value).astype(np.float64)

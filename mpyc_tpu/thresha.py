@@ -251,14 +251,26 @@ class DevicePRF:
             self.byte_length += rng_mod._WIDEN_BYTES
 
     def field_array(self, field, s: bytes, shape):
-        """PRF output as a field.array (bound must equal field.modulus)."""
-        assert self.max == field.modulus
+        """PRF output embedded into a prime field as a field.array.
+
+        Valid when bound == field.modulus (values uniform mod p) or bound is
+        a power of two with bound <= p (the same k-bit integers embed
+        consistently into any larger field — used by type conversion and
+        bounded randomness, reference runtime.py:749-761).
+        """
+        assert self.max == field.modulus or \
+            (self.is_pow2 and self.max <= field.modulus)
         ctx = prime_field_ctx(field.modulus)
         n = prod(shape) if shape else 1
-        l = self.byte_length
+        l = max(self.byte_length, 1)
         blocks = keccak.shake128_ctr_blocks(
             self.key + s, max(rng_mod.blocks_needed(n, l), 1))
         wide = rng_mod.words_to_elements(blocks, n, l, ctx.L)
+        if self.is_pow2 and self.max > 1:
+            k = (self.max - 1).bit_length()
+            wide = _mask_bits(wide, k)
+        elif self.max == 1:
+            wide = jnp.zeros_like(wide)
         mont = ctx.reduce_chunks(wide.shape[-2])(wide)
         return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
 
@@ -274,6 +286,23 @@ class DevicePRF:
         vals = rng_mod.words_to_elements(blocks, n, l, 1)[:, 0, 0]
         mask = np.uint32((1 << k) - 1) if k < 32 else np.uint32(0xFFFFFFFF)
         return (vals & mask).reshape(shape)
+
+
+def _mask_bits(wide, k: int):
+    """Mask (..., n_chunks, L) wide values down to their low k bits."""
+    nc, L = wide.shape[-2], wide.shape[-1]
+    flat = wide.reshape(wide.shape[:-2] + (nc * L,))
+    w, rem = k // 32, k % 32
+    total = nc * L
+    cols = []
+    for i in range(total):
+        if i < w:
+            cols.append(flat[..., i])
+        elif i == w and rem:
+            cols.append(flat[..., i] & np.uint32((1 << rem) - 1))
+        else:
+            cols.append(jnp.zeros_like(flat[..., i]))
+    return jnp.stack(cols, axis=-1).reshape(wide.shape)
 
 
 def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
@@ -294,13 +323,16 @@ def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
     for S, prf_S in prfs.items():
         f = int(_f_S_i(field, m, i, S))
         d = m - len(S)
-        vals = prf_S.field_array(field, uci, (n, d))
-        y = None
-        for j in range(d):
-            v = vals[:, j]
-            y = v if y is None else (y + v)
-            y = y * i1
-        term = y * f
+        if d == 0:  # m == 1, t == 0: zero-sharing is identically zero
+            term = field.array(np.zeros(n, dtype=object))
+        else:
+            vals = prf_S.field_array(field, uci, (n, d))
+            y = None
+            for j in range(d):
+                v = vals[:, j]
+                y = v if y is None else (y + v)
+                y = y * i1
+            term = y * f
         acc = term if acc is None else acc + term
     return acc
 

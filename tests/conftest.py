@@ -1,13 +1,12 @@
-"""Pytest configuration: force a virtual 8-device CPU mesh before jax import.
+"""Pytest configuration: force a virtual 8-device CPU mesh.
 
-Tests must be runnable on any host (no TPU required). Multi-chip sharding
-paths are exercised on a virtual CPU mesh, mirroring how the reference tests
-its multi-party paths in a single process (cf. /root/reference tests strategy:
-single-process m=1 runtime tests + mock transports).
+The container preloads jax with the 'axon' TPU backend via sitecustomize, so
+env vars alone don't help — the platform must be switched with
+jax.config.update before any backend use. Tests run on CPU (no TPU needed);
+multi-chip sharding paths use the 8 virtual CPU devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -15,3 +14,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
