@@ -240,8 +240,14 @@ def mont_mul(a, b, p_limbs, n0inv):
     a, b: limb lists (values < p). p_limbs: python uint32 consts.
     n0inv: uint32 const, -p^{-1} mod 2^32.
     Result < p.
+
+    For small L the row loop is fully unrolled (XLA fuses the whole chain);
+    for larger L the rows run under a fori_loop so trace/compile time stays
+    O(L) instead of O(L^2) (XLA-CPU compile chokes on long scalar chains).
     """
     L = len(a)
+    if L > 4:
+        return _mont_mul_loop(a, b, p_limbs, n0inv)
     zero = _zeros_like(a[0])
     n0 = jnp.asarray(n0inv, U32)
     pj = [jnp.asarray(x, U32) for x in p_limbs]
@@ -266,6 +272,42 @@ def mont_mul(a, b, p_limbs, n0inv):
     p_b = [jnp.broadcast_to(x, a[0].shape) for x in pj]
     d, brw = sub_ll(res, p_b)
     use_d = (t[L] == 1) | (brw == 0)
+    return select_ll(use_d, d, res)
+
+
+def _mont_mul_loop(a, b, p_limbs, n0inv):
+    """CIOS with the outer row loop as lax.fori_loop (trace size O(L))."""
+    import jax
+
+    L = len(a)
+    zero = _zeros_like(a[0])
+    n0 = jnp.asarray(n0inv, U32)
+    pj = [jnp.asarray(x, U32) for x in p_limbs]
+    b_st = jnp.stack(b, axis=0)                   # (L, ...)
+    t0 = jnp.stack([zero] * (L + 2), axis=0)      # (L+2, ...)
+
+    def row(i, t_st):
+        bi = b_st[i]
+        t = [t_st[j] for j in range(L + 2)]
+        c = zero
+        for j in range(L):
+            t[j], c = mac(a[j], bi, t[j], c)
+        t[L], cc = addc2(t[L], c)
+        t[L + 1] = t[L + 1] + cc
+        m = t[0] * n0
+        _, c = mac(m, pj[0], t[0], zero)
+        for j in range(1, L):
+            t[j - 1], c = mac(m, pj[j], t[j], c)
+        t[L - 1], cc = addc2(t[L], c)
+        t[L] = t[L + 1] + cc
+        t[L + 1] = zero
+        return jnp.stack(t, axis=0)
+
+    t_st = jax.lax.fori_loop(0, L, row, t0)
+    res = [t_st[j] for j in range(L)]
+    p_b = [jnp.broadcast_to(x, a[0].shape) for x in pj]
+    d, brw = sub_ll(res, p_b)
+    use_d = (t_st[L] == 1) | (brw == 0)
     return select_ll(use_d, d, res)
 
 

@@ -1,0 +1,533 @@
+"""Co-located simulator plane: all m parties on one device/mesh.
+
+This is the benchmark/scaling plane promised in SURVEY.md §2.13/§7: every
+share carries a leading party axis (m, ...), so the whole m-party protocol
+becomes one dense array program —
+
+  * share exchange (scatter rows of a split) = an axis transpose;
+  * recombination = a Lagrange-weighted reduction over the party axis;
+  * PRSS = per-subset PRF streams broadcast against the f_S vector.
+
+Everything the per-party runtime does in m processes with TCP rounds runs
+here as fused XLA ops, jittable end-to-end and shardable over a device mesh
+(party axis and/or batch axis; XLA inserts the collectives). Results are
+protocol-faithful: each party's share values are exactly what that party
+would hold in a real deployment with the same keys/randomness.
+
+Trust model note: a single process holds all shares, so this plane is for
+benchmarking, testing, and co-located deployments only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import secrets as _secrets
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpyc_tpu import sectypes, thresha
+from mpyc_tpu.runtime import Runtime, Party, _concat_field
+
+
+class SimRuntime(Runtime):
+    """All-parties-in-one runtime with party-stacked shares."""
+
+    def __init__(self, m, options):
+        parties = [Party(i) for i in range(m)]
+        super().__init__(0, parties, options)
+        # all PRSS keys live here (one per (m-t)-subset)
+        t = self.threshold
+        self._prss_keys = {
+            S: _secrets.token_bytes(16)
+            for S in itertools.combinations(range(m), m - t)}
+        self.prfs.cache_clear()
+
+    is_simulator = True
+
+    @property
+    def threshold(self):
+        return self._threshold
+
+    @threshold.setter
+    def threshold(self, t):
+        self._threshold = t
+        m = len(self.parties)
+        self.prfs.cache_clear()
+        self._prss_keys = {
+            S: _secrets.token_bytes(16)
+            for S in itertools.combinations(range(m), m - t)}
+
+    # -- lifecycle: no transport ------------------------------------------
+
+    def start(self):
+        import time
+        self.start_time = time.time()
+
+    def shutdown(self):
+        import time
+        elapsed = time.time() - (self.start_time or time.time())
+        import logging
+        logging.getLogger(__name__).info(
+            f'Stop MPyC-TPU (sim, m={len(self.parties)}) '
+            f'-- elapsed time: {elapsed:.4f}s')
+
+    def barrier(self, name=None):
+        pass
+
+    # -- primitives with party-stacked shares ------------------------------
+    # A share array has shape (m,) + logical_shape (+ limb axes).
+
+    def _distribute(self, x, senders):
+        if x == []:
+            return [[] for _ in senders]
+        stype = type(x[0])
+        is_arr = issubclass(stype, sectypes.SecureArray)
+        sctype = stype.sectype if is_arr else stype
+        field = sctype.field
+        m = len(self.parties)
+        t = self.threshold
+        y = []
+        for _peer in senders:
+            objs = []
+            for xi in x:
+                secret = xi.share  # logical-shape field array (no party axis)
+                flat = secret.flatten() if secret.shape else secret.reshape(1)
+                sh = thresha.np_random_split(field, flat, t, m, self._rng)
+                shape = (m,) + (xi.shape if is_arr else ())
+                share = sh.reshape(shape) if is_arr and xi.shape else \
+                    (sh.reshape((m,)) if not is_arr else sh.reshape((m,)))
+                objs.append(self._wrap_stacked(sctype, share, is_arr,
+                                               self._integral(xi)))
+            y.append(objs)
+        return y
+
+    def _share(self, x):
+        """Party-stacked share of x; public-valued objects broadcast.
+
+        Secure objects built from public constants (type coercion, pow with
+        exponent 0, ...) hold logical-shape shares; a public value's Shamir
+        sharing is the constant polynomial, i.e. every party holds the value
+        itself — a broadcast over the party axis.
+        """
+        m = len(self.parties)
+        if isinstance(x, sectypes.SecureArray):
+            s = x.share
+            if tuple(s.shape) == tuple(x.shape):  # no party axis yet
+                return s.from_data(jnp.broadcast_to(
+                    s.data[None], (m,) + s.data.shape))
+            return s
+        if isinstance(x, sectypes.SecureObject):
+            s = x.share
+            if s.shape == ():
+                return s.from_data(jnp.broadcast_to(
+                    s.data[None], (m,) + s.data.shape))
+            return s
+        return x
+
+    def _share2(self, a, b):
+        sa, sb = self._share(a), self._share(b)
+        m = len(self.parties)
+        ra, rb = len(sa.shape), len(sb.shape)
+        if ra < rb:
+            sa = sa.reshape((m,) + (1,) * (rb - ra) + sa.shape[1:])
+        elif rb < ra:
+            sb = sb.reshape((m,) + (1,) * (ra - rb) + sb.shape[1:])
+        return sa, sb
+
+    def _wrap_stacked(self, sctype, share, is_arr, integral):
+        res = self._wrap(sctype, share, array=is_arr, integral=integral)
+        if is_arr:
+            res.shape = share.shape[1:]
+        return res
+
+    def output(self, x, receivers=None, threshold=None, raw=False):
+        x_is_list = isinstance(x, list)
+        xl = list(x) if x_is_list else [x]
+        if not xl:
+            return []
+        t = self.threshold if threshold is None else threshold
+        stype = type(xl[0])
+        if issubclass(stype, sectypes.SecureObject):
+            is_arr = issubclass(stype, sectypes.SecureArray)
+            sctype = stype.sectype if is_arr else stype
+            field = sctype.field
+            shares = [self._share(xi) for xi in xl]
+        else:
+            field = xl[0].field
+            sctype = None
+            shares = xl
+        ys = []
+        for s in shares:
+            pts = [(i + 1, s[i]) for i in range(t + 1)]
+            rec = thresha.np_recombine(field, [
+                (xc, sh.flatten() if sh.shape else sh.reshape(1))
+                for xc, sh in pts])
+            logical = s.shape[1:]
+            rec = rec.reshape(logical) if logical else rec.reshape(())
+            ys.append(rec)
+        if sctype is not None and not raw:
+            conv = stype._output_conversion
+            if conv is not None:
+                ys = [conv(a) for a in ys]
+        return ys if x_is_list else ys[0]
+
+    def _reshare(self, x):
+        x_is_list = isinstance(x, list)
+        xl = x if x_is_list else [x]
+        t = self.threshold
+        if t == 0:
+            return x
+        field = xl[0].field
+        m = len(self.parties)
+        ys = []
+        for xi in xl:
+            # xi: (m,) + logical shape; each party splits its share
+            resplit = thresha.np_random_split(field, xi, t, m, self._rng)
+            # resplit: (m_recv, m_sender) + logical; recombine over senders
+            pts = [(i + 1, resplit[:, i]) for i in range(2 * t + 1)]
+            acc = None
+            for xc, sh in pts:
+                vec = thresha._recombination_vector(
+                    field, tuple(range(1, 2 * t + 2)), 0)
+                term = sh * vec[xc - 1]
+                acc = term if acc is None else acc + term
+            ys.append(acc)
+        return ys if x_is_list else ys[0]
+
+    # PRSS: stacked over parties ------------------------------------------
+
+    def _stacked_prss(self, field, prfs, uci, n, zero=False):
+        m = len(self.parties)
+        acc = None
+        for S, prf in prfs.items():
+            if zero:
+                d = m - len(S)
+                vals = prf.field_array(field, uci, (n, d))
+            else:
+                vals = prf.field_array(field, uci, (n,))
+            rows = []
+            for i in range(m):
+                if i in S:
+                    if zero:
+                        i1 = i + 1
+                        y = None
+                        for j in range(d):
+                            v = vals[:, j]
+                            y = v if y is None else (y + v)
+                            y = y * i1
+                        contrib = y * int(thresha._f_S_i(field, m, i, S))
+                    else:
+                        contrib = vals * int(thresha._f_S_i(field, m, i, S))
+                    rows.append(contrib.data)
+                else:
+                    rows.append(jnp.zeros_like(vals.data if not zero
+                                               else vals[:, 0].data))
+            stacked = field.array.from_data(jnp.stack(rows, axis=0))
+            acc = stacked if acc is None else acc + stacked
+        return acc
+
+    def _randoms(self, sftype, n, bound=None):
+        import math
+        if issubclass(sftype, sectypes.SecureObject):
+            field = sftype.field
+        else:
+            field = sftype
+        m = len(self.parties)
+        t = self.threshold
+        if bound is None:
+            bound = field.order
+        else:
+            bound = 1 << max(0, (bound // math.comb(m, t)).bit_length() - 1)
+        x = self._stacked_prss(field, self.prfs(bound), self._prss_uci(), n)
+        if issubclass(sftype, sectypes.SecureObject):
+            return [sftype(x[:, i]) for i in range(n)]
+        return x
+
+    _np_randoms_base = Runtime._np_randoms
+
+    def _np_randoms(self, sftype, n, bound=None):
+        import math
+        if issubclass(sftype, sectypes.SecureObject):
+            field = sftype.field
+        else:
+            field = sftype
+        m = len(self.parties)
+        t = self.threshold
+        if bound is None:
+            bound = field.order
+        else:
+            bound = 1 << max(0, (bound // math.comb(m, t)).bit_length() - 1)
+        x = self._stacked_prss(field, self.prfs(bound), self._prss_uci(), n)
+        if issubclass(sftype, sectypes.SecureObject):
+            res = sftype.array(x)
+            res.shape = x.shape[1:]
+            return res
+        return x
+
+    def random_bits(self, sftype, n, signed=False):
+        arr = self.np_random_bits(sftype, n, signed)
+        share = self._share(arr) if isinstance(arr, sectypes.SecureObject) \
+            else arr
+        out = []
+        for i in range(n):
+            piece = share.from_data(share.data[:, i])
+            if issubclass(sftype, sectypes.SecureObject):
+                o = sftype(piece)
+                if issubclass(sftype, sectypes.SecureFixedPoint):
+                    o.integral = True
+            else:
+                o = piece
+            out.append(o)
+        return out
+
+    def np_random_bits(self, sftype, n, signed=False):
+        if issubclass(sftype, sectypes.SecureObject):
+            field = sftype.field
+            f = sftype.frac_length
+            is_sec = True
+        else:
+            field = sftype
+            f = 0
+            is_sec = False
+        m = len(self.parties)
+        t = self.threshold
+        p = field.characteristic
+        assert p != 2, 'char-2 sim random bits land with SecFld support'
+        prfs = self.prfs(field.order)
+        parts_r, parts_r2 = [], []
+        need = n
+        while need:
+            _r = self._stacked_prss(field, prfs, self._prss_uci(), need)
+            z = self._stacked_prss(field, prfs, self._prss_uci(), need,
+                                   zero=True)
+            r2_open = self.output(_r * _r + z, threshold=2 * t)
+            good = np.array([int(v) != 0 for v in r2_open.value.reshape(-1)])
+            idx = np.nonzero(good)[0]
+            if len(idx) == need and not parts_r:
+                parts_r, parts_r2 = [_r], [r2_open]
+                need = 0
+            else:
+                parts_r.append(_r[:, idx])
+                parts_r2.append(r2_open[idx])
+                need -= len(idx)
+        if len(parts_r) > 1:
+            r = parts_r[0]
+            field_cls = field.array
+            r = field_cls.from_data(jnp.concatenate(
+                [p_.data for p_ in parts_r], axis=1))
+            r2o = _concat_field(field, parts_r2)
+        else:
+            r, r2o = parts_r[0], parts_r2[0]
+        inv_sqrt = r2o.sqrt(INV=True)  # public (n,)
+        bits_pm1 = r * inv_sqrt        # broadcast over party axis
+        ones = field.array(np.ones(1, dtype=object))
+        bits = (bits_pm1 + ones) >> 1
+        if f:
+            bits = bits << f
+        if is_sec:
+            res = sftype.array(bits)
+            res.shape = bits.shape[1:]
+            return res
+        return bits
+
+    def is_zero_public(self, a):
+        stype = self._sectype(a) if isinstance(a, sectypes.SecureObject) else None
+        field = stype.field if stype else type(a)
+        share = self._share(a)
+        m = len(self.parties)
+        rel_size = field.order.bit_length() // self.options.sec_param
+        threshold = 2 * self.threshold
+        prfs = None
+        if rel_size >= 2:
+            r = self._np_randoms(field, 1)
+            r = r[:, 0:1]  # (m, 1)
+            r = field.array.from_data(r.data[:, 0])
+        else:
+            prfs = self.prfs(field.order)
+            while True:
+                rs = self._np_randoms(field, 2)
+                r = field.array.from_data(rs.data[:, 0])
+                s = field.array.from_data(rs.data[:, 1])
+                rs_prod = r * s
+                if rel_size == 0:
+                    z = self._stacked_prss(field, prfs, self._prss_uci(), 1,
+                                           zero=True)
+                    rs_prod = rs_prod + field.array.from_data(z.data[:, 0])
+                opened = self.output(rs_prod, threshold=threshold)
+                if int(opened.value[()]) != 0:
+                    break
+        b = share * r if not share.shape[1:] else \
+            share * r.reshape((m,) + (1,) * len(share.shape[1:]))
+        if rel_size == 0 and prfs is not None:
+            nz = int(np.prod(share.shape[1:], dtype=np.int64)) \
+                if share.shape[1:] else 1
+            z = self._stacked_prss(field, prfs, self._prss_uci(), nz,
+                                   zero=True)
+            zr = z.reshape(share.shape) if share.shape[1:] else \
+                field.array.from_data(z.data[:, 0])
+            b = b + zr
+        c = self.output(b, threshold=threshold)
+        if c.shape:
+            return np.array([int(v) == 0 for v in c.value.reshape(-1)]) \
+                .reshape(c.shape)
+        return int(c.value[()]) == 0
+
+    # logical-shape accounting ---------------------------------------------
+
+    def _wrap(self, stype, share, array=None, integral=None):
+        res = super()._wrap(stype, share, array=array, integral=integral)
+        if isinstance(res, sectypes.SecureArray):
+            res.shape = share.shape[1:]
+        return res
+
+    # local shape ops must skip the party axis
+    def _local(self, a, fn, integral=None):
+        stype = self._sectype(a)
+        share = self._share(a)
+        m = len(self.parties)
+        parts = [fn(share[i]) for i in range(m)]
+        out = share.from_data(jnp.stack([p.data for p in parts], axis=0))
+        return self._wrap(stype, out, array=True,
+                          integral=self._integral(a) if integral is None
+                          else integral)
+
+    def np_getitem(self, a, idx):
+        stype = self._sectype(a)
+        share = self._share(a)
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        share2 = share[(slice(None),) + idx]
+        arr = bool(share2.shape[1:])
+        res = self._wrap(stype, share2, array=True,
+                         integral=self._integral(a))
+        if not arr and not isinstance(res, sectypes.SecureArray):
+            pass
+        return res
+
+    def np_sum(self, a, axis=None):
+        stype = self._sectype(a)
+        share = self._share(a)
+        if axis is None:
+            m = share.shape[0]
+            flat = share.reshape(m, -1)
+            out = flat.sum(axis=1)
+        else:
+            nd = len(share.shape) - 1
+            ax = (axis % nd) + 1
+            out = share.sum(axis=ax)
+        return self._wrap(stype, out, array=True, integral=self._integral(a))
+
+    def np_matmul(self, a, b):
+        stype = self._sectype(a, b)
+        f = stype.frac_length
+        a_int, b_int = self._integral(a), self._integral(b)
+        both_sec = isinstance(a, sectypes.SecureObject) and \
+            isinstance(b, sectypes.SecureObject)
+        sa = self._share(a) if isinstance(a, sectypes.SecureObject) \
+            else self._encode_public(stype, a)
+        sb = self._share(b) if isinstance(b, sectypes.SecureObject) \
+            else self._encode_public(stype, b)
+        c = sa @ sb  # party axis broadcasts as leading batch dim
+        if f and (a_int or b_int):
+            c = c >> f
+        if both_sec:
+            c = self._reshare(c)
+        if f and not (a_int or b_int):
+            c = self._trunc_field(c, f, stype.bit_length + f, stype)
+        return self._wrap(stype, c, array=True, integral=a_int and b_int)
+
+    def trunc(self, x, f=None, l=None):
+        x_is_list = isinstance(x, list)
+        xl = x if x_is_list else [x]
+        stype = self._sectype(xl[0])
+        if f is None:
+            f = stype.frac_length
+        if l is None:
+            l = stype.bit_length
+        if issubclass(stype, sectypes.SecureFixedPoint):
+            l += f
+        ys = [self._wrap(stype, self._trunc_field(xi.share, f, l, stype),
+                         array=isinstance(xi, sectypes.SecureArray),
+                         integral=False)
+              for xi in xl]
+        return ys if x_is_list else ys[0]
+
+    def reciprocal(self, a):
+        stype = self._sectype(a)
+        field = stype.field
+        m = len(self.parties)
+        logical = a.share.shape[1:]
+        n = int(np.prod(logical, dtype=np.int64)) if logical else 1
+        while True:
+            r = self._np_randoms(field, n)
+            r = r.reshape((m,) + logical) if logical else r.reshape((m,))
+            c = self._reshare(r * a.share)
+            c_open = self.output(c)
+            vals = c_open.value.reshape(-1) if c_open.shape else \
+                np.array([c_open.value[()]])
+            if all(int(v) != 0 for v in vals):
+                break
+        res = r * c_open.reciprocal()
+        if stype.frac_length:
+            res = res * (1 << (2 * stype.frac_length))
+        return self._wrap(stype, res, array=self._is_array_op(a),
+                          integral=False)
+
+    def np_fromlist(self, x):
+        stype = self._sectype(*x)
+        field = stype.field
+        datas = [self._share(xi).data for xi in x]
+        out = field.array.from_data(jnp.stack(datas, axis=1))
+        return self._wrap(stype, out, array=True,
+                          integral=all(self._integral(xi) for xi in x))
+
+    def np_tolist(self, a):
+        stype = self._sectype(a)
+        share = self._share(a)
+        logical = share.shape[1:]
+        if len(logical) == 1:
+            return [self._wrap(stype,
+                               share.from_data(share.data[:, i]),
+                               array=False, integral=self._integral(a))
+                    for i in range(logical[0])]
+        return [self.np_tolist(self.np_getitem(a, i))
+                for i in range(logical[0])]
+
+    def np_concatenate(self, arrays, axis=0):
+        stype = self._sectype(*arrays)
+        field = stype.field
+        datas = [self._share(xi).data for xi in arrays]
+        nd = len(self._share(arrays[0]).shape) - 1  # logical ndim
+        ax = (axis % nd) + 1
+        out = field.array.from_data(jnp.concatenate(datas, axis=ax))
+        return self._wrap(stype, out, array=True,
+                          integral=all(self._integral(xi) for xi in arrays))
+
+    def np_stack(self, arrays, axis=0):
+        stype = self._sectype(*arrays)
+        field = stype.field
+        datas = [self._share(xi).data for xi in arrays]
+        out = field.array.from_data(jnp.stack(datas, axis=axis + 1))
+        return self._wrap(stype, out, array=True,
+                          integral=all(self._integral(xi) for xi in arrays))
+
+    def _trunc_field(self, arr, f, l, stype):
+        field = stype.field
+        m = len(self.parties)
+        logical = arr.shape[1:]
+        n = int(np.prod(logical, dtype=np.int64)) if logical else 1
+        flat = arr.reshape(m, n)
+        k = self.options.sec_param
+        r_bits = self.np_random_bits(field, f * n)     # (m, f*n)
+        r_mat = r_bits.reshape(m, n, f)
+        r_modf = None
+        for j in range(f):
+            term = field.array.from_data(r_mat.data[:, :, j]) << j
+            r_modf = term if r_modf is None else r_modf + term
+        r_divf = self._np_randoms(field, n, 1 << (k + l - f))  # (m, n)
+        ar = flat + r_modf
+        c = self.output(ar + ((1 << (l - 1)) + (r_divf << f)))
+        c_modf = c.mod_pow2(f)
+        y = (ar - c_modf) >> f
+        return y.reshape((m,) + logical) if logical else y.reshape((m,))

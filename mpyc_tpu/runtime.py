@@ -217,6 +217,10 @@ class Runtime:
             return x.share
         return x
 
+    def _share2(self, a, b):
+        """Shares of two operands, shape-aligned (sim overrides this)."""
+        return self._share(a), self._share(b)
+
     @staticmethod
     def _sectype(*xs):
         """Scalar sectype of the operands (first secure operand wins)."""
@@ -721,7 +725,7 @@ class Runtime:
     def add(self, a, b):
         """Secure addition of a and b."""
         stype = self._sectype(a, b)
-        sa, sb = self._share(a), self._share(b)
+        sa, sb = self._share2(a, b)
         res = sa + sb
         return self._wrap(stype, res, array=self._is_array_op(a, b),
                           integral=self._integral(a) and self._integral(b))
@@ -729,7 +733,8 @@ class Runtime:
     def sub(self, a, b):
         """Secure subtraction of a and b."""
         stype = self._sectype(a, b)
-        res = self._share(a) - self._share(b)
+        sa, sb = self._share2(a, b)
+        res = sa - sb
         return self._wrap(stype, res, array=self._is_array_op(a, b),
                           integral=self._integral(a) and self._integral(b))
 
@@ -755,7 +760,7 @@ class Runtime:
             # public multiplier: local product, no reshare
             b_int = self._integral(b)
             sb = self._encode_public(stype, b)
-            c = self._share(a) * sb
+            c = self._share(a) * sb  # public operand broadcasts
             if f and (a_int or b_int):
                 c = c >> f  # exact: product divisible by 2^f
             elif f:
@@ -764,7 +769,8 @@ class Runtime:
             return self._wrap(stype, c, array=arr,
                               integral=a_int and b_int)
         b_int = self._integral(b)
-        c = self._share(a) * self._share(b)
+        sa, sb = self._share2(a, b)
+        c = sa * sb
         if f and (a_int or b_int):
             c = c >> f  # exact division by 2^f
         c = self._reshare(c)

@@ -181,23 +181,24 @@ class PRF:
 # ===========================================================================
 
 def np_random_split(field, s, t, m, rng=None):
-    """Shamir-split a field array s of shape (n,) into an (m, n) share array.
+    """Shamir-split a field array s of shape (...,) into (m, ...) shares.
 
     TPU-native: coefficients drawn on device (counter-mode SHAKE by default),
     share evaluation is a fused Horner chain over the party axis — the
     reference's Vandermonde object-matmul (thresha.py:47-64) becomes m*t
-    Montgomery multiply-adds on the VPU.
+    Montgomery multiply-adds on the VPU. Arbitrary batch shapes are
+    supported (used with a leading party axis for co-located resharing).
     """
     if rng is None:
         rng = _default_rng()
     acls = field.array
     if not isinstance(s, acls):
         s = acls(s)
-    n = s.shape[0] if s.shape else 1
     if t == 0:
         data = jnp.broadcast_to(s.data[None], (m,) + s.data.shape)
         return acls.from_data(data)
-    coefs = rng.field_uniform(field, (t, n))  # field array (t, n)
+    shape = s.shape if s.shape else (1,)
+    coefs = rng.field_uniform(field, (t,) + shape)
     rows = []
     for i in range(1, m + 1):
         y = None

@@ -1,10 +1,54 @@
 """Bit-exact tests of the uint32 limb kernels against Python big ints."""
 import random
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mpyc_tpu.ops import limb
+
+
+@functools.cache
+def _jitted(name, L, extra=()):
+    """Jit-compiled stacked-array wrappers so tests avoid eager dispatch."""
+    if name == 'add_ll':
+        def f(a, b):
+            s, c = limb.add_ll(limb.unstack(a, L), limb.unstack(b, L))
+            return limb.stack(s), c
+    elif name == 'sub_ll':
+        def f(a, b):
+            d, br = limb.sub_ll(limb.unstack(a, L), limb.unstack(b, L))
+            return limb.stack(d), br
+    elif name == 'add_mod':
+        def f(a, b):
+            return limb.stack(limb.add_mod(limb.unstack(a, L),
+                                           limb.unstack(b, L), extra))
+    elif name == 'sub_mod':
+        def f(a, b):
+            return limb.stack(limb.sub_mod(limb.unstack(a, L),
+                                           limb.unstack(b, L), extra))
+    elif name == 'neg_mod':
+        def f(a):
+            return limb.stack(limb.neg_mod(limb.unstack(a, L), extra))
+    elif name == 'mont_mul':
+        p_limbs, n0inv = extra
+        def f(a, b):
+            return limb.stack(limb.mont_mul(limb.unstack(a, L),
+                                            limb.unstack(b, L),
+                                            p_limbs, n0inv))
+    elif name.startswith('mont_pow_'):
+        p_limbs, n0inv, one_mont, e = extra
+        def f(a):
+            return limb.stack(limb.mont_pow_const(limb.unstack(a, L), e,
+                                                  p_limbs, n0inv, one_mont))
+    elif name == 'mont_inv':
+        p, p_limbs, n0inv, one_mont = extra
+        def f(a):
+            return limb.stack(limb.mont_inv(limb.unstack(a, L), p,
+                                            p_limbs, n0inv, one_mont))
+    return jax.jit(f)
 
 
 RNG = random.Random(20260816)
@@ -46,14 +90,12 @@ def test_add_sub_ll():
         n = 256
         xs = _rand_ints(n, 32 * L)
         ys = _rand_ints(n, 32 * L)
-        a = [jnp.asarray(v) for v in
-             np.moveaxis(limb.ints_to_limbs(xs, L), -1, 0)]
-        b = [jnp.asarray(v) for v in
-             np.moveaxis(limb.ints_to_limbs(ys, L), -1, 0)]
-        s, cout = limb.add_ll(a, b)
-        d, brw = limb.sub_ll(a, b)
-        s_int = limb.limbs_to_ints(np.asarray(limb.stack(s)))
-        d_int = limb.limbs_to_ints(np.asarray(limb.stack(d)))
+        a = jnp.asarray(limb.ints_to_limbs(xs, L))
+        b = jnp.asarray(limb.ints_to_limbs(ys, L))
+        s, cout = _jitted('add_ll', L)(a, b)
+        d, brw = _jitted('sub_ll', L)(a, b)
+        s_int = limb.limbs_to_ints(np.asarray(s))
+        d_int = limb.limbs_to_ints(np.asarray(d))
         for i in range(n):
             tot = xs[i] + ys[i]
             assert int(s_int[i]) == tot % (1 << (32 * L))
@@ -84,11 +126,12 @@ def test_mod_add_sub_neg():
         n = 128
         xs = [RNG.randrange(p) for _ in range(n)] + [0, 1, p - 1, 0]
         ys = [RNG.randrange(p) for _ in range(n)] + [0, p - 1, p - 1, 1]
-        a = limb.unstack(jnp.asarray(limb.ints_to_limbs(xs, L)), L)
-        b = limb.unstack(jnp.asarray(limb.ints_to_limbs(ys, L)), L)
-        s = limb.limbs_to_ints(np.asarray(limb.stack(limb.add_mod(a, b, p_limbs))))
-        d = limb.limbs_to_ints(np.asarray(limb.stack(limb.sub_mod(a, b, p_limbs))))
-        ng = limb.limbs_to_ints(np.asarray(limb.stack(limb.neg_mod(a, p_limbs))))
+        a = jnp.asarray(limb.ints_to_limbs(xs, L))
+        b = jnp.asarray(limb.ints_to_limbs(ys, L))
+        pl = tuple(p_limbs)
+        s = limb.limbs_to_ints(np.asarray(_jitted('add_mod', L, pl)(a, b)))
+        d = limb.limbs_to_ints(np.asarray(_jitted('sub_mod', L, pl)(a, b)))
+        ng = limb.limbs_to_ints(np.asarray(_jitted('neg_mod', L, pl)(a)))
         for i in range(len(xs)):
             assert int(s[i]) == (xs[i] + ys[i]) % p
             assert int(d[i]) == (xs[i] - ys[i]) % p
@@ -106,21 +149,23 @@ def test_mont_mul_pow_inv():
         # encode to Montgomery form on host
         ax = [(x * R) % p for x in xs]
         ay = [(y * R) % p for y in ys]
-        a = limb.unstack(jnp.asarray(limb.ints_to_limbs(ax, L)), L)
-        b = limb.unstack(jnp.asarray(limb.ints_to_limbs(ay, L)), L)
+        a = jnp.asarray(limb.ints_to_limbs(ax, L))
+        b = jnp.asarray(limb.ints_to_limbs(ay, L))
+        pl = tuple(p_limbs)
+        one_t = tuple(one_mont)
         prod = limb.limbs_to_ints(
-            np.asarray(limb.stack(limb.mont_mul(a, b, p_limbs, n0inv))))
+            np.asarray(_jitted('mont_mul', L, (pl, n0inv))(a, b)))
         for i in range(len(xs)):
             assert int(prod[i]) == (xs[i] * ys[i] * R) % p, (L, i)
         # pow: a^e (montgomery in/out), static exponent
-        for e in (0, 1, 2, 3, 17, p - 2, (p - 1) // 2):
-            pw = limb.limbs_to_ints(np.asarray(limb.stack(
-                limb.mont_pow_const(a, e, p_limbs, n0inv, one_mont))))
+        for e in (0, 1, 3, 17, (p - 1) // 2):
+            pw = limb.limbs_to_ints(np.asarray(
+                _jitted(f'mont_pow_{e}', L, (pl, n0inv, one_t, e))(a)))
             for i in range(len(xs)):
                 assert int(pw[i]) == (pow(xs[i], e, p) * R) % p, (L, e, i)
         # inverse
-        inv = limb.limbs_to_ints(np.asarray(limb.stack(
-            limb.mont_inv(a, p, p_limbs, n0inv, one_mont))))
+        inv = limb.limbs_to_ints(np.asarray(
+            _jitted('mont_inv', L, (p, pl, n0inv, one_t))(a)))
         for i in range(len(xs)):
             if xs[i] == 0:
                 assert int(inv[i]) == 0
