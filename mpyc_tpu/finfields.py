@@ -642,6 +642,35 @@ class FiniteFieldArray:
     def __getitem__(self, idx):
         return type(self).from_data(self._data[idx])
 
+    def _expand_idx(self, idx):
+        """Translate logical indexing (incl. Ellipsis/newaxis) to data axes.
+
+        User indices address logical element dims only; the trailing
+        representation axes (limbs/coefficients) must be left untouched.
+        """
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if Ellipsis in idx:
+            k = idx.index(Ellipsis)
+            consumed = sum(1 for i in idx
+                           if i is not Ellipsis and i is not None)
+            fill = self.ndim - consumed
+            idx = idx[:k] + (slice(None),) * fill + idx[k + 1:]
+        return idx
+
+    def at_set(self, idx, value):
+        """Functional update: new array with self[idx] = value."""
+        value = self._coerce(value)
+        idx = self._expand_idx(idx)
+        target_shape = self._data[idx].shape
+        return type(self).from_data(self._data.at[idx].set(
+            jnp.broadcast_to(value._data, target_shape)))
+
+    def roll(self, shift, axis):
+        """Circular shift along a logical axis."""
+        return type(self).from_data(
+            jnp.roll(self._data, shift, axis=axis % self.ndim))
+
     def __setitem__(self, idx, value):
         value = self._coerce(value)
         if value is NotImplemented:
@@ -767,7 +796,7 @@ class PrimeFieldArray(FiniteFieldArray):
         return self.ctx.decode_ints(np.asarray(self._data))
 
     def __getitem__(self, idx):
-        return type(self).from_data(self._data[idx])
+        return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)
@@ -833,6 +862,20 @@ class PrimeFieldArray(FiniteFieldArray):
     def is_sqr(self):
         leg = np.asarray(self.ctx.legendre(self._data))
         return leg != -1
+
+    def to_bits_public(self, l: int):
+        """Public value bits: uint32 (…, l) LSB-first (device)."""
+        return self.ctx.to_bits(l)(self._data)
+
+    @classmethod
+    def from_bits_uint(cls, bits):
+        """uint32 0/1 (…, l) -> field array of the packed values."""
+        return cls.from_data(cls.ctx.from_bits(bits.shape[-1])(bits))
+
+    @classmethod
+    def from_uint32(cls, v):
+        """uint32 (…,) -> field array (values taken mod p implicitly small)."""
+        return cls.from_data(cls.ctx.from_uint32(v))
 
     def mod_pow2(self, f: int):
         """Elementwise (value mod 2**f) as a new field array (device)."""
@@ -902,7 +945,7 @@ class BinaryFieldArray(FiniteFieldArray):
         return self.ctx.decode_ints(np.asarray(self._data))
 
     def __getitem__(self, idx):
-        return type(self).from_data(self._data[idx])
+        return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)
@@ -1001,7 +1044,7 @@ class ExtensionFieldArray(FiniteFieldArray):
         return self.ctx.decode_ints(np.asarray(self._data))
 
     def __getitem__(self, idx):
-        return type(self).from_data(self._data[idx])
+        return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)

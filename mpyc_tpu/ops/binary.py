@@ -53,17 +53,40 @@ class BinaryFieldCtx:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _ew(self, name, fn, nargs):
+        """Elementwise kernel with flatten+pad-to-pow2 shape bucketing."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        jf = self._jit_cache[name]
+
+        def call(*arrays):
+            batch = arrays[0].shape
+            n = 1
+            for s in batch:
+                n *= int(s)
+            n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
+            flat = []
+            for a in arrays:
+                af = jnp.reshape(a, (n,))
+                if n_pad != n:
+                    af = jnp.concatenate(
+                        [af, jnp.zeros((n_pad - n,), af.dtype)], axis=0)
+                flat.append(af)
+            out = jf(*flat)
+            return out[:n].reshape(batch)
+        return call
+
     # -- kernels ------------------------------------------------------------
 
     @property
     def add(self):
-        return self._jit('add', lambda a, b: a ^ b)
+        return self._ew('add', lambda a, b: a ^ b, 2)
 
     sub = add
 
     @property
     def neg(self):
-        return self._jit('neg', lambda a: a)
+        return self._ew('neg', lambda a: a, 1)
 
     def _clmul_reduce(self, a, b):
         d = self.d
@@ -85,7 +108,7 @@ class BinaryFieldCtx:
 
     @property
     def mul(self):
-        return self._jit('mul', self._clmul_reduce)
+        return self._ew('mul', self._clmul_reduce, 2)
 
     def pow_const(self, e: int):
         """a**e, static exponent, exponent reduced mod 2^d - 1 (keeping >0)."""
@@ -107,7 +130,7 @@ class BinaryFieldCtx:
                 if bchr == '1':
                     res = self._clmul_reduce(res, a)
             return res
-        return self._jit(name, _pow)
+        return self._ew(name, _pow, 1)
 
     @property
     def inv(self):
@@ -118,7 +141,7 @@ class BinaryFieldCtx:
     def div(self):
         def _div(a, b):
             return self._clmul_reduce(a, self.inv(b))
-        return self._jit('div', _div)
+        return self._ew('div', _div, 2)
 
     @property
     def sqrt(self):

@@ -85,6 +85,41 @@ class PrimeFieldCtx:
             self._jit_cache[name] = jax.jit(fn, **jit_kwargs)
         return self._jit_cache[name]
 
+    def _ew(self, name, fn, in_elem, out_batchdims_like=0):
+        """Elementwise kernel with shape bucketing.
+
+        Batch dims are flattened and padded to a power of two (min 8) before
+        the jitted call, so one XLA compilation serves all batch shapes of
+        the same bucket — compile time no longer scales with the number of
+        distinct protocol shapes. in_elem: per-argument count of trailing
+        element axes (e.g. 1 for (..., L) Montgomery operands).
+        """
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        jf = self._jit_cache[name]
+
+        def call(*arrays):
+            batch = arrays[0].shape[:arrays[0].ndim - in_elem[0]]
+            n = 1
+            for s in batch:
+                n *= int(s)
+            n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
+            flat = []
+            for a, ie in zip(arrays, in_elem):
+                elem = a.shape[a.ndim - ie:] if ie else ()
+                af = jnp.reshape(a, (n,) + elem)
+                if n_pad != n:
+                    af = jnp.concatenate(
+                        [af, jnp.zeros((n_pad - n,) + elem, af.dtype)],
+                        axis=0)
+                flat.append(af)
+            out = jf(*flat)
+            if isinstance(out, tuple):
+                return tuple(o[:n].reshape(batch + o.shape[1:])
+                             for o in out)
+            return out[:n].reshape(batch + out.shape[1:])
+        return call
+
     # All kernels take/return stacked (..., L) uint32 arrays.
 
     @property
@@ -93,7 +128,7 @@ class PrimeFieldCtx:
             return limb.stack(limb.add_mod(limb.unstack(a, self.L),
                                            limb.unstack(b, self.L),
                                            self.p_limbs))
-        return self._jit('add', _add)
+        return self._ew('add', _add, (1, 1))
 
     @property
     def sub(self):
@@ -101,14 +136,14 @@ class PrimeFieldCtx:
             return limb.stack(limb.sub_mod(limb.unstack(a, self.L),
                                            limb.unstack(b, self.L),
                                            self.p_limbs))
-        return self._jit('sub', _sub)
+        return self._ew('sub', _sub, (1, 1))
 
     @property
     def neg(self):
         def _neg(a):
             return limb.stack(limb.neg_mod(limb.unstack(a, self.L),
                                            self.p_limbs))
-        return self._jit('neg', _neg)
+        return self._ew('neg', _neg, (1,))
 
     @property
     def mul(self):
@@ -116,7 +151,7 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_mul(limb.unstack(a, self.L),
                                             limb.unstack(b, self.L),
                                             self.p_limbs, self.n0inv))
-        return self._jit('mul', _mul)
+        return self._ew('mul', _mul, (1, 1))
 
     @property
     def inv(self):
@@ -124,7 +159,7 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_inv(limb.unstack(a, self.L), self.p,
                                             self.p_limbs, self.n0inv,
                                             self.one_mont))
-        return self._jit('inv', _inv)
+        return self._ew('inv', _inv, (1,))
 
     @property
     def div(self):
@@ -133,7 +168,7 @@ class PrimeFieldCtx:
                                self.n0inv, self.one_mont)
             return limb.stack(limb.mont_mul(limb.unstack(a, self.L), ib,
                                             self.p_limbs, self.n0inv))
-        return self._jit('div', _div)
+        return self._ew('div', _div, (1, 1))
 
     def pow_const(self, e: int):
         """Kernel computing a**e elementwise, static exponent (cached)."""
@@ -150,7 +185,7 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_pow_const(
                 limb.unstack(a, self.L), e, self.p_limbs, self.n0inv,
                 self.one_mont))
-        return self._jit(name, _pow)
+        return self._ew(name, _pow, (1,))
 
     def mul_const(self, c: int):
         """Kernel multiplying by a public constant (baked into the trace)."""
@@ -161,19 +196,19 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_mul(
                 limb.unstack(a, self.L), [jnp.asarray(x) for x in cm],
                 self.p_limbs, self.n0inv))
-        return self._jit(name, _mulc)
+        return self._ew(name, _mulc, (1,))
 
     @property
     def eq(self):
         def _eq(a, b):
             return limb.eq_ll(limb.unstack(a, self.L), limb.unstack(b, self.L))
-        return self._jit('eq', _eq)
+        return self._ew('eq', _eq, (1, 1))
 
     @property
     def is_zero(self):
         def _isz(a):
             return limb.iszero_ll(limb.unstack(a, self.L))
-        return self._jit('is_zero', _isz)
+        return self._ew('is_zero', _isz, (1,))
 
     @property
     def legendre(self):
@@ -185,7 +220,7 @@ class PrimeFieldCtx:
             is_one = limb.eq_ll(r, [jnp.broadcast_to(x, r[0].shape) for x in one])
             is_zero = limb.iszero_ll(limb.unstack(a, self.L))
             return jnp.where(is_zero, 0, jnp.where(is_one, 1, -1)).astype(jnp.int32)
-        return self._jit('legendre', _leg)
+        return self._ew('legendre', _leg, (1,))
 
     def sqrt(self, INV=False):
         """Elementwise sqrt (or 1/sqrt) kernel; fast path for p % 4 == 3.
@@ -261,7 +296,7 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_mul(
                 limb.unstack(a, self.L), [jnp.asarray(x) for x in one],
                 self.p_limbs, self.n0inv))
-        return self._jit('to_std', _to_std)
+        return self._ew('to_std', _to_std, (1,))
 
     @property
     def from_std(self):
@@ -271,7 +306,7 @@ class PrimeFieldCtx:
                 limb.unstack(a, self.L),
                 [jnp.asarray(x) for x in self.r2_limbs],
                 self.p_limbs, self.n0inv))
-        return self._jit('from_std', _from_std)
+        return self._ew('from_std', _from_std, (1,))
 
     def mod_pow2(self, f: int):
         """Elementwise (value mod 2^f) kernel (Mont in, Mont out).
@@ -299,7 +334,58 @@ class PrimeFieldCtx:
             return limb.stack(limb.mont_mul(
                 masked, [jnp.asarray(x) for x in self.r2_limbs],
                 self.p_limbs, self.n0inv))
-        return self._jit(name, _mp2)
+        return self._ew(name, _mp2, (1,))
+
+    def to_bits(self, l: int):
+        """Kernel: Mont (…, L) -> uint32 (…, l) of 0/1 bit values (LSB first).
+
+        Values are de-Montgomeryized and their l low bits extracted — used on
+        public opened values in comparison/bit-decomposition protocols.
+        """
+        assert 0 < l <= 32 * self.L
+        one = _limbify(1, self.L)
+        name = f'to_bits_{l}'
+
+        def _tb(a):
+            std = limb.mont_mul(limb.unstack(a, self.L),
+                                [jnp.asarray(x) for x in one],
+                                self.p_limbs, self.n0inv)
+            bits = []
+            for i in range(l):
+                w, sh = i // 32, i % 32
+                bits.append((std[w] >> sh) & 1)
+            return jnp.stack(bits, axis=-1)
+        return self._ew(name, _tb, (1,))
+
+    @property
+    def from_uint32(self):
+        """Kernel: uint32 (…,) values -> Mont (…, L) field elements."""
+        def _fu(v):
+            zeros = jnp.zeros_like(v)
+            std = [v] + [zeros] * (self.L - 1)
+            return limb.stack(limb.mont_mul(
+                std, [jnp.asarray(x) for x in self.r2_limbs],
+                self.p_limbs, self.n0inv))
+        return self._ew('from_uint32', _fu, (0,))
+
+    def from_bits(self, l: int):
+        """Kernel: uint32 (…, l) of 0/1 (LSB first) -> Mont (…, L)."""
+        assert 0 < l <= 32 * self.L
+        name = f'from_bits_{l}'
+
+        def _fb(bits):
+            words = []
+            for w in range(self.L):
+                acc = jnp.zeros_like(bits[..., 0])
+                for sh in range(32):
+                    i = 32 * w + sh
+                    if i < l:
+                        acc = acc | (bits[..., i] << sh)
+                words.append(acc)
+            return limb.stack(limb.mont_mul(
+                words, [jnp.asarray(x) for x in self.r2_limbs],
+                self.p_limbs, self.n0inv))
+        return self._ew(name, _fb, (1,))
 
     def reduce_chunks(self, n_chunks: int):
         """Kernel reducing (…, n_chunks, L) wide LE values mod p -> Mont form.
@@ -318,4 +404,4 @@ class PrimeFieldCtx:
                       for i in range(n_chunks)]
             return limb.stack(limb.reduce_wide(chunks, radix, self.p_limbs,
                                                self.n0inv))
-        return self._jit(name, _red)
+        return self._ew(name, _red, (2,))

@@ -246,7 +246,7 @@ def mont_mul(a, b, p_limbs, n0inv):
     O(L) instead of O(L^2) (XLA-CPU compile chokes on long scalar chains).
     """
     L = len(a)
-    if L > 4:
+    if L > 2:
         return _mont_mul_loop(a, b, p_limbs, n0inv)
     zero = _zeros_like(a[0])
     n0 = jnp.asarray(n0inv, U32)

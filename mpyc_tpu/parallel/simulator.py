@@ -44,6 +44,7 @@ class SimRuntime(Runtime):
         self.prfs.cache_clear()
 
     is_simulator = True
+    _pax = 1  # leading party axis in share arrays
 
     @property
     def threshold(self):
@@ -321,8 +322,11 @@ class SimRuntime(Runtime):
             r, r2o = parts_r[0], parts_r2[0]
         inv_sqrt = r2o.sqrt(INV=True)  # public (n,)
         bits_pm1 = r * inv_sqrt        # broadcast over party axis
-        ones = field.array(np.ones(1, dtype=object))
-        bits = (bits_pm1 + ones) >> 1
+        if signed:
+            bits = bits_pm1
+        else:
+            ones = field.array(np.ones(1, dtype=object))
+            bits = (bits_pm1 + ones) >> 1
         if f:
             bits = bits << f
         if is_sec:

@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
+import jax.numpy as jnp
 
 from mpyc_tpu import finfields, gfpx, sectypes, thresha
 from mpyc_tpu import asyncoro
@@ -699,8 +700,11 @@ class Runtime:
             r2o = _concat_field(field, parts_r2) if len(parts_r2) > 1 \
                 else parts_r2[0]
             bits_pm1 = r * r2o.sqrt(INV=True)  # in {-1, +1}
-            ones = field.array(np.ones(n, dtype=object))
-            bits = (bits_pm1 + ones) >> 1  # map {-1,1} -> {0,1}
+            if signed:
+                bits = bits_pm1
+            else:
+                ones = field.array(np.ones(n, dtype=object))
+                bits = (bits_pm1 + ones) >> 1  # map {-1,1} -> {0,1}
         if f:
             bits = bits << f
         return sftype.array(bits) if is_sec else bits
@@ -765,7 +769,7 @@ class Runtime:
                 c = c >> f  # exact: product divisible by 2^f
             elif f:
                 c = self._trunc_field(c, f, stype.bit_length + f, stype)
-            arr = self._is_array_op(a) or bool(c.shape)
+            arr = self._is_array_op(a) or bool(c.shape[self._pax:])
             return self._wrap(stype, c, array=arr,
                               integral=a_int and b_int)
         b_int = self._integral(b)
@@ -1227,28 +1231,994 @@ class Runtime:
         d = self.mul(c, self.sub(y, x))
         return [self.add(x, d), self.sub(y, d)]
 
-    # -- comparison layer (phase B; see reference runtime.py:1443-1559) ----
+    # ======================================================================
+    # comparison layer (reference: runtime.py:1443-1559, 3552-3693)
+    # ======================================================================
+
+    _pax = 0  # leading party axes in share arrays (1 on the simulator)
+
+    def _logical_reshape(self, share, shape):
+        """Reshape the logical dims of a share, keeping party axes."""
+        if isinstance(shape, int):
+            shape = (shape,)
+        lead = share.shape[:self._pax]
+        return share.reshape(lead + tuple(shape))
+
+    def _logical_flat(self, share):
+        lead = share.shape[:self._pax]
+        return share.reshape(lead + (-1,))
+
+    def np_sgn(self, a, l=None, LT=False, EQ=False):
+        """Secure elementwise signum of a (Toft-style masked comparison).
+
+        Returns -1/0/1; LT=True gives the a<0 bit; EQ=True the a==0 bit.
+        Reference: runtime.py:3622-3693 (np_sgn).
+        """
+        assert not (LT and EQ)
+        stype = self._sectype(a)
+        Zp = stype.field
+        ctx = Zp.array.ctx
+        f = stype.frac_length
+        l = l or stype.bit_length
+        k = self.options.sec_param
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+
+        rb_all = self.np_random_bits(Zp, (l + int(not EQ)) * n)
+        if not EQ:
+            s_sign = self._logical_flat(rb_all)[..., l * n:] * 2 - 1  # (P?, n)
+        rb = self._logical_reshape(self._logical_flat(rb_all)[..., :l * n],
+                                   (n, l))
+        # r_modl = sum_j rb[..., j] 2^j
+        r_modl = None
+        for j in range(l):
+            term = rb[..., j] << j
+            r_modl = term if r_modl is None else r_modl + term
+        r_divl = self._np_randoms(Zp, n, 1 << k)
+        a_sh = self._logical_reshape(self._share(a), (n,))
+        a_r = a_sh + ((1 << l) + r_modl)
+        c = self.output(a_r + (r_divl << l))         # public (n,)
+        c = c.mod_pow2(l)
+        z = c - a_r
+        c_bits_u = c.to_bits_public(l)               # uint32 (n, l)
+        c_bits = Zp.array.from_uint32(c_bits_u)      # public field (n, l)
+        xor = c_bits + rb - (c_bits * rb) * 2        # secure (P?, n, l)
+
+        if not EQ:  # Toft trick
+            # suffix sums of xor over bit positions (descending)
+            sum_acc = None
+            sums = [None] * l
+            for i in range(l - 1, -1, -1):
+                sums[i] = sum_acc
+                x_i = xor[..., i]
+                sum_acc = x_i if sum_acc is None else sum_acc + x_i
+            e_list = []
+            for i in range(l):
+                e_i = s_sign + (rb[..., i] - c_bits[..., i])
+                if sums[i] is not None:
+                    e_i = e_i + sums[i] * 3
+                e_list.append(e_i)
+            e_list.append(s_sign - 1 + sum_acc * 3)
+            E = _concat_axis(Zp, [self._logical_reshape(x, (n, 1))
+                                  for x in e_list], -1)  # (P?, n, l+1)
+            prod_e = self._prod_last_axis(E)
+            g = self._is_zero_public_dev(prod_e)     # bool device (n,)
+            g_pm = Zp.array.from_uint32(
+                jnp.where(g, jnp.uint32(1), jnp.uint32(0)))  # 0/1 public
+            # h = 3 + s - 2*g*s
+            h = s_sign - (s_sign * g_pm) * 2 + 3
+            z = (z + (h << (l - 1))) >> l
+
+        if not LT:
+            ones = Zp.array(np.ones(1, dtype=object))
+            h_all = self._prod_last_axis(ones - xor)  # (P?, n)
+            if EQ:
+                z = h_all
+            else:
+                z = (h_all - 1) * (z * 2 - 1)
+                z = self._reshare(z)
+
+        if f:
+            z = z << f
+        z = self._logical_reshape(z, shape) if shape else \
+            self._logical_reshape(z, (1,))[..., 0]
+        return self._wrap(stype, z, array=bool(shape), integral=True)
+
+    def _prod_last_axis(self, s):
+        """Secure product along the last logical axis (log depth, reshared)."""
+        while s.shape[-1] > 1:
+            w = s.shape[-1]
+            half = w // 2
+            x = s[..., :half] * s[..., half:2 * half]
+            x = self._reshare(x)
+            if w % 2:
+                x = _concat_axis(type(x).field, [x, s[..., 2 * half:]], -1)
+            s = x
+        return s[..., 0]
+
+    def _is_zero_public_dev(self, share):
+        """Device-side public zero test of a secret sharing (any shape).
+
+        Like is_zero_public (runtime.py:879-929) but returns a bool device
+        array, avoiding host sync inside vectorized protocols. Each element
+        is blinded with the same nonzero random r (sufficient: the opened
+        values a_i * r are uniformly random for a_i != 0).
+        """
+        field = share.field
+        while True:
+            rs = self._np_randoms(field, 2)
+            r, s = rs[..., 0], rs[..., 1]
+            rs_prod = self._reshare(r * s)
+            opened = self.output(rs_prod, threshold=self.threshold)
+            if int(opened.value[()] if not opened.shape else
+                   opened.value.reshape(-1)[0]) != 0:
+                break
+        pad = len(share.shape) - len(r.shape)
+        if pad:
+            r = r.reshape(r.shape + (1,) * pad)
+        b = self._reshare(share * r)
+        c = self.output(b, threshold=self.threshold)
+        return c.field.array.ctx.is_zero(c.data)
 
     def sgn(self, a, l=None, LT=False, EQ=False):
-        raise NotImplementedError('sgn lands in the comparison layer')
+        """Secure signum of scalar a."""
+        return self.np_sgn(a, l=l, LT=LT, EQ=EQ)
 
     def lt(self, a, b):
+        """Secure comparison a < b."""
         return self.sgn(self.sub(a, b), LT=True)
 
-    def eq(self, a, b):
-        return self.sgn(self.sub(a, b), EQ=True)
+    def ge(self, a, b):
+        """Secure comparison a >= b."""
+        return 1 - self.lt(a, b)
 
     def np_less(self, a, b):
-        raise NotImplementedError('np_less lands in the comparison layer')
+        return self.np_sgn(self.sub(a, b), LT=True)
+
+    def eq(self, a, b):
+        """Secure comparison a == b."""
+        return self.is_zero(self.sub(a, b))
 
     def np_equal(self, a, b):
-        raise NotImplementedError('np_equal lands in the comparison layer')
+        d = self.sub(a, b)
+        stype = self._sectype(d)
+        if issubclass(stype, sectypes.SecureFiniteField):
+            return 1 - self.pow(d, stype.field.order - 1)
+        if stype.bit_length / 2 > self.options.sec_param >= 8 and \
+                stype.field.order % 4 == 3:
+            return self._np_is_zero(d)
+        return self.np_sgn(d, EQ=True)
+
+    def is_zero(self, a):
+        """Secure zero test a == 0."""
+        stype = self._sectype(a)
+        if issubclass(stype, sectypes.SecureFiniteField):
+            return 1 - self.pow(a, stype.field.order - 1)
+        if stype.bit_length / 2 > self.options.sec_param >= 8 and \
+                stype.field.order % 4 == 3:
+            return self._np_is_zero(a)
+        return self.sgn(a, EQ=True)
+
+    def _np_is_zero(self, a):
+        """Probabilistic zero test a la [NO07] (reference runtime.py:3582)."""
+        stype = self._sectype(a)
+        Zp = stype.field
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        k = self.options.sec_param
+
+        z = self.np_random_bits(Zp, k * n)
+        r = self._np_randoms(Zp, k * n)
+        u2 = self._reshare(r * r)
+        r = self._np_randoms(Zp, k * n)
+        a_sh = self._logical_reshape(self._share(a), (1, n))
+        z = self._logical_reshape(z, (k, n))
+        r = self._logical_reshape(r, (k, n))
+        u2 = self._logical_reshape(u2, (k, n))
+        ones = Zp.array(np.ones(1, dtype=object))
+        c = a_sh * r + (ones - z * 2) * u2
+        c = self.output(c, threshold=2 * self.threshold)  # public (k, n)
+        # c == 0 -> force 1; c square -> 1-z else z
+        is_z = Zp.array.ctx.is_zero(c.data)
+        leg = Zp.array.ctx.legendre(c.data)           # (k, n) in {-1,0,1}
+        sq = leg >= 0
+        sq_f = Zp.array.from_uint32(jnp.where(sq, jnp.uint32(1),
+                                              jnp.uint32(0)))
+        # e_{i,j} = z or 1-z per sq; then force 1 where c==0
+        cand = sq_f + z - (sq_f * z) * 2  # sq XOR z? want: sq-> 1-z, !sq-> z
+        isz_f = Zp.array.from_uint32(jnp.where(is_z, jnp.uint32(1),
+                                               jnp.uint32(0)))
+        cand = cand * (ones - isz_f) + isz_f  # c==0 -> 1
+        # AND over k: move k last and multiply down
+        sw = cand.swapaxes(self._pax + 0, self._pax + 1)  # (P?, n, k)
+        e = self._prod_last_axis(sw)
+        if stype.frac_length:
+            e = e << stype.frac_length
+        e = self._logical_reshape(e, shape) if shape else \
+            self._logical_reshape(e, (1,))[..., 0]
+        return self._wrap(stype, e, array=bool(shape), integral=True)
+
+    def np_is_zero_public(self, a):
+        """Public elementwise zero test (numpy bool array)."""
+        return self.is_zero_public(a)
+
+    def np_all(self, a, axis=None):
+        """Secure all(): product of 0/1 values (log depth)."""
+        s = self._share(a)
+        stype = self._sectype(a)
+        if axis is None:
+            s = self._logical_flat(s)
+            out = self._prod_last_axis(s)
+            return self._wrap(stype, out, array=False, integral=True)
+        nd = len(s.shape) - self._pax
+        ax = (axis % nd) + self._pax
+        s = s.swapaxes(ax - self._pax if self._pax == 0 else ax - self._pax,
+                       nd - 1) if False else s
+        # move target logical axis to the end
+        import jax.numpy as _jnp
+        data = _jnp.moveaxis(s.data, ax, self._pax + nd - 1)
+        s = s.from_data(data)
+        out = self._prod_last_axis(s)
+        return self._wrap(stype, out, array=bool(out.shape[self._pax:]),
+                          integral=True)
+
+    def all(self, x):
+        """Secure all() over a list of 0/1 secure numbers."""
+        if isinstance(x, sectypes.SecureArray):
+            return self.np_all(x)
+        x = list(x)
+        if not x:
+            return 1
+        return self.np_all(self.np_fromlist(x))
+
+    def any(self, x):
+        """Secure any() over 0/1 values: 1 - all(1-x)."""
+        if isinstance(x, sectypes.SecureArray):
+            return 1 - self.np_all(1 - x)
+        x = list(x)
+        if not x:
+            return 0
+        return 1 - self.all([1 - a for a in x])
+
+    def np_prod(self, a, axis=None):
+        """Secure product over an axis (log depth with resharing)."""
+        return self.np_all(a, axis=axis) if False else self._np_prod(a, axis)
+
+    def _np_prod(self, a, axis):
+        s = self._share(a)
+        stype = self._sectype(a)
+        import jax.numpy as _jnp
+        if axis is None:
+            s = self._logical_flat(s)
+        else:
+            nd = len(s.shape) - self._pax
+            ax = (axis % nd) + self._pax
+            s = s.from_data(_jnp.moveaxis(s.data, ax, self._pax + nd - 1))
+        out = self._prod_last_axis(s)
+        return self._wrap(stype, out, array=bool(out.shape[self._pax:]),
+                          integral=self._integral(a))
+
+    def np_absolute(self, a, l=None):
+        return self.mul(self.np_sgn(a, l=l, LT=True) * -2 + 1, a)
+
+    def abs(self, a, l=None):
+        """Secure absolute value of a."""
+        return self.mul(self.sgn(a, l=l, LT=True) * -2 + 1, a)
+
+    # -- bit extraction / binary arithmetic --------------------------------
+
+    def lsb(self, a):
+        """Secure least significant bit of a (a la [ST06])."""
+        return self.np_lsb(a)
+
+    def np_lsb(self, a):
+        stype = self._sectype(a)
+        Zp = stype.field
+        l = stype.bit_length
+        k = self.options.sec_param
+        f = stype.frac_length
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+
+        b = self.np_random_bits(Zp, n)              # raw field bits
+        r = self._np_randoms(Zp, n, 1 << (l + k - 1))
+        a_sh = self._logical_reshape(self._share(a), (n,))
+        if f:
+            a_in = a_sh >> f if False else a_sh
+        c = self.output(a_sh + ((1 << l) + (r << 1) + b))
+        c_lsb_u = c.to_bits_public(1)[..., 0]       # uint32 (n,)
+        c_lsb = Zp.array.from_uint32(c_lsb_u)
+        ones = Zp.array(np.ones(1, dtype=object))
+        x = c_lsb + b - (c_lsb * b) * 2             # xor
+        if f:
+            x = x << f
+        x = self._logical_reshape(x, shape) if shape else \
+            self._logical_reshape(x, (1,))[..., 0]
+        return self._wrap(stype, x, array=bool(shape), integral=True)
 
     def mod(self, a, b):
-        raise NotImplementedError('mod lands in the comparison layer')
+        """Secure modulo reduction a mod b (public b)."""
+        stype = self._sectype(a)
+        if isinstance(b, sectypes.SecureObject):
+            b_val = int(self.run(self.output(b)))  # public value required
+        else:
+            b_val = int(b)
+        if b_val == 2:
+            r = self.lsb(a)
+        else:
+            r = self._mod(a, b_val)
+        f = stype.frac_length
+        if f:
+            r = self.mul(r, 2 ** -f)
+        return r
+
+    def _mod(self, a, b: int):
+        """Secure mod for public b a la [GMS10] (reference runtime.py:1840)."""
+        stype = self._sectype(a)
+        Zp = stype.field
+        f = stype.frac_length
+        l = stype.bit_length
+        k = self.options.sec_param
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+
+        lb = (b - 1).bit_length()  # bits needed for r < b... use randbelow
+        r_bits = self._randbelow_bits(Zp, b, n)     # (P?, n, lb) secure bits
+        lb = r_bits.shape[-1]
+        r_modb = None
+        for j in range(lb):
+            term = r_bits[..., j] << j
+            r_modb = term if r_modb is None else r_modb + term
+        r_divb = self._np_randoms(Zp, n, 1 << k)
+        a_sh = self._logical_reshape(self._share(a), (n,))
+        if f:
+            a_sh = a_sh >> f  # integral secfxp values assumed
+        c = self.output(a_sh + ((1 << l) - ((1 << l) % b) + r_divb * b
+                                - r_modb))
+        # c mod b on device: via host (public, small)
+        c_vals = np.array([int(v) % b for v in
+                           np.atleast_1d(c.value.reshape(-1))], dtype=object)
+        c_vals[c_vals == 0] = b
+        c_pub = np.array([int(v) for v in c_vals], dtype=np.uint32) \
+            if b < (1 << 31) else None
+        # secure comparison z <=> r_modb >= b - c
+        s_all = self.np_random_bits(Zp, n, signed=True)
+        s_sign = s_all
+        sums = [None] * lb
+        sum_acc = None
+        bc_bits = np.stack([((b - np.array([int(v) for v in c_vals],
+                                           dtype=object)) >> i) & 1
+                            for i in range(lb)], axis=-1)  # (n, lb) 0/1
+        bc_dev = Zp.array.from_uint32(
+            jnp.asarray(bc_bits.astype(np.uint32)))
+        xor = bc_dev + r_bits - (bc_dev * r_bits) * 2
+        for i in range(lb - 1, -1, -1):
+            sums[i] = sum_acc
+            x_i = xor[..., i]
+            sum_acc = x_i if sum_acc is None else sum_acc + x_i
+        e_list = []
+        for i in range(lb):
+            e_i = s_sign + (r_bits[..., i] - bc_dev[..., i])
+            if sums[i] is not None:
+                e_i = e_i + sums[i] * 3
+            e_list.append(e_i)
+        e_list.append(s_sign + 1 + (sum_acc * 3 if sum_acc is not None
+                                    else 0))
+        E = _concat_axis(Zp, [self._logical_reshape(x, (n, 1))
+                              for x in e_list], -1)
+        g = self._is_zero_public_dev(self._prod_last_axis(E))
+        g_f = Zp.array.from_uint32(jnp.where(g, jnp.uint32(1),
+                                             jnp.uint32(0)))
+        # z = (1 - s)/2 if g else (1 + s)/2  ->  z = (1 + s - 2 g s)/2
+        z = (s_sign - (s_sign * g_f) * 2 + 1) >> 1
+        c_dev = Zp.array(np.array(list(c_vals), dtype=object))
+        res = c_dev + r_modb - z * b
+        if f:
+            res = res << f
+        res = self._logical_reshape(res, shape) if shape else \
+            self._logical_reshape(res, (1,))[..., 0]
+        return self._wrap(stype, res, array=bool(shape), integral=True)
+
+    def _randbelow_bits(self, field, b: int, n):
+        """Secure uniform r < b as bits (rejection-free for powers of 2;
+        rejection loop otherwise; reference mpyc/random.py:48-82)."""
+        lb = (b - 1).bit_length()
+        if b & (b - 1) == 0:
+            bits = self.np_random_bits(field, n * lb)
+            return self._logical_reshape(bits, (n, lb))
+        # rejection: draw lb bits; value must be < b
+        out = [None] * n
+        remaining = list(range(n))
+        parts = None
+        while remaining:
+            h = len(remaining)
+            bits = self.np_random_bits(field, h * lb)
+            bits = self._logical_reshape(bits, (h, lb))
+            val = None
+            for j in range(lb):
+                term = bits[..., j] << j
+                val = term if val is None else val + term
+            # compare val < b publicly? cannot — val is secret. Use masked
+            # comparison via opening val + (we only need acceptance, which
+            # leaks only accept/reject — same as reference _randbelow).
+            lt_bits = self._bits_lt_public(bits, b)
+            acc = self.output(lt_bits)               # public 0/1 (h,)
+            acc_np = np.array([int(v) for v in
+                               np.atleast_1d(acc.value.reshape(-1))])
+            keep = [i for i, ok in enumerate(acc_np) if ok]
+            sel = np.array(keep, dtype=np.int64)
+            if len(keep):
+                kept = bits[..., sel, :] if self._pax else bits[sel, :]
+                if parts is None:
+                    parts = []
+                parts.append((list(np.array(remaining)[sel]), kept))
+            remaining = [r for i, r in enumerate(remaining)
+                         if i not in set(keep)]
+        # assemble in order
+        field_cls = field.array
+        total = jnp.zeros(parts[0][1].data.shape[:self._pax] + (n, lb)
+                          + parts[0][1].data.shape[len(parts[0][1].shape):],
+                          dtype=jnp.uint32)
+        assembled = field_cls.from_data(total)
+        for idxs, kept in parts:
+            for slot, i in enumerate(idxs):
+                piece = kept[..., slot, :] if self._pax else kept[slot]
+                assembled = self._at_set_logical(assembled, i, piece)
+        return assembled
+
+    def _at_set_logical(self, arr, i, piece):
+        idx = (slice(None),) * self._pax + (i,)
+        return arr.from_data(arr.data.at[idx].set(piece.data))
+
+    def _bits_lt_public(self, bits, b: int):
+        """Secure test [bits] < b for public b, bits LSB-first (n, lb)."""
+        lb = bits.shape[-1]
+        field = bits.field
+        ones = field.array(np.ones(1, dtype=object))
+        # standard MSB-down scan: lt = OR_i (b_i=1 & x_i=0 & prefix_eq)
+        lt = None
+        eq = None
+        for i in range(lb - 1, -1, -1):
+            b_i = (b >> i) & 1
+            x_i = bits[..., i]
+            if b_i:
+                term = (ones - x_i) if eq is None else eq * (ones - x_i)
+                if term is not eq:
+                    pass
+                term = self._reshare(term) if eq is not None else term
+                lt = term if lt is None else lt + term
+                eq_new = x_i if eq is None else self._reshare(eq * x_i)
+            else:
+                eq_new = (ones - x_i) if eq is None else \
+                    self._reshare(eq * (ones - x_i))
+            eq = eq_new
+        return lt if lt is not None else bits[..., 0] * 0
+
+    def to_bits(self, a, l=None):
+        """Secure bit decomposition: list of l secure bits (LSB first)."""
+        arr = self.np_to_bits(a, l)
+        n_bits = arr.shape[-1]
+        return [self.np_getitem(arr, (..., i)) if isinstance(a, sectypes.SecureArray)
+                else self._bit_item(arr, i) for i in range(n_bits)]
+
+    def _bit_item(self, arr, i):
+        stype = arr.sectype if isinstance(arr, sectypes.SecureArray) \
+            else type(arr)
+        share = self._share(arr)
+        piece = share[..., i]
+        if piece.shape[self._pax:] == (1,):
+            piece = piece[..., 0]
+        return self._wrap(stype, piece, array=False, integral=True)
+
+    def np_to_bits(self, a, l=None):
+        """Secure bit decomposition of a: shape a.shape + (l,)."""
+        stype = self._sectype(a)
+        if l is None:
+            l = stype.bit_length
+        assert l <= stype.bit_length + stype.frac_length
+        field = stype.field
+        f = stype.frac_length
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        rshift_f = f and self._integral(a)
+        l_eff = l
+        if rshift_f:
+            if f >= l:
+                zero = field.array(np.zeros(shape + (l,), dtype=object))
+                return self._wrap(stype, self._share_like(zero),
+                                  array=True, integral=True)
+            l_eff = l - f
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+
+        if issubclass(stype, sectypes.SecureFiniteField):
+            return self._np_to_bits_char2(a, l_eff, stype, shape, n)
+
+        k = self.options.sec_param
+        r_bits = self.np_random_bits(field, n * l_eff)
+        r_bits = self._logical_reshape(r_bits, (n, l_eff))
+        r_modl = None
+        for j in range(l_eff):
+            term = r_bits[..., j] << j
+            r_modl = term if r_modl is None else r_modl + term
+        r_divl = self._np_randoms(field, n,
+                                  1 << (stype.bit_length + k - l_eff))
+        a_sh = self._logical_reshape(self._share(a), (n,))
+        if rshift_f:
+            a_sh = a_sh >> f
+        c = self.output(a_sh + ((1 << stype.bit_length)
+                                + (r_divl << l_eff) - r_modl))
+        c = c.mod_pow2(l_eff)
+        c_bits_u = c.to_bits_public(l_eff)           # (n, l_eff) uint32
+        a_bits = self._np_add_bits_shares(r_bits, c_bits_u, stype)
+        if f:
+            a_bits = a_bits << f  # fxp bits are proper 0/1 fxp values
+        if rshift_f:
+            zshape = a_bits.shape[:self._pax] + (n, f)
+            zeros = field.array.from_data(
+                jnp.zeros(zshape + (field.array.ctx.L,), dtype=jnp.uint32))
+            a_bits = _concat_axis(field, [zeros, a_bits], -1)
+        out = self._logical_reshape(a_bits, shape + (l,))
+        return self._wrap(stype, out, array=True, integral=True)
+
+    def _np_to_bits_char2(self, a, l, stype, shape, n):
+        field = stype.field
+        r_bits = self.np_random_bits(field, n * l)
+        r_bits = self._logical_reshape(r_bits, (n, l))
+        r_modl = None
+        for j in range(l):
+            term = r_bits[..., j] * (1 << j)  # char-2: int encodes x^j
+            r_modl = term if r_modl is None else r_modl + term
+        a_sh = self._logical_reshape(self._share(a), (n,))
+        c = self.output(a_sh + r_modl)
+        c_ints = np.array([int(v) for v in
+                           np.atleast_1d(c.value.reshape(-1))])
+        c_bits = np.stack([(c_ints >> i) & 1 for i in range(l)], axis=-1)
+        c_dev = field.array(c_bits.astype(object))
+        out = r_bits + c_dev
+        out = self._logical_reshape(out, shape + (l,))
+        return self._wrap(stype, out, array=True, integral=True)
+
+    def _np_add_bits_shares(self, a_bits, c_bits_u, stype):
+        """Binary addition of secure bits a and public bits c.
+
+        Carry-lookahead prefix network a la the reference np_add_bits
+        (runtime.py:4302-4333), with the public operand folded in locally.
+        """
+        field = stype.field
+        c_f = field.array.from_uint32(c_bits_u)      # public bits (n, l)
+        return self._add_bits_prefix(a_bits, c_f)
+
+    def _add_bits_prefix(self, x, y):
+        """Prefix-carry addition of two bit arrays (either may be public)."""
+
+        def f(i, j, high=False):
+            nn = j - i
+            if nn == 1:
+                x_i = x[..., i:i + 1]
+                y_i = y[..., i:i + 1]
+                c = self._mul_bits(x_i, y_i)
+                if high:
+                    d = x_i + y_i - c * 2
+                    return c, d
+                return c
+            h = i + nn // 2
+            e1 = f(i, h, high=high)
+            c2, d2 = f(h, j, high=True)
+            c1 = e1[0] if high else e1
+            carry = c1[..., -1:]
+            c2 = c2 + self._mul_bits(carry, d2)
+            c = _concat_axis(x.field, [c1, c2], -1)
+            if high:
+                d1 = e1[1]
+                d2 = self._mul_bits(d1[..., -1:], d2)
+                d = _concat_axis(x.field, [d1, d2], -1)
+                return c, d
+            return c
+
+        n_bits = x.shape[-1]
+        c = f(0, n_bits)
+        # sum bits: x + y - 2c + c_shifted
+        c_1 = c.roll(1, axis=-1)
+        zero = x.field.array(np.zeros(1, dtype=object))
+        c_1 = c_1.at_set((..., 0), zero)
+        return x + y - c * 2 + c_1
+
+    def _mul_bits(self, u, v):
+        """Multiply bit arrays; reshare only if both secret (heuristic:
+        public operands have no party axis in sim / are used directly)."""
+        w = u * v
+        return self._reshare(w)
+
+    def from_bits(self, x):
+        """Recover secure number from list of secure bits (LSB first)."""
+        if x == []:
+            return 0
+        stype = self._sectype(*x)
+        acc = None
+        for j, xb in enumerate(x):
+            term = self._share(xb) << j
+            acc = term if acc is None else acc + term
+        return self._wrap(stype, acc, array=False, integral=True)
+
+    def np_from_bits(self, x):
+        """Recover secure numbers from bit arrays (last axis = bits)."""
+        stype = self._sectype(x)
+        s = self._share(x)
+        l = s.shape[-1]
+        acc = None
+        for j in range(l):
+            if stype.field.characteristic == 2:
+                term = s[..., j] * (1 << j)
+            else:
+                term = s[..., j] << j
+            acc = term if acc is None else acc + term
+        return self._wrap(stype, acc, array=bool(acc.shape[self._pax:]),
+                          integral=True)
+
+    def np_update(self, a, idx, value):
+        """Functional update of secure array a at idx."""
+        stype = self._sectype(a)
+        s = self._share(a)
+        v = self._share(value) if isinstance(value, sectypes.SecureObject) \
+            else self._encode_public(stype, value)
+        if self._pax and isinstance(idx, tuple):
+            idx = (slice(None),) + idx
+        elif self._pax:
+            idx = (slice(None), idx)
+        out = s.at_set(idx, v)
+        return self._wrap(stype, out, array=True,
+                          integral=self._integral(a))
+
+    def _share_like(self, field_arr):
+        """Broadcast a logical field array to a share (sim adds party axis)."""
+        return field_arr
+
+    # ======================================================================
+    # aggregates: min/max/sort (reference: runtime.py:1561-1774)
+    # ======================================================================
+
+    def min(self, *x, key=None):
+        """Secure minimum (tournament tree of log-depth comparisons)."""
+        if len(x) == 1:
+            x = x[0]
+        if iter(x) is x:
+            x = list(x)
+        n = len(x)
+        if not n:
+            raise ValueError('min() arg is an empty sequence')
+        if n == 1:
+            return x[0]
+        if key is None:
+            key = lambda a: a
+        min0 = self.min(x[:n // 2], key=key)
+        min1 = self.min(x[n // 2:], key=key)
+        return self.if_else(key(min0) < key(min1), min0, min1)
+
+    def max(self, *x, key=None):
+        """Secure maximum."""
+        if len(x) == 1:
+            x = x[0]
+        if iter(x) is x:
+            x = list(x)
+        n = len(x)
+        if not n:
+            raise ValueError('max() arg is an empty sequence')
+        if n == 1:
+            return x[0]
+        if key is None:
+            key = lambda a: a
+        max0 = self.max(x[:n // 2], key=key)
+        max1 = self.max(x[n // 2:], key=key)
+        return self.if_else(key(max0) < key(max1), max1, max0)
+
+    def min_max(self, *x, key=None):
+        """Secure (min, max) in (3n-3)//2 comparisons (Pohl's bound)."""
+        if len(x) == 1:
+            x = x[0]
+        x = list(x)
+        n = len(x)
+        if not n:
+            raise ValueError('min_max() arg is an empty sequence')
+        if key is None:
+            key = lambda a: a
+        for i in range(n // 2):
+            a, b = x[i], x[-1 - i]
+            x[i], x[-1 - i] = self.if_swap(key(a) >= key(b), a, b)
+        return self.min(x[:(n + 1) // 2], key=key), \
+            self.max(x[n // 2:], key=key)
+
+    def argmin(self, *x, key=None):
+        """Secure (argmin, min); first occurrence on ties."""
+        if len(x) == 1:
+            x = x[0]
+        if iter(x) is x:
+            x = list(x)
+        if not x:
+            raise ValueError('argmin() arg is an empty sequence')
+        if key is None:
+            key = lambda a: a
+        return self._argminmax(x, key, lambda c0, c1: key(c1) < key(c0))
+
+    def argmax(self, *x, key=None):
+        """Secure (argmax, max); first occurrence on ties."""
+        if len(x) == 1:
+            x = x[0]
+        if iter(x) is x:
+            x = list(x)
+        if not x:
+            raise ValueError('argmax() arg is an empty sequence')
+        if key is None:
+            key = lambda a: a
+        return self._argminmax(x, key, lambda c0, c1: key(c0) < key(c1))
+
+    def _argminmax(self, x, key, better1):
+        n = len(x)
+        if n == 1:
+            m = x[0]
+            stype = type(m[0]) if isinstance(m, list) else type(m)
+            return stype(0), m
+        i0, m0 = self._argminmax(x[:n // 2], key, better1)
+        i1, m1 = self._argminmax(x[n // 2:], key, better1)
+        i1 = i1 + n // 2
+        c = better1(m0, m1)
+        a = self.if_else(c, i1, i0)
+        m = self.if_else(c, m1, m0)
+        return a, m
+
+    def sorted(self, x, key=None, reverse=False):
+        """Securely sorted list (Batcher merge-exchange; not stable)."""
+        x = list(x)
+        if len(x) < 2:
+            return x
+        if key is None:
+            key = lambda a: a
+        self._sort(x, key)
+        if reverse:
+            x.reverse()
+        return x
+
+    def _sort(self, x, key):
+        """Batcher's merge-exchange sort (Knuth TAOCP 5.2.2M), in place."""
+        n = len(x)
+        t = (n - 1).bit_length()
+        p = 1 << (t - 1)
+        while p:
+            d, q, r = p, 1 << (t - 1), 0
+            while d:
+                for i in range(n - d):
+                    if i & p == r:
+                        a, b = x[i], x[i + d]
+                        x[i], x[i + d] = self.if_swap(key(a) < key(b), b, a)
+                d, q, r = q - p, q >> 1, p
+            p >>= 1
+        return x
+
+    def np_sort(self, a, axis=-1, key=None):
+        """Sorted copy along axis (vectorized Batcher network)."""
+        if axis is None:
+            a = self.np_flatten(a)
+            axis = 0
+        else:
+            a = self.np_copy(a)
+        if key is None:
+            key = lambda v: v
+        n = a.shape[axis]
+        if a.size == 0 or n <= 1:
+            return a
+        a = self.np_swapaxes(a, axis, -1)
+        t = (n - 1).bit_length()
+        p = 1 << (t - 1)
+        while p:
+            d, q, r = p, 1 << (t - 1), 0
+            while d:
+                I = np.fromiter((i for i in range(n - d) if i & p == r),
+                                dtype=int)
+                b0 = self.np_getitem(a, (..., I))
+                b1 = self.np_getitem(a, (..., I + d))
+                h = self.mul(self.np_less(key(b1), key(b0)),
+                             self.sub(b1, b0))
+                a = self.np_update(a, (..., I), self.add(b0, h))
+                a = self.np_update(a, (..., I + d), self.sub(b1, h))
+                d, q, r = q - p, q >> 1, p
+            p >>= 1
+        return self.np_swapaxes(a, axis, -1)
+
+    def np_amin(self, a, axis=None, **kwargs):
+        """Secure minimum over an axis (log-depth tournament)."""
+        return self._np_extremum(a, axis, is_min=True)
+
+    def np_amax(self, a, axis=None, **kwargs):
+        return self._np_extremum(a, axis, is_min=False)
+
+    def _np_extremum(self, a, axis, is_min):
+        if axis is None:
+            a = self.np_flatten(a)
+            axis = 0
+        a = self.np_swapaxes(a, axis, -1)
+        while a.shape[-1] > 1:
+            n = a.shape[-1]
+            half = n // 2
+            b0 = self.np_getitem(a, (..., slice(0, half)))
+            b1 = self.np_getitem(a, (..., slice(half, 2 * half)))
+            c = self.np_less(b1, b0) if is_min else self.np_less(b0, b1)
+            w = self.add(self.mul(c, self.sub(b1, b0)), b0)
+            if n % 2:
+                tail = self.np_getitem(a, (..., slice(2 * half, n)))
+                w = self._np_concat_last(w, tail)
+            a = w
+        return self.np_getitem(a, (..., 0))
+
+    def _np_concat_last(self, a, b):
+        stype = self._sectype(a, b)
+        out = _concat_axis(stype.field, [self._share(a), self._share(b)], -1)
+        return self._wrap(stype, out, array=True,
+                          integral=self._integral(a) and self._integral(b))
+
+    def np_argmin(self, a, axis=None, **kwargs):
+        """Secure argmin along axis (returns indices as secure ints)."""
+        return self._np_arg_extremum(a, axis, is_min=True)
+
+    def np_argmax(self, a, axis=None, **kwargs):
+        return self._np_arg_extremum(a, axis, is_min=False)
+
+    def _np_arg_extremum(self, a, axis, is_min):
+        if axis is None:
+            a = self.np_flatten(a)
+            axis = 0
+        a = self.np_swapaxes(a, axis, -1)
+        stype = self._sectype(a)
+        n = a.shape[-1]
+        idx = self._wrap(stype, self._encode_public(
+            stype, np.arange(n, dtype=object)), array=True, integral=True)
+        val = a
+        while val.shape[-1] > 1:
+            nn = val.shape[-1]
+            half = nn // 2
+            v0 = self.np_getitem(val, (..., slice(0, half)))
+            v1 = self.np_getitem(val, (..., slice(half, 2 * half)))
+            i0 = self.np_getitem(idx, (..., slice(0, half)))
+            i1 = self.np_getitem(idx, (..., slice(half, 2 * half)))
+            c = self.np_less(v1, v0) if is_min else self.np_less(v0, v1)
+            v = self.add(self.mul(c, self.sub(v1, v0)), v0)
+            i = self.add(self.mul(c, self.sub(i1, i0)), i0)
+            if nn % 2:
+                v = self._np_concat_last(v, self.np_getitem(
+                    val, (..., slice(2 * half, nn))))
+                i = self._np_concat_last(i, self.np_getitem(
+                    idx, (..., slice(2 * half, nn))))
+            val, idx = v, i
+        return self.np_getitem(idx, (..., 0)), self.np_getitem(val, (..., 0))
+
+    def unit_vector(self, a, n):
+        """Secure length-n unit vector with 1 at secret index a, 0 <= a < n.
+
+        Simple variant: via equality tests against each index (the
+        reference's masked-rotation protocol runtime.py:4979-5029 is a
+        later optimization).
+        """
+        stype = type(a)
+        arr = self._wrap(stype, self._encode_public(
+            stype, np.arange(n, dtype=object)), array=True, integral=True)
+        sh = self._share(a)
+        pad = self._pax + 1 - len(sh.shape) + 0
+        diff = self.sub(self._as_array(stype, a, n), arr)
+        e = self.np_equal(diff, self._wrap(
+            stype, self._encode_public(stype, np.zeros(n, dtype=object)),
+            array=True, integral=True))
+        return self.np_tolist(e)
+
+    def _as_array(self, stype, a, n):
+        sh = self._share(a)
+        lead = sh.shape[:self._pax]
+        data = jnp.broadcast_to(
+            sh.data.reshape(lead + (1,) + sh.data.shape[len(lead):]),
+            lead + (n,) + sh.data.shape[len(lead):])
+        res = self._wrap(stype, sh.from_data(data), array=True,
+                         integral=True)
+        return res
+
+    def find(self, x, a, bits=True, e='len(x)', f=None, cs_f=None):
+        """Secure index of the first occurrence of a in list x.
+
+        Simplified linear scan (reference runtime.py:4486-4601 adds the
+        conditional-step-function trick); returns e-expression default
+        len(x) when a not found.
+        """
+        n = len(x)
+        found = None
+        idx = None
+        for i in range(n):
+            hit = self.eq(x[i], a)
+            if found is None:
+                found = hit
+                idx = self.mul(hit, 0)
+            else:
+                new_hit = self.mul(1 - found, hit)
+                idx = self.add(idx, self.mul(new_hit, i))
+                found = self.add(found, new_hit)
+        if e == 'len(x)':
+            idx = self.add(idx, self.mul(1 - found, n))
+        return idx
+
+    def indexOf(self, x, a, bits=True):
+        """Secure index of a in x (value must occur)."""
+        return self.find(x, a, bits=bits)
+
+    # ======================================================================
+    # fixed-point layer: normalization + Newton reciprocal
+    # (reference: runtime.py:4718-4745)
+    # ======================================================================
+
+    def _prefix_mul_raw(self, s):
+        """Inclusive prefix products along the last logical axis (raw field
+        arrays of 0/1 values; log2(n) resharing rounds, Hillis-Steele)."""
+        n = s.shape[-1]
+        d = 1
+        ones_block = s.field.array(np.ones(1, dtype=object))
+        while d < n:
+            shifted = s.from_data(jnp.roll(s.data, d, axis=len(s.shape) - 1))
+            shifted = shifted.at_set((..., slice(0, d)), ones_block)
+            s = self._reshare(s * shifted)
+            d *= 2
+        return s
+
+    def _norm(self, a):
+        """Secure signed normalization factor v with a*v in [1/2, 1).
+
+        Raw-field variant of the reference _norm (runtime.py:4718-4727):
+        bit-decompose, locate the most significant bit agreeing with the
+        sign via a log-depth prefix product, and scale. The conditional-step
+        find of the reference becomes P_{i-1} - P_i position indicators.
+        """
+        stype = self._sectype(a)
+        f = stype.frac_length
+        l = stype.bit_length
+        is_arr = isinstance(a, sectypes.SecureArray)
+        bits = self.np_to_bits(a, l)
+        rb = self._share(bits)
+        if f:
+            rb = rb >> f                                # raw 0/1 field bits
+        sign = rb[..., l - 1]
+        one = stype.field.array(np.ones(1, dtype=object))  # for at_set blocks
+        s_raw = 1 - sign                                # 1 iff a >= 0
+        x = rb[..., :l - 1]
+        x = x.from_data(jnp.flip(x.data, axis=len(x.shape) - 1))  # MSB first
+        # mismatch q_i = x_i XOR s  (one mul round)
+        s_col = self._logical_reshape(s_raw, s_raw.shape[self._pax:] + (1,))
+        xs = self._reshare(x * s_col)
+        q = x + s_col - xs * 2
+        P = self._prefix_mul_raw(q)                     # 1 until first match
+        prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
+        prev = prev.at_set((..., slice(0, 1)), one)
+        u = prev - P                                    # first-match one-hot
+        nf = None
+        for i in range(l - 1):
+            term = u[..., i] << i
+            nf = term if nf is None else nf + term
+        v_raw = self._reshare((s_raw * 2 - 1) * nf)   # signed power of two
+        # fxp share scale: v_real = (2s-1) nf 2^(f-(l-1));
+        # share(v) = v_real 2^f = v_raw 2^(2f-l+1)
+        shift = 2 * f - l + 1
+        sv = (v_raw << shift) if shift >= 0 else (v_raw >> (-shift))
+        return self._wrap(stype, sv, array=is_arr, integral=False)
 
     def _rec(self, a):
-        raise NotImplementedError('fxp reciprocal lands in the fxp layer')
+        """Secure fixed-point reciprocal via Newton iteration
+        (reference: runtime.py:4729-4737)."""
+        f = self._sectype(a).frac_length
+        v = self._norm(a)
+        b = self.mul(a, v)         # 1/2 <= b <= 1
+        theta = int(math.ceil(math.log2((f + 1) / 3.54)))
+        c = self.sub(self._public_fxp(a, 2.9142135623731), self.mul(b, 2))
+        for _ in range(theta):
+            c = self.mul(c, self.sub(self._public_fxp(a, 2), self.mul(c, b)))
+        return self.mul(c, v)
+
+    def _public_fxp(self, like, value):
+        """Public constant as a secure object of like's type."""
+        stype = self._sectype(like)
+        enc = self._encode_public(stype, value)
+        return self._wrap(stype, enc, array=False,
+                          integral=float(value).is_integer())
 
 
 def _concat_field(field, arrays):
@@ -1256,6 +2226,15 @@ def _concat_field(field, arrays):
     import jax.numpy as jnp
     datas = [a.data for a in arrays]
     return field.array.from_data(jnp.concatenate(datas, axis=0))
+
+
+def _concat_axis(field, arrays, axis):
+    """Concatenate field arrays along a logical axis (negative = from end)."""
+    import jax.numpy as jnp
+    datas = [a.data for a in arrays]
+    nd_elem = field.array._elem_ndim
+    ax = axis if axis >= 0 else axis - nd_elem
+    return field.array.from_data(jnp.concatenate(datas, axis=ax))
 
 
 # ===========================================================================
@@ -1347,6 +2326,13 @@ def setup(argv=None):
     asyncoro.runtime = rt
     import mpyc_tpu
     mpyc_tpu.runtime = rt
+    from mpyc_tpu import mpctools as _mpctools
+    from mpyc_tpu import random as _random_mod
+    from mpyc_tpu import statistics as _statistics
+    _mpctools.runtime = rt
+    _random_mod.runtime = rt
+    _statistics.runtime = rt
+    rt.random = _random_mod
     return rt
 
 
