@@ -929,6 +929,12 @@ class BinaryFieldArray(FiniteFieldArray):
     _elem_ndim = 0
 
     @classmethod
+    def _coerce(cls, other):
+        if isinstance(other, gfpx.Polynomial):
+            return cls(np.array(int(other), dtype=object))
+        return super()._coerce(other)
+
+    @classmethod
     def _encode(cls, value):
         if isinstance(value, FiniteFieldArray):
             return value._data
@@ -952,7 +958,10 @@ class BinaryFieldArray(FiniteFieldArray):
         if o is NotImplemented:
             return NotImplemented
         a, b = (o, self) if reflected else (self, o)
-        out = getattr(self.ctx, opname)(a._data, b._data)
+        shape = jnp.broadcast_shapes(a._data.shape, b._data.shape)
+        ad = jnp.broadcast_to(a._data, shape)
+        bd = jnp.broadcast_to(b._data, shape)
+        out = getattr(self.ctx, opname)(ad, bd)
         return type(self).from_data(out)
 
     def __neg__(self):

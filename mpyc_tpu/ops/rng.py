@@ -84,7 +84,11 @@ class KeccakRNG:
         return keccak.shake128_ctr_blocks(prefix, n_blocks)
 
     def field_uniform(self, field, shape):
-        """Uniform random field.array of given shape (GF(p), odd p)."""
+        """Uniform random field.array of given shape (prime or GF(2^d))."""
+        if field.characteristic == 2:
+            d = (field.order - 1).bit_length()
+            bits = self.randbits_uint32(shape, d)
+            return field.array.from_data(bits)
         p = field.modulus
         ctx = prime_field_ctx(p)
         n = _prod(shape)

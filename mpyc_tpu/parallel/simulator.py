@@ -294,7 +294,14 @@ class SimRuntime(Runtime):
         m = len(self.parties)
         t = self.threshold
         p = field.characteristic
-        assert p != 2, 'char-2 sim random bits land with SecFld support'
+        if p == 2:
+            bits = self._stacked_prss(field, self.prfs(2),
+                                      self._prss_uci(), n)
+            if is_sec:
+                res = sftype.array(bits)
+                res.shape = bits.shape[1:]
+                return res
+            return bits
         prfs = self.prfs(field.order)
         parts_r, parts_r2 = [], []
         need = n
@@ -497,24 +504,6 @@ class SimRuntime(Runtime):
                     for i in range(logical[0])]
         return [self.np_tolist(self.np_getitem(a, i))
                 for i in range(logical[0])]
-
-    def np_concatenate(self, arrays, axis=0):
-        stype = self._sectype(*arrays)
-        field = stype.field
-        datas = [self._share(xi).data for xi in arrays]
-        nd = len(self._share(arrays[0]).shape) - 1  # logical ndim
-        ax = (axis % nd) + 1
-        out = field.array.from_data(jnp.concatenate(datas, axis=ax))
-        return self._wrap(stype, out, array=True,
-                          integral=all(self._integral(xi) for xi in arrays))
-
-    def np_stack(self, arrays, axis=0):
-        stype = self._sectype(*arrays)
-        field = stype.field
-        datas = [self._share(xi).data for xi in arrays]
-        out = field.array.from_data(jnp.stack(datas, axis=axis + 1))
-        return self._wrap(stype, out, array=True,
-                          integral=all(self._integral(xi) for xi in arrays))
 
     def _trunc_field(self, arr, f, l, stype):
         field = stype.field

@@ -869,30 +869,35 @@ class Runtime:
     def pow(self, a, b: int):
         """Secure exponentiation a**b for public integer b."""
         stype = self._sectype(a)
-        if b == 254:  # AES S-box addition chain (reference runtime.py:1296)
+        if b == 254:  # AES S-box addition chain, 11 muls in 9 rounds
+            # (reference runtime.py:1296-1309)
             d = a
             c = self.mul(d, d)
             c = self.mul(c, c)
             c = self.mul(c, c)
             c = self.mul(c, d)
             c = self.mul(c, c)
-            c = self.mul(c, c)
-            c = self.mul(c, c)
+            c, d = self.mul(c, c), self.mul(c, d)
+            c, d = self.mul(c, c), self.mul(c, d)
             c = self.mul(c, d)
-            c = self.mul(c, c)
             c = self.mul(c, c)
             return c
         if b == 0:
             return self._wrap(stype, self._encode_public(
                 stype, 1), array=self._is_array_op(a), integral=True)
         if b < 0:
-            raise NotImplementedError('negative exponent')
+            if stype.frac_length:
+                a = self._rec(a)
+            else:
+                a = self.reciprocal(a)
+            b = -b
         res = None
         d = a
-        for bit in bin(b)[:1:-1]:
-            if bit == '1':
+        for i in range(b.bit_length()):
+            if (b >> i) & 1:
                 res = d if res is None else self.mul(res, d)
-            d = self.mul(d, d)
+            if i < b.bit_length() - 1:
+                d = self.mul(d, d)
         return res
 
     def abs(self, a):
@@ -1103,6 +1108,30 @@ class Runtime:
     def np_copy(self, a):
         return self._local(a, lambda s: s.copy())
 
+    def np_roll(self, a, shift, axis=None):
+        """Secure circular shift along a logical axis (local)."""
+        stype = self._sectype(a)
+        s = self._share(a)
+        nd = len(s.shape) - self._pax
+        if axis is None:
+            flat = self._logical_flat(s)
+            out = flat.roll(shift, self._pax)
+            out = self._logical_reshape(out, a.shape)
+        else:
+            out = s.roll(shift, (axis % nd) + self._pax)
+        return self._wrap(stype, out, array=True,
+                          integral=self._integral(a))
+
+    def np_flip(self, a, axis=None):
+        """Secure reversal along a logical axis (local)."""
+        stype = self._sectype(a)
+        s = self._share(a)
+        nd = len(s.shape) - self._pax
+        ax = (axis % nd if axis is not None else nd - 1) + self._pax
+        out = s.from_data(jnp.flip(s.data, axis=ax))
+        return self._wrap(stype, out, array=True,
+                          integral=self._integral(a))
+
     def np_fromlist(self, x):
         """List of secure numbers -> secure 1-D array."""
         stype = self._sectype(*x)
@@ -1123,21 +1152,26 @@ class Runtime:
 
     def np_concatenate(self, arrays, axis=0):
         stype = self._sectype(*arrays)
-        import jax.numpy as jnp
-        datas = [self._share(x).data for x in arrays]
         field = stype.field
-        nd = field.array._elem_ndim
-        ax = axis % (datas[0].ndim - nd)
-        out = field.array.from_data(jnp.concatenate(datas, axis=ax))
+        shares = [self._share(x) for x in arrays]
+        nd = len(shares[0].shape) - self._pax  # logical ndim
+        nd_elem = field.array._elem_ndim
+        ax = (axis % nd) + self._pax if axis >= 0 else axis - nd_elem
+        out = field.array.from_data(
+            jnp.concatenate([s.data for s in shares], axis=ax))
         return self._wrap(stype, out, array=True,
                           integral=all(self._integral(x) for x in arrays))
 
     def np_stack(self, arrays, axis=0):
         stype = self._sectype(*arrays)
-        import jax.numpy as jnp
         field = stype.field
-        datas = [self._share(x).data for x in arrays]
-        out = field.array.from_data(jnp.stack(datas, axis=axis))
+        shares = [self._share(x) for x in arrays]
+        nd = len(shares[0].shape) + 1  # logical ndim of the result (+party)
+        nd_elem = field.array._elem_ndim
+        ax = axis % (nd - self._pax) + self._pax if axis >= 0 else \
+            axis - nd_elem
+        out = field.array.from_data(
+            jnp.stack([s.data for s in shares], axis=ax))
         return self._wrap(stype, out, array=True,
                           integral=all(self._integral(x) for x in arrays))
 
@@ -2306,14 +2340,21 @@ def setup(argv=None):
         parties = [Party(i) for i in range(m)]
         pid = args.index if args.index is not None else 0
 
-    if m > 1 and not options.sim and \
-            os.getenv('MPYC_TPU_PARTY_DEVICE') is None:
-        # Local multi-process parties cannot share one TPU chip; run the
-        # per-party device math on CPU. Real deployments give each party its
-        # own accelerator and set MPYC_TPU_PARTY_DEVICE=tpu (or axon).
+    if os.getenv('MPYC_TPU_PARTY_DEVICE') is None and \
+            (m > 1 and not options.sim or os.getenv('PALLAS_AXON_POOL_IPS')):
+        # Default the eager protocol runtime to CPU when (a) local
+        # multi-process parties would contend for one TPU chip, or (b) the
+        # TPU is only reachable through the axon tunnel, where per-op
+        # dispatch is a network round trip that dwarfs eager scalar work.
+        # Fused batched pipelines (bench.py, models/pipelines.py) target the
+        # TPU directly; set MPYC_TPU_PARTY_DEVICE=tpu to override here.
         import jax
         try:
             jax.config.update('jax_platforms', 'cpu')
+            jax.config.update('jax_compilation_cache_dir',
+                              '/tmp/jax_cache_cpu')
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              0.5)
         except Exception:
             pass
 

@@ -259,6 +259,11 @@ class DevicePRF:
         consistently into any larger field — used by type conversion and
         bounded randomness, reference runtime.py:749-761).
         """
+        if field.characteristic == 2:
+            # GF(2^d): d-bit PRF values are field elements directly
+            assert self.is_pow2 and self.max <= field.order
+            k = (self.max - 1).bit_length()
+            return field.array.from_data(self.bits_uint32(s, tuple(shape), k))
         assert self.max == field.modulus or \
             (self.is_pow2 and self.max <= field.modulus)
         ctx = prime_field_ctx(field.modulus)
