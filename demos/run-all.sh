@@ -1,0 +1,13 @@
+#!/bin/bash
+# Run all demos with the given options, e.g.:
+#   ./run-all.sh           (single party)
+#   ./run-all.sh -M3       (three local parties over TCP)
+#   ./run-all.sh -M3 --sim (three co-located parties, one process)
+# Mirrors the reference demos/run-all.sh pattern (extra args pass through).
+cd "$(dirname "$0")"
+set -e
+for demo in helloworld parallelsort secretsanta aes sha3; do
+    echo "=== $demo $* ==="
+    python "$demo.py" "$@"
+done
+echo "All demos passed."
