@@ -52,8 +52,11 @@ def make_split_recombine(p: int, t: int, m: int):
         n = secrets.shape[0]
         n_vals = t * n
         n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
-        n_pad = max(8, 1 << (n_blocks - 1).bit_length())
-        blocks = keccak._squeeze_ctr(state_words, n_pad)[:n_blocks]
+        if keccak._pallas_available() and n_blocks >= 1024:
+            blocks = keccak._squeeze_ctr_pallas(state_words, n_blocks)
+        else:
+            n_pad = max(8, 1 << (n_blocks - 1).bit_length())
+            blocks = keccak._squeeze_ctr(state_words, n_pad)[:n_blocks]
         wide = rng_mod.words_to_elements(blocks, n_vals, l_bytes, L)
         red = ctx.reduce_chunks(wide.shape[-2])
         coefs = red(wide).reshape(t, n, L)

@@ -204,6 +204,66 @@ def _squeeze_ctr(state_words, n_instances: int):
     return jnp.stack(words, axis=-1)
 
 
+def _squeeze_ctr_pallas(state_words, n_instances: int):
+    """Counter-mode squeeze as a Pallas TPU kernel.
+
+    The 50-word sponge state lives in registers/VMEM for all 24 unrolled
+    rounds (the XLA fori_loop variant round-trips the state through HBM
+    every round, ~5x slower). Grid tiles of R x 128 instances; output block
+    (R*128, 42) words.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = 8                      # sublanes per tile; tile = R*128 instances
+    TILE = R * 128
+    n_pad = -(-n_instances // TILE) * TILE
+    grid = n_pad // TILE
+    rc = _RC_ARR
+
+    def kernel(state_ref, out_ref):
+        i = pl.program_id(0)
+        base = (jnp.uint32(i * TILE)
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 0)
+                * jnp.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1))
+        hi = [jnp.full((R, 128), state_ref[0, k]) for k in range(N_LANES)]
+        lo = [jnp.full((R, 128), state_ref[1, k]) for k in range(N_LANES)]
+        lo[19] = lo[19] ^ base
+        for rnd in range(24):
+            hi, lo = _keccak_round(hi, lo, jnp.uint32(int(rc[rnd, 0])),
+                                   jnp.uint32(int(rc[rnd, 1])))
+        # word-major output keeps the 128-lane minor dim aligned
+        for k in range(RATE // 8):
+            out_ref[0, 2 * k] = lo[k]
+            out_ref[0, 2 * k + 1] = hi[k]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((grid, 42, R, 128), jnp.uint32),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 42, R, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(state_words)
+    # (grid, 42, R, 128) -> (n_pad, 42): instance = g*TILE + r*128 + c
+    out = out.transpose(0, 2, 3, 1).reshape(n_pad, 42)
+    return out[:n_instances]
+
+
+_PALLAS_OK = None
+
+
+def _pallas_available():
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            _PALLAS_OK = jax.default_backend() not in ('cpu',)
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def shake128_ctr_blocks(prefix: bytes, n_instances: int):
     """n_instances independent 168-byte SHAKE128 blocks, counter-separated.
 
@@ -214,12 +274,15 @@ def shake128_ctr_blocks(prefix: bytes, n_instances: int):
 
     The instance count is padded up to a power of two (min 8) before the
     kernel call so XLA compilations are shared across batch sizes; the
-    surplus instances are sliced off.
+    surplus instances are sliced off. On TPU backends the squeeze runs as a
+    Pallas kernel (state resident in VMEM for all rounds).
     """
     assert len(prefix) <= 144, 'prefix must leave room for the counter lane'
     hi, lo = _absorb_host(prefix)
     state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
     n_pad = max(8, 1 << (int(n_instances) - 1).bit_length())
+    if _pallas_available() and n_pad >= 1024:
+        return _squeeze_ctr_pallas(jnp.asarray(state), int(n_instances))
     out = _squeeze_ctr(jnp.asarray(state), n_pad)
     return out[:n_instances]
 
