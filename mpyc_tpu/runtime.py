@@ -143,8 +143,16 @@ class Runtime:
         m = len(self.parties)
         if m == 1:
             return
-        from mpyc_tpu.parallel.exchange import TcpExchange
-        self.exchange = TcpExchange(self)
+        backend = os.getenv('MPYC_TPU_TRANSPORT', 'cpp')
+        if backend == 'cpp':
+            from mpyc_tpu.parallel import cpp_exchange
+            if cpp_exchange.available():
+                self.exchange = cpp_exchange.CppExchange(self)
+            else:
+                backend = 'python'
+        if self.exchange is None or backend == 'python':
+            from mpyc_tpu.parallel.exchange import TcpExchange
+            self.exchange = TcpExchange(self)
         self.exchange.start()
 
     def shutdown(self):
