@@ -83,6 +83,8 @@ class Runtime:
     SecFld = staticmethod(sectypes.SecFld)
     SecInt = staticmethod(sectypes.SecInt)
     SecFxp = staticmethod(sectypes.SecFxp)
+    SecFlt = staticmethod(sectypes.SecFlt)
+    SecureFloat = sectypes.SecureFloat
     gather = None  # set below
     coroutine = staticmethod(lambda f: f)
     returnType = None
@@ -312,6 +314,8 @@ class Runtime:
         stype = type(x[0])
         assert issubclass(stype, sectypes.SecureObject), \
             'input expects secure objects'
+        if hasattr(stype, '_input'):
+            return stype._input(x, senders)
         is_arr = issubclass(stype, sectypes.SecureArray)
         sctype = stype.sectype if is_arr else stype
         field = sctype.field
@@ -394,9 +398,9 @@ class Runtime:
 
         stype = type(xl[0])
         if issubclass(stype, sectypes.SecureObject):
-            if hasattr(stype, '_output') and callable(getattr(stype, '_output', None)) \
-                    and not isinstance(xl[0], (sectypes.SecureNumber, sectypes.SecureArray)):
-                pass  # custom secure objects: handled by their _output hook
+            if hasattr(stype, '_output'):
+                ys = stype._output(xl, receivers, threshold)
+                return ys if x_is_list else ys[0]
             is_arr = issubclass(stype, sectypes.SecureArray)
             sctype = stype.sectype if is_arr else stype
             field = sctype.field
@@ -734,9 +738,18 @@ class Runtime:
     # arithmetic core
     # ======================================================================
 
+    def _coerce_op(self, stype, x):
+        """Secure operand -> itself; public number -> encoded field value."""
+        if isinstance(x, (sectypes.SecureObject, finfields.FiniteFieldArray)):
+            return x
+        return self._wrap(stype, self._encode_public(stype, x), array=False,
+                          integral=self._integral(x))
+
     def add(self, a, b):
         """Secure addition of a and b."""
         stype = self._sectype(a, b)
+        a = self._coerce_op(stype, a)
+        b = self._coerce_op(stype, b)
         sa, sb = self._share2(a, b)
         res = sa + sb
         return self._wrap(stype, res, array=self._is_array_op(a, b),
@@ -745,6 +758,8 @@ class Runtime:
     def sub(self, a, b):
         """Secure subtraction of a and b."""
         stype = self._sectype(a, b)
+        a = self._coerce_op(stype, a)
+        b = self._coerce_op(stype, b)
         sa, sb = self._share2(a, b)
         res = sa - sb
         return self._wrap(stype, res, array=self._is_array_op(a, b),
@@ -2255,6 +2270,150 @@ class Runtime:
             c = self.mul(c, self.sub(self._public_fxp(a, 2), self.mul(c, b)))
         return self.mul(c, v)
 
+    def _norm2(self, a):
+        """Like _norm but also returns k (secure) with a = b * 2^k,
+        b in [1/2, 1): k = (l-1) - match_position - f."""
+        stype = self._sectype(a)
+        f = stype.frac_length
+        l = stype.bit_length
+        is_arr = isinstance(a, sectypes.SecureArray)
+        bits = self.np_to_bits(a, l)
+        rb = self._share(bits)
+        if f:
+            rb = rb >> f
+        one = stype.field.array(np.ones(1, dtype=object))
+        sign = rb[..., l - 1]
+        s_raw = 1 - sign
+        x = rb[..., :l - 1]
+        x = x.from_data(jnp.flip(x.data, axis=len(x.shape) - 1))
+        s_col = self._logical_reshape(s_raw, s_raw.shape[self._pax:] + (1,))
+        xs = self._reshare(x * s_col)
+        q = x + s_col - xs * 2
+        P = self._prefix_mul_raw(q)
+        prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
+        prev = prev.at_set((..., slice(0, 1)), one)
+        u = prev - P
+        nf = None
+        k_raw = None
+        for i in range(l - 1):
+            term = u[..., i] << i
+            nf = term if nf is None else nf + term
+            kt = u[..., i] * ((l - 1 - i) - f)
+            k_raw = kt if k_raw is None else k_raw + kt
+        v_raw = self._reshare((s_raw * 2 - 1) * nf)
+        shift = 2 * f - l + 1
+        sv = (v_raw << shift) if shift >= 0 else (v_raw >> (-shift))
+        v = self._wrap(stype, sv, array=is_arr, integral=False)
+        k = self._wrap(stype, k_raw << f if f else k_raw, array=is_arr,
+                       integral=True)
+        return v, k
+
+    def np_log2(self, a):
+        """Secure log2 of positive fixed-point a (normalize + polynomial)."""
+        stype = self._sectype(a)
+        v, k = self._norm2(a)            # a = b * 2^k with b = a*v in [.5,1)
+        b = self.mul(a, v)
+        # log2(b) on [1/2, 1): minimax-ish polynomial in t = 2b - 1 over [0,1)
+        t = self.sub(self.mul(b, 2), 1)  # in [0, 1)
+        # log2((1+t)/2) = log2(1+t) - 1; ln(1+t) series with range guard
+        coeffs = [0.0, 1.4426950408889634, -0.7213475204444817,
+                  0.4808983469629878, -0.3606737602222408,
+                  0.28853900817779266, -0.24044917348149388,
+                  0.20609929155556618, -0.18033688011112042]
+        acc = self._public_fxp(a, coeffs[-1])
+        for c in reversed(coeffs[:-1]):
+            acc = self.add(self.mul(acc, t), self._public_fxp(a, c))
+        return self.add(acc, self.sub(k, 1))
+
+    def np_log(self, a):
+        """Secure natural log of positive fixed-point a."""
+        return self.mul(self.np_log2(a), 0.6931471805599453)
+
+    def np_log10(self, a):
+        return self.mul(self.np_log2(a), 0.30102999566398114)
+
+    def log(self, a, base=None):
+        r = self.np_log(a) if base is None else \
+            self.mul(self.np_log2(a), 1.0 / math.log2(base))
+        return r
+
+    def np_exp2(self, a):
+        """Secure 2**a for fixed-point a (integer/fraction split)."""
+        stype = self._sectype(a)
+        f = stype.frac_length
+        l = stype.bit_length
+        # i = floor(a): trunc removes f bits; rescale to fxp integer value
+        fl_t = self.trunc(a, f=f)
+        fl_int = self.mul(fl_t, 1 << f)
+        frac = self.sub(a, fl_int)
+        # 2^floor(a) from its B-bit two's complement bits:
+        # factor 2^(2^j) per set bit, 2^(-2^(B-1)) for the sign bit
+        B = 4  # exponents in [-8, 8)
+        # fl_t's share holds floor(a) directly (before fxp rescale), so its
+        # low B bits are the exponent's two's complement bits
+        bits = self.np_to_bits(fl_t, B)
+        pw = None
+        for j in range(B):
+            b_j = self._bit_sel(bits, j)
+            big = float(2 ** (1 << j)) if j < B - 1 else 2.0 ** -(1 << j)
+            factor = self.if_else(b_j, self._public_fxp(a, big),
+                                  self._public_fxp(a, 1))
+            pw = factor if pw is None else self.mul(pw, factor)
+        # 2^frac on [0,1): polynomial
+        coeffs = [1.0, 0.6931471805599453, 0.240226506959101,
+                  0.05550410866482158, 0.009618129107628477,
+                  0.0013333558146428443, 0.00015403530393381608]
+        acc = self._public_fxp(a, coeffs[-1])
+        for c in reversed(coeffs[:-1]):
+            acc = self.add(self.mul(acc, frac), self._public_fxp(a, c))
+        return self.mul(pw, acc)
+
+    def _bit_sel(self, bits, j):
+        stype = self._sectype(bits)
+        piece = self._share(bits)[..., j]
+        return self._wrap(stype, piece, array=bool(piece.shape[self._pax:]),
+                          integral=True)
+
+    def np_exp(self, a):
+        """Secure e**a for fixed-point a."""
+        return self.np_exp2(self.mul(a, 1.4426950408889634))
+
+    def exp(self, a):
+        return self.np_exp(a)
+
+    def sincos(self, a):
+        """Secure (sin a, cos a) for fixed-point a in [-pi, pi].
+
+        Polynomial approximations on the reduced range (the reference uses
+        Korzilius-Schoenmakers complex rotations, runtime.py:4747-4851, which
+        additionally handle arbitrary ranges; range reduction mod 2*pi is
+        future work here).
+        """
+        x2 = self.mul(a, a)
+        sin_c = [1.0, -1 / 6, 1 / 120, -1 / 5040, 1 / 362880]
+        cos_c = [1.0, -1 / 2, 1 / 24, -1 / 720, 1 / 40320]
+        s = self._public_fxp(a, sin_c[-1])
+        for c in reversed(sin_c[:-1]):
+            s = self.add(self.mul(s, x2), self._public_fxp(a, c))
+        s = self.mul(s, a)
+        co = self._public_fxp(a, cos_c[-1])
+        for c in reversed(cos_c[:-1]):
+            co = self.add(self.mul(co, x2), self._public_fxp(a, c))
+        return s, co
+
+    def sin(self, a):
+        """Secure sine of a (a in [-pi, pi])."""
+        return self.sincos(a)[0]
+
+    def cos(self, a):
+        """Secure cosine of a (a in [-pi, pi])."""
+        return self.sincos(a)[1]
+
+    def tan(self, a):
+        """Secure tangent of a."""
+        s, c = self.sincos(a)
+        return self.div(s, c)
+
     def _public_fxp(self, like, value):
         """Public constant as a secure object of like's type."""
         stype = self._sectype(like)
@@ -2359,10 +2518,6 @@ def setup(argv=None):
         import jax
         try:
             jax.config.update('jax_platforms', 'cpu')
-            jax.config.update('jax_compilation_cache_dir',
-                              '/tmp/jax_cache_cpu')
-            jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                              0.5)
         except Exception:
             pass
 
@@ -2378,9 +2533,11 @@ def setup(argv=None):
     from mpyc_tpu import mpctools as _mpctools
     from mpyc_tpu import random as _random_mod
     from mpyc_tpu import statistics as _statistics
+    from mpyc_tpu import seclists as _seclists
     _mpctools.runtime = rt
     _random_mod.runtime = rt
     _statistics.runtime = rt
+    _seclists.runtime = rt
     rt.random = _random_mod
     return rt
 

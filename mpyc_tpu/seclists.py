@@ -1,0 +1,243 @@
+"""Oblivious lists with secret-index reads and writes.
+
+Parity target: /root/reference/mpyc/seclists.py — a list of secure numbers
+where the index used in reads/updates/insertions/deletions may itself be
+secret (a secure number or a secindex unit vector); access patterns reveal
+nothing about secret indices.
+"""
+
+from mpyc_tpu import sectypes
+
+runtime = None
+
+
+class secindex:
+    """Secure index: a unit vector with an offset (reference seclists.py:386)."""
+
+    __slots__ = ('value', 'offset', 'sectype')
+
+    def __init__(self, *args, offset=0, sectype=None):
+        if sectype is not None:
+            # args is an iterable of bits forming a unit vector
+            self.value = list(*args) if args else []
+            self.sectype = sectype
+        else:
+            x = args[0]
+            if isinstance(x, secindex):
+                self.value = list(x.value)
+                self.sectype = x.sectype
+                offset += x.offset
+            elif isinstance(x, sectypes.SecureNumber):
+                self.sectype = type(x)
+                self.value = None  # lazily expanded against a given length
+                self._num = x
+            else:
+                raise TypeError('secindex expects unit vector or secure number')
+        self.offset = offset
+
+    @classmethod
+    def _from_number(cls, a, n):
+        """Unit vector of length n from secure number a."""
+        u = runtime.unit_vector(a, n)
+        ix = cls(u, sectype=type(a))
+        return ix
+
+    def __add__(self, other):
+        if isinstance(other, int):
+            return secindex(self, offset=other)
+        return NotImplemented
+
+    __radd__ = __add__
+
+
+def _unit(i, n):
+    """Unit vector (list of secure bits) for index i over length n."""
+    if isinstance(i, secindex):
+        if i.value:
+            u = list(i.value)
+            off = i.offset
+        else:
+            u = runtime.unit_vector(i._num, n - i.offset)
+            off = i.offset
+        u = [type(u[0])(0)] * off + u
+        u += [type(u[0])(0)] * (n - len(u))
+        return u
+    if isinstance(i, sectypes.SecureNumber):
+        return runtime.unit_vector(i, n)
+    raise TypeError('secret index expected')
+
+
+class seclist(list):
+    """List of secure numbers with oblivious secret-index access."""
+
+    sectype = None
+
+    def __init__(self, x=(), sectype=None):
+        parent = []
+        for a in x:
+            parent.append(a)
+        super().__init__(parent)
+        if sectype is None:
+            for a in self:
+                if isinstance(a, sectypes.SecureObject):
+                    sectype = type(a)
+                    break
+        if sectype is None:
+            raise ValueError('sectype missing')
+        self.sectype = sectype
+        for j, a in enumerate(self):
+            if not isinstance(a, sectypes.SecureObject):
+                super().__setitem__(j, sectype(a))
+
+    def _coerce_value(self, value):
+        if isinstance(value, sectypes.SecureObject):
+            return value
+        return self.sectype(value)
+
+    # -- reads --------------------------------------------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, slice)):
+            r = super().__getitem__(key)
+            if isinstance(key, slice):
+                return seclist(r, sectype=self.sectype)
+            return r
+        u = _unit(key, len(self))
+        return runtime.in_prod(list(self), u)
+
+    # -- writes -------------------------------------------------------------
+
+    def __setitem__(self, key, value):
+        if isinstance(key, (int, slice)):
+            if isinstance(key, slice):
+                value = [self._coerce_value(v) for v in value]
+            else:
+                value = self._coerce_value(value)
+            super().__setitem__(key, value)
+            return
+        value = self._coerce_value(value)
+        u = _unit(key, len(self))
+        x_u = runtime.in_prod(list(self), u)
+        d = runtime.scalar_mul(value - x_u, u)
+        for j in range(len(self)):
+            super().__setitem__(j, self[j] + d[j])
+
+    def append(self, value):
+        super().append(self._coerce_value(value))
+
+    def extend(self, values):
+        for v in values:
+            self.append(v)
+
+    def insert(self, key, value):
+        """Insert value before (possibly secret) index key."""
+        value = self._coerce_value(value)
+        if isinstance(key, int):
+            super().insert(key, value)
+            return
+        n = len(self)
+        u = _unit(key, n + 1)
+        # prefix mask z_j = sum_{i<=j} u_i  (1 from the insertion point on)
+        z = []
+        acc = None
+        for j in range(n + 1):
+            acc = u[j] if acc is None else acc + u[j]
+            z.append(acc)
+        zero = self.sectype(0)
+        old = list(self) + [zero]          # old[j], j in [0, n]
+        prev = [zero] + list(self)         # old[j-1]
+        new = []
+        for j in range(n + 1):
+            # before point: old[j]; at the point: value; after: old[j-1]
+            v = old[j] + runtime.mul(z[j], prev[j] - old[j]) \
+                + runtime.mul(u[j], value - prev[j])
+            new.append(v)
+        super().__init__(new)
+
+    def delete(self, key):
+        """Delete element at (possibly secret) index key."""
+        if isinstance(key, int):
+            super().__delitem__(key)
+            return
+        n = len(self)
+        u = _unit(key, n)
+        # prefix mask: from the deletion point, take the next element
+        z = []
+        acc = None
+        for j in range(n):
+            acc = u[j] if acc is None else acc + u[j]
+            z.append(acc)
+        new = []
+        for j in range(n - 1):
+            new.append(runtime.if_else(z[j], self[j + 1], self[j]))
+        super().__init__(new)
+
+    def __delitem__(self, key):
+        self.delete(key)
+
+    def pop(self, key=-1):
+        """Remove and return element at (possibly secret) index key."""
+        if isinstance(key, int):
+            return super().pop(key)
+        r = self[key]
+        self.delete(key)
+        return r
+
+    # -- misc ---------------------------------------------------------------
+
+    def sort(self, key=None, reverse=False):
+        if len(self) < 2:
+            return
+        x = runtime.sorted(list(self), key=key, reverse=reverse)
+        super().__init__(x)
+
+    def count(self, value):
+        """Secure count of occurrences of value."""
+        value = self._coerce_value(value)
+        return runtime.sum([runtime.eq(a, value) for a in self])
+
+    def index(self, value):
+        """Secure index of the first occurrence of value."""
+        value = self._coerce_value(value)
+        return runtime.find(list(self), value)
+
+    def __contains__(self, value):
+        """Secure membership test (returns secure 0/1)."""
+        value = self._coerce_value(value)
+        return runtime.any([runtime.eq(a, value) for a in self])
+
+    def __add__(self, other):
+        out = seclist(self, sectype=self.sectype)
+        out.extend(other)
+        return out
+
+    def __lt__(self, other):
+        """Lexicographic secure comparison of equal-length lists."""
+        n = min(len(self), len(other))
+        lt = None
+        eq = None
+        for j in range(n):
+            a, b = self[j], other[j]
+            b = self._coerce_value(b)
+            l_j = runtime.lt(a, b)
+            e_j = runtime.eq(a, b)
+            if lt is None:
+                lt, eq = l_j, e_j
+            else:
+                lt = lt + runtime.mul(eq, l_j)
+                eq = runtime.mul(eq, e_j)
+        if len(self) < len(other):
+            lt = lt + eq
+        return lt
+
+    def __eq__(self, other):
+        n = max(len(self), len(other))
+        if len(self) != len(other):
+            return self.sectype(0)
+        eq = None
+        for a, b in zip(self, other):
+            e = runtime.eq(a, self._coerce_value(b))
+            eq = e if eq is None else runtime.mul(eq, e)
+        return eq
+
+    __hash__ = None

@@ -409,6 +409,215 @@ class SecureFixedPoint(SecureNumber):
         return v / (1 << f)
 
 
+class SecureFloat(SecureNumber):
+    """Secure floating-point number: (secfxp significand, secint exponent).
+
+    Reference semantics (sectypes.py:740-958): a nonzero significand is
+    normalized with 0.5 <= |s| <= 1; arithmetic renormalizes via secure bit
+    operations. Supports +,-,*,/ and comparisons, input/output and sorting;
+    aggregates like sum/in_prod are not supported (as in the reference).
+    """
+
+    __slots__ = ()
+
+    significand_type: type
+    exponent_type: type
+
+    def __init__(self, value=None):
+        if value is None:
+            value = (self.significand_type(None), self.exponent_type(None))
+        elif isinstance(value, (int, float)):
+            e = math.ceil(math.log(abs(value), 2)) if value else 0
+            s = value / 2 ** e
+            assert s == 0 or 0.5 <= abs(s) <= 1, (value, s, e)
+            value = (self.significand_type(s, integral=False),
+                     self.exponent_type(e))
+        elif isinstance(value, tuple):
+            if len(value) != 2 or \
+                    not isinstance(value[0], self.significand_type) or \
+                    not isinstance(value[1], self.exponent_type):
+                raise TypeError('significand/exponent pair required')
+        else:
+            raise TypeError('None, int, float, or significand/exponent '
+                            'pair required')
+        super().__init__(value)
+
+    def set_share(self, value):
+        self.share[0].set_share(value[0].share)
+        self.share[1].set_share(value[1].share)
+
+    def __neg__(self):
+        s, e = self.share
+        return type(self)((-s, e))
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        s, e = self.share
+        return type(self)((abs(s), e))
+
+    def __add__(self, other):
+        secflt = type(self)
+        if isinstance(other, (int, float)):
+            other = secflt(other)
+        s1, e1 = self.share
+        s2, e2 = other.share
+        secfxp = type(s1)
+        secint = type(e1)
+        f = secfxp.frac_length
+
+        c_e = e1 < e2
+        c_s = runtime.convert(c_e, secfxp)
+        e1, e2 = runtime.if_swap(c_e, e1, e2)
+        s1, s2 = runtime.if_swap(c_s, s1, s2)
+        # now e1 >= e2: align s2 by d = min(e1-e2, f) fractional shifts,
+        # computing 2^-d from the bits of d (the significand type has only
+        # ~2 integer bits of headroom, so comparisons over [0, f] as in the
+        # reference's unit-vector approach would overflow)
+        d = runtime.min(runtime.sub(e1, e2), secint(f))
+        nb = f.bit_length()
+        d_bits = runtime.to_bits(d, nb)
+        d_bits_fxp = runtime.convert(d_bits, secfxp)
+        d2 = None
+        for j in range(nb):
+            factor = runtime.if_else(d_bits_fxp[j],
+                                     secfxp(2.0 ** -(1 << j), integral=False),
+                                     secfxp(1))
+            d2 = factor if d2 is None else runtime.mul(d2, factor)
+        s = s1 + runtime.mul(s2, d2)
+        # renormalize: s = b * 2^k with b in [1/2, 1)
+        v, k = runtime._norm2(s)
+        b = runtime.mul(s, v)
+        k_int = runtime.convert(k, secint)
+        return secflt((b, runtime.add(e1, k_int)))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self + (-other)
+
+    def __rsub__(self, other):
+        return (-self) + other
+
+    def __mul__(self, other):
+        secflt = type(self)
+        if isinstance(other, (int, float)):
+            other = secflt(other)
+        s1, e1 = self.share
+        s2, e2 = other.share
+        s = runtime.mul(s1, s2)       # 1/4 <= |s| <= 1
+        e = runtime.add(e1, e2)
+        x = runtime.to_bits(s)
+        # |s| in [1/2, 1] iff the two bits below the sign agree (see
+        # reference sectypes.py:856-866)
+        c_s = runtime.mul(x[-2] - x[-3], x[-2] - x[-3])
+        c_e = runtime.convert(c_s, type(e1))
+        s = runtime.if_else(c_s, s, runtime.mul(s, 2))
+        e = runtime.if_else(c_e, e, runtime.sub(e, 1))
+        return secflt((s, e))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, (int, float)):
+            return self * (1 / other)
+        return self * other.reciprocal()
+
+    def __rtruediv__(self, other):
+        return other * self.reciprocal()
+
+    def reciprocal(self):
+        s, e = self.share
+        s = runtime.mul(runtime._rec(s), 0.5)  # 1/2 <= |1/(2s)| <= 1
+        return type(self)((s, runtime.sub(1, e)))
+
+    def _cmp(self, other, op):
+        if isinstance(other, (int, float)):
+            other = type(self)(other)
+        s = (self - other).share[0]
+        return type(self)((op(s), self.exponent_type(0)))
+
+    def __lt__(self, other):
+        return self._cmp(other, lambda s: runtime.sgn(s, LT=True))
+
+    def __le__(self, other):
+        return self._cmp(other, lambda s: 1 - runtime.sgn(runtime.neg(s),
+                                                          LT=True))
+
+    def __gt__(self, other):
+        return self._cmp(other, lambda s: runtime.sgn(runtime.neg(s),
+                                                      LT=True))
+
+    def __ge__(self, other):
+        return self._cmp(other, lambda s: 1 - runtime.sgn(s, LT=True))
+
+    def __eq__(self, other):
+        return self._cmp(other, lambda s: runtime.is_zero(s))
+
+    def __ne__(self, other):
+        return self._cmp(other, lambda s: 1 - runtime.is_zero(s))
+
+    __hash__ = None
+
+    @staticmethod
+    def is_zero_public(a):
+        """Called by runtime.is_zero_public()."""
+        return runtime.is_zero_public(a.share[0])
+
+    @classmethod
+    def _input(cls, x, senders):
+        """Called by runtime.input()."""
+        x_s = [a.share[0] for a in x]
+        x_e = [a.share[1] for a in x]
+        shares_s = runtime.input(x_s, senders)
+        shares_e = runtime.input(x_e, senders)
+        return [[cls(a) for a in zip(r_s, r_e)]
+                for r_s, r_e in zip(shares_s, shares_e)]
+
+    @classmethod
+    def _output(cls, x, receivers, threshold):
+        """Called by runtime.output(): open as Python floats."""
+        x_s = runtime.output([a.share[0] for a in x], receivers, threshold)
+        # zero exponent where significand is zero (avoids leaking e for 0)
+        e_0 = cls.exponent_type(0)
+        x_e = [a.share[1] if x_s[i] else e_0 for i, a in enumerate(x)]
+        x_e = runtime.output(x_e, receivers, threshold)
+        if x_s[0] is None:
+            return x_e
+        return [s * 2 ** e for s, e in zip(x_s, x_e)]
+
+
+def SecFlt(l=None, s=None, e=None):
+    """Secure l-bit float: s-bit significand + e-bit exponent (l = s+e)."""
+    if l is None:
+        if s is None or e is None:
+            l = runtime.options.bit_length
+        else:
+            l = s + e
+    if s is None:
+        if e is None:
+            s = round(6.2 + 0.99 * l - 4.1 * math.log(l))  # IEEE-like
+        else:
+            s = l - e
+    if e is None:
+        e = l - s
+    if l != s + e:
+        raise ValueError(f'inconsistent bit lengths: l={l} != s+e={s + e}')
+    return _SecFlt(s, e)
+
+
+@functools.cache
+def _SecFlt(s, e):
+    name = f'SecFlt{s + e}:{s}:{e}'
+    secflt = type(name, (SecureFloat,), {'__slots__': ()})
+    secflt.__doc__ = 'Class of secret-shared floating-point numbers.'
+    secflt.bit_length = s + e
+    secflt.significand_type = SecFxp(s + 1, s - 1)
+    secflt.exponent_type = SecInt(e)
+    return secflt
+
+
 def SecFld(order=None, modulus=None, char=None, ext_deg=None, min_order=None,
            signed=False):
     """Secure finite field of order q = p**d (reference: sectypes.py:568)."""

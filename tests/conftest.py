@@ -16,5 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NB: no persistent compilation cache — the container's remote-compile
+# service writes entries with mismatched CPU features (SIGILL / wrong
+# results when loaded); in-process jit caching suffices.
