@@ -2534,10 +2534,12 @@ def setup(argv=None):
     from mpyc_tpu import random as _random_mod
     from mpyc_tpu import statistics as _statistics
     from mpyc_tpu import seclists as _seclists
+    from mpyc_tpu import secpols as _secpols
     _mpctools.runtime = rt
     _random_mod.runtime = rt
     _statistics.runtime = rt
     _seclists.runtime = rt
+    _secpols.runtime = rt
     rt.random = _random_mod
     return rt
 
