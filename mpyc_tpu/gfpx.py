@@ -478,6 +478,12 @@ class Polynomial:
     def monic(self):
         return type(self)(self._monic(self.value), check=False)
 
+    def deriv(self):
+        """Formal derivative of the polynomial."""
+        p = self.p
+        cs = [i * c % p for i, c in enumerate(self.value)][1:]
+        return type(self)(self._norm(cs), check=False)
+
     def reverse(self, d=None):
         """Reverse of polynomial as degree-d polynomial (d defaults to degree)."""
         cs = list(self.value)
@@ -614,6 +620,12 @@ class BinaryPolynomial(Polynomial):
 
     def degree(self):
         return self.value.bit_length() - 1
+
+    def deriv(self):
+        """Formal derivative: only odd-degree terms survive mod 2."""
+        v = self.value >> 1
+        mask = sum(1 << i for i in range(0, v.bit_length(), 2))
+        return type(self)(v & mask, check=False)
 
     @classmethod
     def _add(cls, a, b):
