@@ -2174,31 +2174,224 @@ class Runtime:
         return res
 
     def find(self, x, a, bits=True, e='len(x)', f=None, cs_f=None):
-        """Secure index of the first occurrence of a in list x.
+        """Secure index ix of the first occurrence of a in list x.
 
-        Simplified linear scan (reference runtime.py:4486-4601 adds the
-        conditional-step-function trick); returns e-expression default
-        len(x) when a not found.
+        Full conditional-step-function contract of the reference
+        (runtime.py:4486-4601): with bits=True (default) a and x hold 0/1
+        values; bits=False allows arbitrary operands compared via ``!=``
+        (so plain objects whose ``==`` lifts to a secure bit work too).
+
+        If a does not occur, ix evaluates to e (an int, or an expression
+        string over len(x)); e=None returns the raw pair (nf, f(ix)) with
+        indicator nf=1 iff not found.  Function f maps the index to the
+        returned value(s) without extra communication; its conditional-step
+        form cs_f(b, i) == f(i+b) for b in {0,1} may be given instead.
+        The search itself is a log-depth binary cascade of if_else merges.
         """
-        n = len(x)
-        found = None
-        idx = None
-        for i in range(n):
-            hit = self.eq(x[i], a)
-            if found is None:
-                found = hit
-                idx = self.mul(hit, 0)
+        if bits:
+            if isinstance(a, int):
+                if a == 1:
+                    x = [1 - b for b in x]
             else:
-                new_hit = self.mul(1 - found, hit)
-                idx = self.add(idx, self.mul(new_hit, i))
-                found = self.add(found, new_hit)
-        if e == 'len(x)':
-            idx = self.add(idx, self.mul(1 - found, n))
-        return idx
+                x = [a + (1 - 2*a) * b for b in x]
+        else:
+            x = [b != a for b in x]
+        # locate the first 0 in x
+
+        type_f = None
+        if cs_f is None:
+            if f is None:
+                type_f = int
+                f = lambda i: [i]
+                cs_f = lambda b, i: [i + b]
+            else:
+                type_f = type(f(0))
+                if issubclass(type_f, int):
+                    f_int = f
+                    f = lambda i: [f_int(i)]
+                cs_f = lambda b, i: [b * (y1 - y0) + y0
+                                     for y0, y1 in zip(f(i), f(i+1))]
+        elif f is None:
+            type_f = type(cs_f(0, 0))
+            if issubclass(type_f, int):
+                cs_int = cs_f
+                cs_f = lambda b, i: [cs_int(b, i)]
+            elif issubclass(type_f, tuple):
+                cs_tup = cs_f
+                cs_f = lambda b, i: list(cs_tup(b, i))
+            f = lambda i: cs_f(0, i)
+        else:
+            type_f = type(f(0))
+            if issubclass(type_f, int):
+                f_int = f
+                f = lambda i: [f_int(i)]
+
+        if isinstance(e, str):
+            e = eval(e)  # expression over len(x)  pylint: disable=eval-used
+
+        if not x:
+            nf = 1
+            y = f(0) if e is None else f(e)
+        else:
+            def scan(i, j):
+                # [nf, *value]: nf=1 iff no 0 in x[i:j]; value==f(first index)
+                if j - i == 1:
+                    b = x[i]
+                    return [b] + cs_f(b, i)
+
+                h = i + (j - i) // 2
+                left = scan(i, h)
+                return self.if_else(left[0], scan(h, j), left)
+
+            nf, *f_ix = scan(0, len(x))
+            if e is None:
+                y = f_ix
+            else:
+                y = self.if_else(nf, [v if isinstance(v, sectypes.SecureObject)
+                                      else type(nf)(v) for v in f(e)], f_ix)
+        if issubclass(type_f, int):
+            y = y[0]
+        elif issubclass(type_f, tuple):
+            y = tuple(y)
+        return (nf, y) if e is None else y
+
+    def np_find(self, x, a, bits=True, e='len(x)', f=None, cs_f=None):
+        """Vector variant of find over a secure 1-D array x."""
+        return self.find(self.np_tolist(x), a, bits=bits, e=e, f=f, cs_f=cs_f)
 
     def indexOf(self, x, a, bits=True):
         """Secure index of a in x (value must occur)."""
         return self.find(x, a, bits=bits)
+
+    # ======================================================================
+    # secure integer number theory: trailing zeros, gcd/lcm, extended gcd,
+    # modular inverse via Bernstein-Yang divsteps, integer divmod and
+    # bit length (reference: runtime.py:1883-2022, secgroups.py:692-760)
+    # ======================================================================
+
+    def trailing_zeros(self, a, l=None):
+        """Secure l least significant bits of a, correct up to and
+        including the least significant 1 (reference runtime.py:1883)."""
+        secint = type(a)
+        if l is None:
+            l = secint.bit_length
+        x = self.to_bits(a, l)
+        return x
+
+    def gcp2(self, a, b, l=None):
+        """Secure greatest common power of 2 dividing a and b."""
+        x = self.trailing_zeros(a, l=l)
+        y = self.trailing_zeros(b, l=l)
+        z = self.vector_sub(self.vector_add(x, y), self.schur_prod(x, y))
+        return self.find(z, 1, e='len(x)-1', cs_f=lambda b, i: (b+1) << i)
+
+    @staticmethod
+    def _divstep_iterations(l):
+        """Iteration bound for Bernstein-Yang divsteps on l-bit inputs
+        (Theorem 11.2, eprint 2019/266)."""
+        return (49*l + (80 if l < 46 else 57)) // 17
+
+    def _gcd(self, a, b, l=None):
+        secint = type(a)
+        if l is None:
+            l = secint.bit_length
+
+        pow_of_2 = self.gcp2(a, b, l=l)
+        a, b = self.scalar_mul(1/pow_of_2, [a, b])
+
+        g, f = self.if_swap(self.mod(a, 2), a, b)
+        # f odd now (or f=g=0); stripped divsteps without Bezout tracking
+        delta = secint(1)
+        for i in range(self._divstep_iterations(l)):
+            delta_gt0 = 1 - self.sgn((delta - 1 - (i % 2)) / 2,
+                                     l=max(min(i, l).bit_length(), 1), LT=True)
+            g_0 = self.mod(g, 2)
+            delta, f, g = self.if_else(delta_gt0 * g_0,
+                                       [-delta, g, -f], [delta, f, g])
+            delta, g = delta + 1, (g + g_0 * f) / 2
+        return pow_of_2 * f
+
+    def gcd(self, a, b, l=None):
+        """Secure gcd of a and b; l bounds both bit lengths if given."""
+        return self.abs(self._gcd(a, b, l=l), l=l)
+
+    def lcm(self, a, b, l=None):
+        """Secure lcm of a and b; l bounds both bit lengths if given."""
+        g = self._gcd(a, b, l=l)
+        return self.abs(a * (b / (g + self.eq(g, 0))), l=None)
+
+    def _divsteps(self, a, b, l=None):
+        """Secure f, v with f = gcd(a, b) = u*a + v*b (a odd, or a=b=0).
+
+        Bernstein-Yang constant-iteration divsteps (eprint 2019/266),
+        avoiding 2-adic arithmetic: g and the Bezout row r are kept even
+        by conditional additions before the exact halving.
+        """
+        secint = type(a)
+        if l is None:
+            l = secint.bit_length
+        delta, f, v, g, r = secint(1), a, secint(0), b, secint(1)
+        for i in range(self._divstep_iterations(l)):
+            delta_gt0 = 1 - self.sgn((delta - 1 - (i % 2)) / 2,
+                                     l=max(min(i, l).bit_length(), 1), LT=True)
+            g_0 = self.mod(g, 2)
+            delta, f, v, g, r = self.if_else(delta_gt0 * g_0,
+                                             [-delta, g, r, -f, -v],
+                                             [delta, f, v, g, r])
+            g, r = self.if_else(g_0, [g + f, r + v], [g, r])
+            r = self.if_else(self.mod(r, 2), r + a, r)
+            delta, g, r = delta + 1, g / 2, r / 2
+        return f, v
+
+    def inverse(self, a, b, l=None):
+        """Secure inverse of a modulo b, for a>=0, b>0, gcd(a,b)=1."""
+        c = 1 - self.mod(a, 2)
+        a, b_ = self.if_swap(c, a, b)
+        g, t = self._divsteps(a, b_, l=l)  # g in {1, -1}
+        t = g * (t - a)
+        s = (1 - t * b_) / a
+        u = self.if_else(c, t, s)
+        u = self.if_else(self.sgn(u, LT=True), u + 2*b, u)
+        u = self.if_else(1 - self.lt(u, b), u - b, u)
+        return u
+
+    def gcdext(self, a, b, l=None):
+        """Secure extended gcd: (g, s, t) with g = gcd(a,b) = s*a + t*b."""
+        pow_of_2 = self.gcp2(a, b, l=l)
+        a, b = self.scalar_mul(1/pow_of_2, [a, b])
+        c = 1 - self.mod(a, 2)
+        a, b = self.if_swap(c, a, b)  # now a odd (or a=0=b)
+        g, t = self._divsteps(a, b, l=l)
+        g0 = self.mod(g, 2)  # 1 iff g != 0
+        sgn_g = g0 - 2*self.sgn(g, l=l, LT=True)
+        g, t = self.scalar_mul(sgn_g, [g, t])  # force g >= 0
+        s = (g - t * b) / (a + 1 - g0)  # guard division when a=0 (so b=0)
+        s, t = self.if_swap(c, s, t)
+        return pow_of_2 * g, s, t
+
+    def _divmod(self, a, b):
+        """Secure integer divmod(a, b) for b > 0, via fixed-point
+        reciprocal with a one-step correction (reference secgroups.py:692)."""
+        secint = type(a)
+        secfxp = self.SecFxp(2*secint.bit_length + 2)
+        a1, b1 = self.convert([a, b], secfxp)
+        q = self.convert(a1 / b1, secint)
+        r = a - b * q
+        q, r = self.if_else(self.sgn(r, LT=True), [q - 1, r + b], [q, r])
+        q, r = self.if_else(1 - self.lt(r, b), [q + 1, r - b], [q, r])
+        return q, r
+
+    def _bit_length(self, a):
+        """Secure pair (len, 2**len) for the bit length of a >= 0."""
+        secint = type(a)
+        l = secint.bit_length
+        x = self.to_bits(a, l)
+        x.reverse()  # MSB first; count leading zeros z, len = l - z
+        inv2 = secint.field(1) / secint.field(2)
+        z, p2z = self.find(
+            x, 1, e='len(x)',
+            cs_f=lambda b, i: (i + b, (2 - b) * secint(int(inv2**(i+1)))))
+        return l - z, p2z * (1 << l)
 
     # ======================================================================
     # fixed-point layer: normalization + Newton reciprocal
