@@ -535,6 +535,10 @@ class Runtime:
         xl = list(x) if x_is_list else [x]
         if not xl:
             return []
+        xl = [self._wrap(type(xi).sectype, self._share(xi).reshape(()),
+                         array=False, integral=self._integral(xi))
+              if isinstance(xi, sectypes.SecureArray) and xi.size == 1
+              else xi for xi in xl]
         s_type = type(xl[0])
         if issubclass(s_type, sectypes.SecureFiniteField) and \
                 issubclass(t_type, sectypes.SecureFiniteField):
@@ -570,8 +574,13 @@ class Runtime:
         uci = self._prss_uci()
         # same uci (hence the same PRF integers) in both fields
         # (reference: runtime.py:758-761)
-        s_r = thresha.np_pseudorandom_share(s_field, m, self.pid, prfs_s, uci, n)
-        t_r = thresha.np_pseudorandom_share(t_field, m, self.pid, prfs_s, uci, n)
+        if s_is_ff:
+            # arbitrary bound q: host integer stream embeds identically
+            prss = thresha.np_pseudorandom_share_host
+        else:
+            prss = thresha.np_pseudorandom_share
+        s_r = prss(s_field, m, self.pid, prfs_s, uci, n)
+        t_r = prss(t_field, m, self.pid, prfs_s, uci, n)
 
         d = t_type.frac_length - s_type.frac_length
         shares = [xi.share.reshape(1) if not xi.share.shape else xi.share
@@ -604,9 +613,11 @@ class Runtime:
         return out
 
     def _mod_public_field(self, t_type, v, b):
-        """(v mod b) for public modulus b via _mod protocol — placeholder:
-        used only in finite-field conversions; implemented in phase B."""
-        raise NotImplementedError('SecFld conversion lands with _mod (phase B)')
+        """(v mod b) for public modulus b, with v in (-b, b) after the
+        conversion unmasking: one signed comparison adds b back when v < 0."""
+        a = t_type(v.reshape(()))
+        neg = self.sgn(a, l=b.bit_length() + 1, LT=True)
+        return self._share(self.add(a, self.mul(neg, b))).reshape(v.shape)
 
     # ======================================================================
     # randomness
@@ -1174,9 +1185,12 @@ class Runtime:
                 for i in range(a.shape[0])]
 
     def np_concatenate(self, arrays, axis=0):
-        stype = self._sectype(*arrays)
+        sec = [x for x in arrays if isinstance(x, sectypes.SecureObject)]
+        stype = self._sectype(*sec)
         field = stype.field
-        shares = [self._share(x) for x in arrays]
+        shares = [self._share(x) if isinstance(x, sectypes.SecureObject)
+                  else self._encode_public(stype, np.asarray(x, dtype=object))
+                  for x in arrays]
         nd = len(shares[0].shape) - self._pax  # logical ndim
         nd_elem = field.array._elem_ndim
         ax = (axis % nd) + self._pax if axis >= 0 else axis - nd_elem
@@ -1203,6 +1217,54 @@ class Runtime:
         share = self._share(a).sum(axis=axis)
         return self._wrap(stype, share, array=bool(share.shape),
                           integral=self._integral(a))
+
+    def np_negative(self, a):
+        return self.sub(0, a)
+
+    def np_where(self, c, a, b):
+        """Secure elementwise/broadcast selection c*a + (1-c)*b."""
+        return self.add(self.mul(c, self.sub(a, b)), b)
+
+    def np_if_swap(self, c, a, b):
+        """Secure swap of arrays a, b when condition c holds."""
+        d = self.mul(c, self.sub(b, a))
+        return [self.add(a, d), self.sub(b, d)]
+
+    def np_cumsum(self, a, axis=None):
+        """Secure cumulative sum (local Hillis-Steele prefix doubling)."""
+        stype = self._sectype(a)
+        s = self._share(a)
+        if axis is None and len(s.shape) - self._pax != 1:
+            s = self._logical_flat(s)
+        nd = len(s.shape)
+        n = s.shape[-1]
+        zeros = stype.field.array(np.zeros(1, dtype=object))
+        d = 1
+        while d < n:
+            shifted = s.from_data(jnp.roll(s.data, d, axis=nd - 1))
+            shifted = shifted.at_set((..., slice(0, d)), zeros)
+            s = s + shifted
+            d *= 2
+        return self._wrap(stype, s, array=True, integral=self._integral(a))
+
+    def np_convolve(self, a, b):
+        """Secure 1-D convolution (polynomial product; one reshare round).
+
+        The shorter operand is unrolled into a banded (Toeplitz) matrix of
+        locally shifted copies so the product is a single secret-secret
+        matmul on the MXU (reference np_convolve: runtime.py:2481+).
+        """
+        na = a.shape[0] if isinstance(a, sectypes.SecureArray) else len(a)
+        nb = b.shape[0] if isinstance(b, sectypes.SecureArray) else len(b)
+        if na < nb:
+            a, b, na, nb = b, a, nb, na
+        n = na + nb - 1
+        stype = self._sectype(a, b)
+        pad = np.zeros(n - na, dtype=object)
+        awide = self.np_concatenate((a, pad)) if n > na else a
+        rows = self.np_stack([self.np_roll(awide, j) for j in range(nb)])
+        brow = self.np_reshape(b, (1, nb))
+        return self.np_getitem(self.np_matmul(brow, rows), 0)
 
     def np_matmul(self, a, b):
         """Secure matrix multiplication (one reshare round)."""

@@ -251,21 +251,39 @@ class DevicePRF:
         if not self.is_pow2:
             self.byte_length += rng_mod._WIDEN_BYTES
 
+    def host_integers(self, s: bytes, shape):
+        """PRF output as plain integers mod bound (host object array).
+
+        Used when the *same* integer values must embed into several fields
+        at once (type conversion masks, runtime.py _convert): the device
+        pipeline reduces directly into one field, so a field-independent
+        integer stream is needed instead.  Deterministic across parties.
+        """
+        n = prod(shape) if shape else 1
+        l = self.byte_length
+        if n == 0 or l == 0:
+            vals = [0] * n
+        else:
+            stream = shake_128(self.key + s).digest(n * l)
+            bound = self.max
+            vals = [int.from_bytes(stream[i:i + l], 'little') % bound
+                    for i in range(0, n * l, l)]
+        return np.array(vals, dtype=object).reshape(shape)
+
     def field_array(self, field, s: bytes, shape):
         """PRF output embedded into a prime field as a field.array.
 
         Valid when bound == field.modulus (values uniform mod p) or bound is
-        a power of two with bound <= p (the same k-bit integers embed
-        consistently into any larger field — used by type conversion and
-        bounded randomness, reference runtime.py:749-761).
+        a power of two (the same k-bit integers embed consistently into any
+        field, reduced mod p when k exceeds the field width — used by type
+        conversion and bounded randomness, reference runtime.py:749-761).
         """
         if field.characteristic == 2:
             # GF(2^d): d-bit PRF values are field elements directly
             assert self.is_pow2 and self.max <= field.order
             k = (self.max - 1).bit_length()
             return field.array.from_data(self.bits_uint32(s, tuple(shape), k))
-        assert self.max == field.modulus or \
-            (self.is_pow2 and self.max <= field.modulus)
+        assert self.max == field.modulus or self.is_pow2
         ctx = prime_field_ctx(field.modulus)
         n = prod(shape) if shape else 1
         l = max(self.byte_length, 1)
@@ -317,6 +335,19 @@ def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
     for S, prf_S in prfs.items():
         f = _f_S_i(field, m, i, S)
         vals = prf_S.field_array(field, uci, (n,))
+        term = vals * f
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def np_pseudorandom_share_host(field, m, i, prfs, uci: bytes, n):
+    """Party i's PRSS shares of n pseudorandom secrets, embedding a
+    field-independent host integer stream (same integers land in every
+    field — required by cross-field conversion masks)."""
+    acc = None
+    for S, prf_S in prfs.items():
+        f = _f_S_i(field, m, i, S)
+        vals = field.array(prf_S.host_integers(uci, (n,)))
         term = vals * f
         acc = term if acc is None else acc + term
     return acc
