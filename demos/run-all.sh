@@ -6,7 +6,7 @@
 # Mirrors the reference demos/run-all.sh pattern (extra args pass through).
 cd "$(dirname "$0")"
 set -e
-for demo in helloworld parallelsort secretsanta aes sha3; do
+for demo in helloworld parallelsort secretsanta aes sha3 elgamal dsa; do
     echo "=== $demo $* ==="
     python "$demo.py" "$@"
 done

@@ -84,6 +84,16 @@ def find_irreducible(p, d):
     return gfpx.GFpX(p).next_irreducible(p ** d - 1)
 
 
+def _unpickle_pgf_elt(p, n, w, value):
+    """Recreate a prime field element for the pickle module."""
+    return pGF(p, n, w)(value)
+
+
+def _unpickle_xgf_elt(char, modulus_int, value_int):
+    """Recreate an extension/binary field element for the pickle module."""
+    return xGF(gfpx.GFpX(char), modulus_int)(value_int)
+
+
 # ===========================================================================
 # scalar elements (host-side values)
 # ===========================================================================
@@ -228,10 +238,21 @@ class FiniteFieldElement:
     def __bool__(self):
         return bool(self.value)
 
+    def __reduce__(self):
+        cls = type(self)
+        if cls.ext_deg == 1:
+            return _unpickle_pgf_elt, (cls.modulus, cls.nth, cls.root,
+                                       self.value)
+
+        return _unpickle_xgf_elt, (cls.characteristic, int(cls.modulus),
+                                   int(self.value))
+
 
 @functools.cache
 def pGF(p, n, w):
-    """Create the prime field GF(p) with n-th root of unity w."""
+    """Create the prime field GF(p) with n-th root of unity w (cached so
+    repeated GF(p) calls return the identical class — required for
+    isinstance checks and pickling across party processes)."""
     if not gmpy2.is_prime(p):
         raise ValueError('modulus is not a prime')
 
@@ -341,7 +362,7 @@ class PrimeFieldElement(FiniteFieldElement):
 
 @functools.cache
 def xGF(polycls, modulus_int):
-    """Create the field GF(p^d) for irreducible modulus (gfpx class + int)."""
+    """Create the field GF(p^d) for irreducible modulus (cached; see pGF)."""
     modulus = polycls(modulus_int)
     p = polycls.p
     if not polycls.is_irreducible(modulus):

@@ -677,9 +677,15 @@ class EllipticCurvePoint(FiniteGroupElement):
 
 
 def _coerce_point(cls, value, target_len):
-    """Normalize constructor input: map ints to field elts, extend affine."""
+    """Normalize constructor input: map ints to field elts, extend affine.
+
+    Values that are neither ints nor field elements (e.g. secret-shared
+    numbers from mpyc_tpu.secgroups, which run these same curve formulas
+    obliviously) pass through untouched.
+    """
     field = cls.field
-    value = [c if isinstance(c, field) else field(c) for c in value]
+    value = [field(c) if isinstance(c, (int, str, list, tuple)) else c
+             for c in value]
     if 2 == len(value) < target_len:
         value.append(field(1))                    # z = 1
         if len(value) < target_len:
@@ -1421,18 +1427,8 @@ class HCDivisorCL(HyperellipticCurveDivisor):
         if all(c == 0 for c in D2.value):
             return D1
 
-        a1, a0, b1, b0, a1a1, a1a0 = D1
-        c1, c0, d1, d0, c1c1, c1c0 = D2
         try:
-            # generic-case matrix entries M_i and rhs z_i (CL Table 1, ADD)
-            m1 = a0 - c0
-            m2 = c1c0 - a1a0
-            m3 = a1 - c1
-            m4 = c1c1 - a1a1 + m1
-            z1 = d0 - b0
-            z2 = d1 - b1
-            uv = cls._cl_tail(m1, m2, m3, m4, z1, z2,
-                              a1, a0, b1, b0, a1a1, a1a0, a1 + c1, d1, c1c1)
+            uv = cls._cl_add(tuple(D1.value), tuple(D2.value))
         except ZeroDivisionError:
             uv = cls._cantor_fallback(cls._compose, (D1, D2))
         return cls(uv, check=False)
@@ -1442,24 +1438,43 @@ class HCDivisorCL(HyperellipticCurveDivisor):
         if all(c == 0 for c in D.value):
             return D
 
-        a1, a0, b1, b0, a1a1, a1a0 = D
         F = cls.field
-        f2, f3 = F(cls.f[2]), F(cls.f[3])
         try:
-            # generic-case doubling setup (CL Table 1, DBL); f4 = 0
-            b1b1 = b1**2
-            cross = (a1 + b1)**2 - a1a1 - b1b1  # 2*a1*b1
-            m1 = 2*b0 + cross
-            m2 = -2*b1 * (a0 + 2*a1a1)
-            m3 = 2*b1
-            m4 = 2*(b0 - cross)
-            z1 = f2 + 2*a1a0 + 2*a1a1 * a1 - b1b1
-            z2 = f3 - 2*a0 + 3*a1a1
-            uv = cls._cl_tail(m1, m2, m3, m4, z1, z2,
-                              a1, a0, b1, b0, a1a1, a1a0, 2*a1, b1, a1a1)
+            uv = cls._cl_dbl(tuple(D.value), F(cls.f[2]), F(cls.f[3]))
         except ZeroDivisionError:
             uv = cls._cantor_fallback(cls._compose2, (D,))
         return cls(uv, check=False)
+
+    @classmethod
+    def _cl_add(cls, c1, c2):
+        """Generic-case CL addition on raw 6-tuples (works verbatim on
+        secret-shared coordinates — used by mpyc_tpu.secgroups)."""
+        a1, a0, b1, b0, a1a1, a1a0 = c1
+        e1, e0, d1, d0, e1e1, e1e0 = c2
+        # matrix entries M_i and rhs z_i (CL Table 1, ADD)
+        m1 = a0 - e0
+        m2 = e1e0 - a1a0
+        m3 = a1 - e1
+        m4 = e1e1 - a1a1 + m1
+        z1 = d0 - b0
+        z2 = d1 - b1
+        return cls._cl_tail(m1, m2, m3, m4, z1, z2,
+                            a1, a0, b1, b0, a1a1, a1a0, a1 + e1, d1, e1e1)
+
+    @classmethod
+    def _cl_dbl(cls, c, f2, f3):
+        """Generic-case CL doubling on a raw 6-tuple (f4 = 0 assumed)."""
+        a1, a0, b1, b0, a1a1, a1a0 = c
+        b1b1 = b1**2
+        cross = (a1 + b1)**2 - a1a1 - b1b1  # 2*a1*b1
+        m1 = 2*b0 + cross
+        m2 = -2*b1 * (a0 + 2*a1a1)
+        m3 = 2*b1
+        m4 = 2*(b0 - cross)
+        z1 = f2 + 2*a1a0 + 2*a1a1 * a1 - b1b1
+        z2 = f3 - 2*a0 + 3*a1a1
+        return cls._cl_tail(m1, m2, m3, m4, z1, z2,
+                            a1, a0, b1, b0, a1a1, a1a0, 2*a1, b1, a1a1)
 
     @classmethod
     def inversion(cls, D, /):

@@ -25,7 +25,8 @@ X = 'x'  # symbol for the indeterminate
 
 @functools.cache
 def GFpX(p):
-    """Create the polynomial ring type GF(p)[x] for prime p."""
+    """Create the polynomial ring type GF(p)[x] for prime p (cached so the
+    class is unique per p — required for isinstance checks and pickling)."""
     if not gmpy2.is_prime(p):
         raise ValueError('number is not prime')
 
@@ -499,6 +500,9 @@ class Polynomial:
     def _cmp_key(self):
         return self._to_int(self.value)
 
+    def __reduce__(self):
+        return _unpickle_poly, (self.p, int(self))
+
     def __eq__(self, other):
         b = self._coerce(other)
         if b is NotImplemented:
@@ -749,3 +753,8 @@ class BinaryPolynomial(Polynomial):
 
     def __hash__(self):
         return hash((type(self).__name__, self.value))
+
+
+def _unpickle_poly(p, value):
+    """Recreate a polynomial from (p, int encoding) for the pickle module."""
+    return GFpX(p)(value)

@@ -38,18 +38,34 @@ def _prod(shape):
 def words_to_elements(blocks, n: int, l: int, L: int):
     """(n_blocks, 42) uint32 words -> (n, n_chunks, L) uint32 wide values.
 
-    Each element consumes l bytes from within a single 168-byte block
-    (elements never straddle blocks; the tail of each block is discarded).
+    Small elements (l <= 168 bytes) consume l bytes from within a single
+    168-byte block (never straddling; block tails are discarded).  Large
+    elements own ceil(l/168) whole consecutive blocks each.
     n_chunks = ceil(ceil(l/4) / L).
     """
     W = -(-l // 4)                  # uint32 words per element
     n_chunks = -(-W // L)
-    k = keccak.RATE // l            # elements per block
-    if l % 4 == 0:
+    if l > keccak.RATE:
+        # multi-block elements: bpe whole blocks per element, flattened
+        bpe = -(-l // keccak.RATE)
+        words = blocks.reshape(-1, bpe * (keccak.RATE // 4))[:n]
+        if l % 4 == 0:
+            usable = words[:, :W]
+        else:
+            b = jnp.stack([(words >> (8 * j)) & 0xFF for j in range(4)],
+                          axis=-1).reshape(n, -1)[:, :l]
+            pad = W * 4 - l
+            if pad:
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            usable = sum((b[:, j::4][:, :W] << (8 * j))
+                         for j in range(4)).astype(jnp.uint32)
+    elif l % 4 == 0:
+        k = keccak.RATE // l        # elements per block
         w_per = l // 4
         usable = blocks[:, :k * w_per].reshape(-1, w_per)[:n]
     else:
         # byte-granular path
+        k = keccak.RATE // l
         b = jnp.stack([(blocks >> (8 * j)) & 0xFF for j in range(4)],
                       axis=-1).reshape(blocks.shape[0], keccak.RATE)
         b = b[:, :k * l].reshape(-1, l)[:n]
@@ -64,6 +80,9 @@ def words_to_elements(blocks, n: int, l: int, L: int):
 
 
 def blocks_needed(n: int, l: int) -> int:
+    if l > keccak.RATE:
+        return n * -(-l // keccak.RATE)
+
     k = keccak.RATE // l
     return -(-n // k)
 

@@ -1266,6 +1266,88 @@ class Runtime:
         brow = self.np_reshape(b, (1, nb))
         return self.np_getitem(self.np_matmul(brow, rows), 0)
 
+    def np_outer(self, a, b):
+        """Secure outer product of two flattened arrays (one reshare)."""
+        a = self.np_flatten(a) if isinstance(a, sectypes.SecureArray) else a
+        b = self.np_flatten(b) if isinstance(b, sectypes.SecureArray) else b
+        n = a.shape[0] if isinstance(a, sectypes.SecureArray) else len(a)
+        m = b.shape[0] if isinstance(b, sectypes.SecureArray) else len(b)
+        return self.mul(self.np_reshape(a, (n, 1)), self.np_reshape(b, (1, m)))
+
+    def np_vander(self, a, N=None, increasing=False):
+        """Secure Vandermonde matrix: columns are elementwise powers of a
+        (log-depth squaring ladder, reference runtime.py:4947-4977)."""
+        n = len(a)
+        if N is None:
+            N = n
+
+        def powers(k):
+            # (n, k) array of columns a^1 .. a^k, log depth
+            if k == 1:
+                return self.np_reshape(a, (n, 1))
+
+            b = powers((k + 1) // 2)
+            c = self.np_getitem(b, (slice(None), slice(0, -1))) if k % 2 else b
+            top = self.np_getitem(b, (slice(None), slice(-1, None)))
+            return self.np_concatenate((b, self.mul(top, c)), axis=1)
+
+        stype = self._sectype(a)
+        ones = self._wrap(stype.sectype if hasattr(stype, 'sectype') else stype,
+                          self._encode_public(stype, np.ones((n, 1), dtype=object)),
+                          array=True, integral=True)
+        if N == 0:
+            return self.np_getitem(ones, (slice(None), slice(0, 0)))
+
+        b = ones if N == 1 else self.np_concatenate((ones, powers(N - 1)), axis=1)
+        if not increasing:
+            b = self.np_flip(b, axis=1)
+        return b
+
+    def np_det(self, A):
+        """Secure determinant of a nonsingular matrix via blinded LU:
+        multiply by secret random triangular L, U, open L@U@A, divide the
+        public determinant by det(U) (reference runtime.py:3952-3982)."""
+        stype = self._sectype(A)
+        sctype = stype.sectype if hasattr(stype, 'sectype') else stype
+        field = sctype.field
+        n = A.shape[-1]
+        while True:
+            U = self._np_randoms(field, n * n)
+            U = self._logical_reshape(U, (n, n))
+            dd = jnp.moveaxis(jnp.diagonal(U.data, axis1=0, axis2=1), -1, 0)
+            diag_raw = U.from_data(dd)
+            diag = [self._wrap(sctype, diag_raw[i], array=False, integral=True)
+                    for i in range(n)]
+            detU = self.prod(diag)
+            if not self.is_zero_public(detU):
+                break
+
+        # share-wise triangular split: slicing shares slices the secrets
+        low = np.tril(np.ones((n, n), dtype=bool), -1)
+        lowm = jnp.asarray(low).reshape(low.shape + (1,) * (U.data.ndim - 2))
+        zero = jnp.zeros_like(U.data)
+        eye = self._encode_public(sctype, np.eye(n, dtype=object))
+        L_raw = U.from_data(jnp.where(lowm, U.data, zero)) + eye
+        U_raw = U.from_data(jnp.where(lowm, zero, U.data))
+        L = self._wrap(sctype, L_raw, array=True, integral=True)
+        Uu = self._wrap(sctype, U_raw, array=True, integral=True)
+        LUA = self.np_matmul(L, self.np_matmul(Uu, A))
+        LUA = self.output(LUA, raw=True)
+        detLUA = _field_det_public(field, LUA)
+        return self.div(detLUA, detU)
+
+    def np_unit_vector(self, a, n):
+        """Secure length-n unit vector with the 1 at secret position a
+        (a reduced mod n), via rotating a random unit vector by a masked
+        public offset (reference runtime.py:5002-5029)."""
+        stype = type(a)
+        u = self.random.np_random_unit_vector(stype, n)
+        r = self.np_sum(self.mul(u, np.arange(n, dtype=object)))
+        R = self._random(stype, 1 << self.options.sec_param) + 1
+        c = self.output(self.add(self.sub(a, r), self.mul(R, n)))
+        c = int(c) % n
+        return self.np_roll(u, c)
+
     def np_matmul(self, a, b):
         """Secure matrix multiplication (one reshare round)."""
         stype = self._sectype(a, b)
@@ -1298,6 +1380,26 @@ class Runtime:
         Cn = self.np_matmul(An, Bn)
         return [[self.np_getitem(Cn, (i, j))
                  for j in range(Cn.shape[1])] for i in range(Cn.shape[0])]
+
+    def gauss(self, A, d, b, c):
+        """Secure Gaussian elimination step A*d - outer(b, c) on a
+        list-of-lists tableau: fused into one reshare (+ one truncation
+        for fixed point), reference runtime.py:3985-4005."""
+        n1, n2 = len(A), len(A[0])
+        stype = self._sectype(A[0][0])
+        f = stype.frac_length
+        sa = self._share(self.np_fromlist([x for row in A for x in row]))
+        sa = self._logical_reshape(sa, (n1, n2))
+        sd = self._share(d if isinstance(d, sectypes.SecureObject) else stype(d))
+        sb = self._logical_reshape(self._share(self.np_fromlist(b)), (n1, 1))
+        sc = self._logical_reshape(self._share(self.np_fromlist(c)), (1, n2))
+        raw = sa * sd - sb * sc
+        raw = self._reshare(raw)
+        if f:
+            raw = self._trunc_field(raw, f, stype.bit_length + f, stype)
+        out = self._wrap(stype, raw, array=True, integral=not f)
+        return [[self.np_getitem(out, (i, j)) for j in range(n2)]
+                for i in range(n1)]
 
     def vector_add(self, x, y):
         return [self.add(a, b) for a, b in zip(x, y)]
@@ -1952,9 +2054,11 @@ class Runtime:
         if x == []:
             return 0
         stype = self._sectype(*x)
+        char2 = stype.field.characteristic == 2
         acc = None
         for j, xb in enumerate(x):
-            term = self._share(xb) << j
+            sh = self._share(xb)
+            term = sh * (1 << j) if char2 else sh << j
             acc = term if acc is None else acc + term
         return self._wrap(stype, acc, array=False, integral=True)
 
@@ -2677,6 +2781,30 @@ class Runtime:
                           integral=float(value).is_integer())
 
 
+def _field_det_public(field, arr):
+    """Determinant mod p of an opened field array (host Gaussian elim)."""
+    p = field.modulus
+    a = [[int(v) % p for v in row] for row in arr.value.tolist()]
+    n = len(a)
+    det = 1
+    for i in range(n):
+        piv = next((r for r in range(i, n) if a[r][i] % p), None)
+        if piv is None:
+            return field(0)
+
+        if piv != i:
+            a[i], a[piv] = a[piv], a[i]
+            det = -det
+        det = det * a[i][i] % p
+        inv = pow(a[i][i], -1, p)
+        for r in range(i + 1, n):
+            f = a[r][i] * inv % p
+            if f:
+                for c in range(i, n):
+                    a[r][c] = (a[r][c] - f * a[i][c]) % p
+    return field(det % p)
+
+
 def _concat_field(field, arrays):
     """Concatenate 1-D field arrays."""
     import jax.numpy as jnp
@@ -2790,12 +2918,22 @@ def setup(argv=None):
     from mpyc_tpu import statistics as _statistics
     from mpyc_tpu import seclists as _seclists
     from mpyc_tpu import secpols as _secpols
+    from mpyc_tpu import secgroups as _secgroups
     _mpctools.runtime = rt
     _random_mod.runtime = rt
     _statistics.runtime = rt
     _seclists.runtime = rt
     _secpols.runtime = rt
+    _secgroups.runtime = rt
     rt.random = _random_mod
+    rt.SecGrp = _secgroups.SecGrp
+    rt.SecureFiniteGroup = _secgroups.SecureFiniteGroup
+    rt.SecSymmetricGroup = _secgroups.SecSymmetricGroup
+    rt.SecQuadraticResidues = _secgroups.SecQuadraticResidues
+    rt.SecSchnorrGroup = _secgroups.SecSchnorrGroup
+    rt.SecEllipticCurve = _secgroups.SecEllipticCurve
+    rt.SecHyperellipticCurve = _secgroups.SecHyperellipticCurve
+    rt.SecClassGroup = _secgroups.SecClassGroup
     return rt
 
 

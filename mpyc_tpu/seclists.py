@@ -199,7 +199,7 @@ class seclist(list):
     def index(self, value):
         """Secure index of the first occurrence of value."""
         value = self._coerce_value(value)
-        return runtime.find(list(self), value)
+        return runtime.indexOf(list(self), value, bits=False)
 
     def __contains__(self, value):
         """Secure membership test (returns secure 0/1)."""

@@ -451,7 +451,8 @@ class secpoly(SecureObject):
         f, g = runtime.np_if_swap(c, f, g)
         # f[0] != 0 now, unless f = g = 0
         stype = type(a)
-        secint = runtime.SecInt(l=1 + max(n.bit_length(), 16))
+        secint = runtime.SecInt(
+            l=1 + max(n.bit_length(), stype.sectype.field.modulus.bit_length()))
         delta = secint(1)
         for i in range(2*n - 1):
             delta_gt0 = 1 - runtime.sgn((delta - 1 - (i % 2)) / 2,
@@ -481,7 +482,8 @@ class secpoly(SecureObject):
         a, b = alpha * a, alpha * b
         u = r = secfld.array(np.array([1], dtype=object))
         v = q = secfld.array(np.array([], dtype=object))
-        secint = runtime.SecInt(l=1 + max(n.bit_length(), 16))
+        secint = runtime.SecInt(
+            l=1 + max(n.bit_length(), stype.sectype.field.modulus.bit_length()))
         delta = secint(1)
         for i in range(n):
             if not len(g):

@@ -21,6 +21,7 @@ import numpy as np
 from mpyc_tpu import gmpy as gmpy2
 from mpyc_tpu import gfpx
 from mpyc_tpu import finfields
+from mpyc_tpu import fingroups
 
 runtime = None  # set by mpyc_tpu.runtime at setup
 
@@ -102,6 +103,12 @@ class SecureNumber(SecureObject):
         return runtime.sub(other, self)
 
     def __mul__(self, other):
+        if isinstance(other, fingroups.FiniteGroupElement) and \
+                type(other).is_additive:
+            # n*a for additive group element a: secure repeat
+            from mpyc_tpu import secgroups
+            return secgroups.SecGrp(type(other)).repeat(other, self)
+
         other = self._coerce2(other)
         if other is NotImplemented:
             return NotImplemented
@@ -163,6 +170,15 @@ class SecureNumber(SecureObject):
             return NotImplemented
         return runtime.pow(self, other)
 
+    def __rpow__(self, other):
+        if isinstance(other, fingroups.FiniteGroupElement) and \
+                type(other).is_multiplicative:
+            # a**x for multiplicative group element a: secure repeat
+            from mpyc_tpu import secgroups
+            return secgroups.SecGrp(type(other)).repeat(other, self)
+
+        return NotImplemented
+
     # shifts
 
     def __lshift__(self, other):
@@ -185,7 +201,13 @@ class SecureNumber(SecureObject):
     def __xor__(self, other):
         return runtime.xor(self, other)
 
-    __rxor__ = __xor__
+    def __rxor__(self, other):
+        if isinstance(other, fingroups.FiniteGroupElement):
+            # a^x for group element a and secret exponent x: secure repeat
+            from mpyc_tpu import secgroups
+            return secgroups.SecGrp(type(other)).repeat(other, self)
+
+        return runtime.xor(self, other)
 
     def __or__(self, other):
         return runtime.or_(self, other)
@@ -306,7 +328,12 @@ class SecureFiniteField(SecureNumber):
             raise TypeError("bad operand type for ^")
         return runtime.xor(self, other)
 
-    __rxor__ = __xor__
+    def __rxor__(self, other):
+        if isinstance(other, fingroups.FiniteGroupElement):
+            from mpyc_tpu import secgroups
+            return secgroups.SecGrp(type(other)).repeat(other, self)
+
+        return self.__xor__(other)
 
     def __or__(self, other):
         if self.field.characteristic != 2:
