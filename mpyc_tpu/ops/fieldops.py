@@ -237,15 +237,17 @@ class PrimeFieldCtx:
 
     @property
     def sum(self):
-        """Sum along axis=0 of the batch dims (tree reduction mod p)."""
+        """Sum along axis=0 of the batch dims: pairwise-halving tree of
+        vectorized modular adds (O(log N) traced ops, O(N) work)."""
         def _sum(a):
             # a: (N, ..., L) -> (..., L)
-            ll = limb.unstack(a, self.L)
-            n = a.shape[0]
-            acc = [x[0] for x in ll]
-            for i in range(1, n):
-                acc = limb.add_mod(acc, [x[i] for x in ll], self.p_limbs)
-            return limb.stack(acc)
+            while a.shape[0] > 1:
+                if a.shape[0] % 2:
+                    a = jnp.concatenate([a, jnp.zeros_like(a[:1])], 0)
+                x = limb.unstack(a[0::2], self.L)
+                y = limb.unstack(a[1::2], self.L)
+                a = limb.stack(limb.add_mod(x, y, self.p_limbs))
+            return a[0]
         return self._jit('sum0', _sum)
 
     @property

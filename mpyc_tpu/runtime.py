@@ -1956,10 +1956,7 @@ class Runtime:
         k = self.options.sec_param
         r_bits = self.np_random_bits(field, n * l_eff)
         r_bits = self._logical_reshape(r_bits, (n, l_eff))
-        r_modl = None
-        for j in range(l_eff):
-            term = r_bits[..., j] << j
-            r_modl = term if r_modl is None else r_modl + term
+        r_modl = self._dot_pow2_last(r_bits)
         r_divl = self._np_randoms(field, n,
                                   1 << (stype.bit_length + k - l_eff))
         a_sh = self._logical_reshape(self._share(a), (n,))
@@ -1984,10 +1981,8 @@ class Runtime:
         field = stype.field
         r_bits = self.np_random_bits(field, n * l)
         r_bits = self._logical_reshape(r_bits, (n, l))
-        r_modl = None
-        for j in range(l):
-            term = r_bits[..., j] * (1 << j)  # char-2: int encodes x^j
-            r_modl = term if r_modl is None else r_modl + term
+        # char-2: int 2^j encodes x^j, so the same pow2 dot applies
+        r_modl = self._dot_pow2_last(r_bits)
         a_sh = self._logical_reshape(self._share(a), (n,))
         c = self.output(a_sh + r_modl)
         c_ints = np.array([int(v) for v in
@@ -2066,14 +2061,7 @@ class Runtime:
         """Recover secure numbers from bit arrays (last axis = bits)."""
         stype = self._sectype(x)
         s = self._share(x)
-        l = s.shape[-1]
-        acc = None
-        for j in range(l):
-            if stype.field.characteristic == 2:
-                term = s[..., j] * (1 << j)
-            else:
-                term = s[..., j] << j
-            acc = term if acc is None else acc + term
+        acc = self._dot_pow2_last(s)
         return self._wrap(stype, acc, array=bool(acc.shape[self._pax:]),
                           integral=True)
 
@@ -2564,6 +2552,20 @@ class Runtime:
     # (reference: runtime.py:4718-4745)
     # ======================================================================
 
+    def _dot_public_last(self, u, weights):
+        """sum_i u[..., i] * w_i along the last logical axis (public w;
+        one local mul + sum instead of a Python dispatch loop per term)."""
+        field = u.field
+        if isinstance(field.modulus, int):
+            weights = [v % field.modulus for v in weights]
+        w = field.array(np.array(weights, dtype=object))
+        return (u * w).sum(axis=len(u.shape) - 1)
+
+    def _dot_pow2_last(self, u):
+        """sum_i u[..., i] * 2^i along the last logical axis."""
+        n = u.shape[-1]
+        return self._dot_public_last(u, [1 << i for i in range(n)])
+
     def _prefix_mul_raw(self, s):
         """Inclusive prefix products along the last logical axis (raw field
         arrays of 0/1 values; log2(n) resharing rounds, Hillis-Steele)."""
@@ -2606,10 +2608,7 @@ class Runtime:
         prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
         prev = prev.at_set((..., slice(0, 1)), one)
         u = prev - P                                    # first-match one-hot
-        nf = None
-        for i in range(l - 1):
-            term = u[..., i] << i
-            nf = term if nf is None else nf + term
+        nf = self._dot_pow2_last(u)                     # sum_i u_i 2^i
         v_raw = self._reshare((s_raw * 2 - 1) * nf)   # signed power of two
         # fxp share scale: v_real = (2s-1) nf 2^(f-(l-1));
         # share(v) = v_real 2^f = v_raw 2^(2f-l+1)
@@ -2652,13 +2651,9 @@ class Runtime:
         prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
         prev = prev.at_set((..., slice(0, 1)), one)
         u = prev - P
-        nf = None
-        k_raw = None
-        for i in range(l - 1):
-            term = u[..., i] << i
-            nf = term if nf is None else nf + term
-            kt = u[..., i] * ((l - 1 - i) - f)
-            k_raw = kt if k_raw is None else k_raw + kt
+        nf = self._dot_pow2_last(u)
+        k_raw = self._dot_public_last(
+            u, [(l - 1 - i) - f for i in range(l - 1)])
         v_raw = self._reshare((s_raw * 2 - 1) * nf)
         shift = 2 * f - l + 1
         sv = (v_raw << shift) if shift >= 0 else (v_raw >> (-shift))
