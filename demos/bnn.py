@@ -57,7 +57,7 @@ def main():
     # bsgn activation: -1 if z < 0 else +1
     A1 = mpc.np_sgn(Z1, LT=True) * -2 + 1
     L = A1 @ W2
-    idx, _ = mpc.np_argmax(L, axis=1)
+    idx = mpc.np_argmax(L, axis=1)
     got = mpc.run(mpc.output(idx))
     elapsed = time.time() - t0
 

@@ -631,6 +631,12 @@ class FiniteFieldArray:
             raise TypeError('len() of unsized (scalar) field array')
         return self.shape[0]
 
+    def __bool__(self):
+        if self.size != 1:
+            raise ValueError('truth value of multi-element field array '
+                             'is ambiguous')
+        return any(int(v) != 0 for v in np.asarray(self._decode()).reshape(-1))
+
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])

@@ -1764,20 +1764,19 @@ class Runtime:
             b_val = int(self.run(self.output(b)))  # public value required
         else:
             b_val = int(b)
-        if b_val == 2:
-            r = self.lsb(a)
-        else:
-            r = self._mod(a, b_val)
-        f = stype.frac_length
-        if f:
-            r = self.mul(r, 2 ** -f)
-        return r
+        # work in the raw share domain (reference runtime.py:1825-1838):
+        # for secfxp the divisor is b scaled by 2^f, so the raw result
+        # directly represents a mod b (fractional part included).
+        b_raw = b_val << stype.frac_length
+        if b_raw == 2:
+            return self.lsb(a)
+        return self._mod(a, b_raw)
 
     def _mod(self, a, b: int):
-        """Secure mod for public b a la [GMS10] (reference runtime.py:1840)."""
+        """Secure mod for public raw-domain b a la [GMS10]
+        (reference runtime.py:1840-1880)."""
         stype = self._sectype(a)
         Zp = stype.field
-        f = stype.frac_length
         l = stype.bit_length
         k = self.options.sec_param
         shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
@@ -1792,8 +1791,6 @@ class Runtime:
             r_modb = term if r_modb is None else r_modb + term
         r_divb = self._np_randoms(Zp, n, 1 << k)
         a_sh = self._logical_reshape(self._share(a), (n,))
-        if f:
-            a_sh = a_sh >> f  # integral secfxp values assumed
         c = self.output(a_sh + ((1 << l) - ((1 << l) % b) + r_divb * b
                                 - r_modb))
         # c mod b on device: via host (public, small)
@@ -1834,11 +1831,10 @@ class Runtime:
         z = (s_sign - (s_sign * g_f) * 2 + 1) >> 1
         c_dev = Zp.array(np.array(list(c_vals), dtype=object))
         res = c_dev + r_modb - z * b
-        if f:
-            res = res << f
         res = self._logical_reshape(res, shape) if shape else \
             self._logical_reshape(res, (1,))[..., 0]
-        return self._wrap(stype, res, array=bool(shape), integral=True)
+        return self._wrap(stype, res, array=bool(shape),
+                          integral=self._integral(a))
 
     def _randbelow_bits(self, field, b: int, n):
         """Secure uniform r < b as bits (rejection-free for powers of 2;
@@ -2264,12 +2260,15 @@ class Runtime:
         return self._wrap(stype, out, array=True,
                           integral=self._integral(a) and self._integral(b))
 
-    def np_argmin(self, a, axis=None, **kwargs):
-        """Secure argmin along axis (returns indices as secure ints)."""
-        return self._np_arg_extremum(a, axis, is_min=True)
+    def np_argmin(self, a, axis=None, arg_only=True, **kwargs):
+        """Secure argmin along axis; set arg_only=False for (arg, min)."""
+        arg, val = self._np_arg_extremum(a, axis, is_min=True)
+        return arg if arg_only else (arg, val)
 
-    def np_argmax(self, a, axis=None, **kwargs):
-        return self._np_arg_extremum(a, axis, is_min=False)
+    def np_argmax(self, a, axis=None, arg_only=True, **kwargs):
+        """Secure argmax along axis; set arg_only=False for (arg, max)."""
+        arg, val = self._np_arg_extremum(a, axis, is_min=False)
+        return arg if arg_only else (arg, val)
 
     def _np_arg_extremum(self, a, axis, is_min):
         if axis is None:
@@ -2921,6 +2920,8 @@ def setup(argv=None):
     _secpols.runtime = rt
     _secgroups.runtime = rt
     rt.random = _random_mod
+    rt.statistics = _statistics
+    rt.seclist = _seclists.seclist
     rt.SecGrp = _secgroups.SecGrp
     rt.SecureFiniteGroup = _secgroups.SecureFiniteGroup
     rt.SecSymmetricGroup = _secgroups.SecSymmetricGroup

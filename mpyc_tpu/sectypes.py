@@ -156,7 +156,10 @@ class SecureNumber(SecureObject):
         if other is NotImplemented:
             return NotImplemented
         r = runtime.mod(self, other)
-        q = (self - r) / other
+        # exact field inverse of the raw divisor: (self-r) is an exact
+        # multiple of other, so the quotient is exact (no fxp division
+        # error); reference sectypes.py:233-240.
+        q = runtime.mul(self - r, runtime.reciprocal(other))
         return q, r
 
     def __rdivmod__(self, other):

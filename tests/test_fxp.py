@@ -63,3 +63,21 @@ def test_fxp_mixed_arith(mpc):
     assert mpc.run(mpc.output(x * 4)) == 6.0
     got = mpc.run(mpc.output((x * y) * x))
     assert abs(got - (-3.375 * 1.5)) < 2 ** -12
+
+
+def test_divmod_exact(mpc):
+    """a divmod b must be exact for fxp (field-inverse quotient) and int."""
+    secfxp = mpc.SecFxp(32)
+    for v, b in ((5.0, 2), (1.0, 2), (7.0, 3), (-3.0, 2), (5.5, 2),
+                 (7.25, 3), (-3.5, 2)):
+        q, r = divmod(secfxp(v), b)
+        qv = mpc.run(mpc.output(q))
+        rv = mpc.run(mpc.output(r))
+        eq, er = divmod(v, b)
+        assert (float(qv), float(rv)) == (eq, er), (v, b, qv, rv)
+    secint = mpc.SecInt(32)
+    for v, b in ((5, 2), (4, 2), (7, 3), (-3, 2)):
+        q, r = divmod(secint(v), b)
+        qv = int(mpc.run(mpc.output(q)))
+        rv = int(mpc.run(mpc.output(r)))
+        assert (qv, rv) == divmod(v, b), (v, b, qv, rv)
