@@ -90,6 +90,8 @@ class CppExchange:
         rt = self.rt
         m = len(rt.parties)
         t = rt.threshold
+        if rt.options.no_prss:
+            return [0] * m, b''
         counts = []
         blob = b''
         for peer in range(m):
@@ -103,6 +105,9 @@ class CppExchange:
 
     def _store_peer_keys(self, peer, blob):
         rt = self.rt
+        if rt.options.no_prss:
+            assert not blob, 'unexpected PRSS keys in no-PRSS mode'
+            return
         m = len(rt.parties)
         t = rt.threshold
         i = 0

@@ -102,6 +102,8 @@ class TcpExchange:
 
     def prss_keys_for_peer(self, peer_pid):
         rt = self.rt
+        if rt.options.no_prss:
+            return []
         m = len(rt.parties)
         t = rt.threshold
         keys = []
@@ -112,6 +114,9 @@ class TcpExchange:
 
     def store_peer_keys(self, peer_pid, keys):
         rt = self.rt
+        if rt.options.no_prss:
+            assert not keys, 'unexpected PRSS keys in no-PRSS mode'
+            return
         m = len(rt.parties)
         t = rt.threshold
         i = 0

@@ -114,6 +114,7 @@ class Runtime:
     def threshold(self, t):
         self._threshold = t
         if self.options.no_prss:
+            self._prss_keys = {}
             return
         m = len(self.parties)
         self.prfs.cache_clear()
@@ -566,21 +567,30 @@ class Runtime:
         else:
             k = self.options.sec_param
             l = min(s_type.bit_length, t_type.bit_length)
+            d_senders = t + 1 if self.options.no_prss else math.comb(m, t)
             # power-of-2 bound (reference uses exact bound; a power of two
             # embeds the identical integers into both fields on device)
-            bound = 1 << max(0, (k + l) - math.comb(m, t).bit_length() + 1)
+            bound = 1 << max(0, (k + l) - d_senders.bit_length() + 1)
 
-        prfs_s = self.prfs(bound)
-        uci = self._prss_uci()
-        # same uci (hence the same PRF integers) in both fields
-        # (reference: runtime.py:758-761)
-        if s_is_ff:
-            # arbitrary bound q: host integer stream embeds identically
-            prss = thresha.np_pseudorandom_share_host
+        if self.options.no_prss:
+            # t+1 senders input the *same* integers into both fields
+            # (reference runtime.py:740-755)
+            senders = self._no_prss_senders()
+            ints = [secrets.randbelow(bound) for _ in range(n)]
+            s_r = self._np_input_sum(s_field, n, lambda: ints, senders)
+            t_r = self._np_input_sum(t_field, n, lambda: ints, senders)
         else:
-            prss = thresha.np_pseudorandom_share
-        s_r = prss(s_field, m, self.pid, prfs_s, uci, n)
-        t_r = prss(t_field, m, self.pid, prfs_s, uci, n)
+            prfs_s = self.prfs(bound)
+            uci = self._prss_uci()
+            # same uci (hence the same PRF integers) in both fields
+            # (reference: runtime.py:758-761)
+            if s_is_ff:
+                # arbitrary bound q: host integer stream embeds identically
+                prss = thresha.np_pseudorandom_share_host
+            else:
+                prss = thresha.np_pseudorandom_share
+            s_r = prss(s_field, m, self.pid, prfs_s, uci, n)
+            t_r = prss(t_field, m, self.pid, prfs_s, uci, n)
 
         d = t_type.frac_length - s_type.frac_length
         shares = [xi.share.reshape(1) if not xi.share.shape else xi.share
@@ -602,7 +612,11 @@ class Runtime:
             v = t_field.array(np.array(c_ints[i], dtype=object)) - \
                 t_r_vals[i]
             if s_is_ff:
-                v = self._mod_public_field(t_type, v, s_field.modulus)
+                # full public-modulus reduction: the mask is a sum of PRF/
+                # input values, so v mod q needs [GMS10], not a single
+                # conditional add (reference runtime.py:781)
+                v = self._share(self._mod(t_type(v.reshape(())),
+                                          int(s_field.modulus))).reshape(())
             v = v - offset
             if d > 0 and not s_is_ff:
                 v = v * (1 << d)
@@ -612,36 +626,68 @@ class Runtime:
             out.append(res)
         return out
 
-    def _mod_public_field(self, t_type, v, b):
-        """(v mod b) for public modulus b, with v in (-b, b) after the
-        conversion unmasking: one signed comparison adds b back when v < 0."""
-        a = t_type(v.reshape(()))
-        neg = self.sgn(a, l=b.bit_length() + 1, LT=True)
-        return self._share(self.add(a, self.mul(neg, b))).reshape(v.shape)
-
     # ======================================================================
     # randomness
     # ======================================================================
 
-    def _randoms(self, sftype, n, bound=None):
-        """n secure random values (PRSS; reference runtime.py:4023-4060)."""
-        if issubclass(sftype, sectypes.SecureObject):
-            field = sftype.field
-        else:
-            field = sftype
+    def _no_prss_senders(self):
+        """Rotating t+1 sender set for the interactive (no-PRSS) randomness
+        protocols (reference runtime.py:4036-4038: pc-based load balancing)."""
         m = len(self.parties)
         t = self.threshold
-        if bound is None:
-            bound = field.order
-        else:
-            bound = 1 << max(0, (bound // math.comb(m, t)).bit_length() - 1)
-        x = thresha.np_pseudorandom_share(field, m, self.pid,
-                                          self.prfs(bound), self._prss_uci(), n)
+        uci = self._program_counter[0] % m
+        return tuple((uci + i) % m for i in range(t + 1))
+
+    def _np_input_rows(self, field, n, vals_fn, senders):
+        """Each sender Shamir-splits n private values produced by vals_fn()
+        and scatters the rows; returns the list of t+1 local share arrays.
+
+        The interactive substitute for PRSS correlated randomness
+        (reference runtime.py:4036-4055 input branches)."""
+        m = len(self.parties)
+        t = self.threshold
+        rows = []
+        for peer in senders:
+            pc = self._pc_next()
+            if peer == self.pid:
+                vals = field.array(np.array([v % field.order
+                                             for v in vals_fn()],
+                                            dtype=object))
+                sh = thresha.np_random_split(field, vals, t, m, self._rng)
+                row = sh[self.pid]
+                for other in range(m):
+                    if other != self.pid:
+                        self._send(other, pc, self._marshal(sh[other]))
+            else:
+                data = self._recv(peer, pc)
+                row = self._split_rows(field, data, [n])[0]
+            rows.append(row)
+        return rows
+
+    def _np_input_sum(self, field, n, vals_fn, senders=None):
+        """Sum of t+1 private random inputs: degree-t sharing of the sum."""
+        if senders is None:
+            senders = self._no_prss_senders()
+        rows = self._np_input_rows(field, n, vals_fn, senders)
+        total = rows[0]
+        for row in rows[1:]:
+            total = total + row
+        return total
+
+    def _randoms(self, sftype, n, bound=None):
+        """n secure random values (reference runtime.py:4023-4060)."""
+        x = self._np_randoms_field(sftype, n, bound)
         if issubclass(sftype, sectypes.SecureObject):
             return [sftype(x[i].reshape(())) for i in range(n)]
         return x
 
     def _np_randoms(self, sftype, n, bound=None):
+        x = self._np_randoms_field(sftype, n, bound)
+        if issubclass(sftype, sectypes.SecureObject):
+            return sftype.array(x)
+        return x
+
+    def _np_randoms_field(self, sftype, n, bound=None):
         if issubclass(sftype, sectypes.SecureObject):
             field = sftype.field
         else:
@@ -651,12 +697,15 @@ class Runtime:
         if bound is None:
             bound = field.order
         else:
-            bound = 1 << max(0, (bound // math.comb(m, t)).bit_length() - 1)
-        x = thresha.np_pseudorandom_share(field, m, self.pid,
-                                          self.prfs(bound), self._prss_uci(), n)
-        if issubclass(sftype, sectypes.SecureObject):
-            return sftype.array(x)
-        return x
+            d = t + 1 if self.options.no_prss else math.comb(m, t)
+            bound = 1 << max(0, (bound // d).bit_length() - 1)
+        if self.options.no_prss:
+            return self._np_input_sum(
+                field, n,
+                lambda: [secrets.randbelow(bound) for _ in range(n)])
+        return thresha.np_pseudorandom_share(field, m, self.pid,
+                                             self.prfs(bound),
+                                             self._prss_uci(), n)
 
     def _random(self, sftype, bound=None):
         x = self._randoms(sftype, 1, bound)
@@ -697,7 +746,32 @@ class Runtime:
         t = self.threshold
         p = field.characteristic
         if p == 2:
-            bits = self._prss_bits_char2(field, n)
+            if self.options.no_prss:
+                # sum (= XOR in char 2) of t+1 private random bits
+                bits = self._np_input_sum(
+                    field, n, lambda: [secrets.randbits(1) for _ in range(n)])
+            else:
+                bits = self._prss_bits_char2(field, n)
+        elif self.options.no_prss:
+            # Multiply t+1 uniformly random +-1 private inputs in log2(t+1)
+            # resharing rounds (reference runtime.py:4142-4158).
+            rows = self._np_input_rows(
+                field, n,
+                lambda: [2 * secrets.randbits(1) - 1 for _ in range(n)],
+                self._no_prss_senders())
+            while len(rows) > 1:
+                h = len(rows) // 2
+                prods = [rows[2 * i] * rows[2 * i + 1] for i in range(h)]
+                prods = self._reshare(prods)
+                if len(rows) % 2:
+                    prods.append(rows[-1])
+                rows = prods
+            bits_pm1 = rows[0]
+            if signed:
+                bits = bits_pm1
+            else:
+                ones = field.array(np.ones(n, dtype=object))
+                bits = (bits_pm1 + ones) >> 1
         else:
             prfs = self.prfs(field.order)
             parts_r, parts_r2 = [], []
@@ -1078,31 +1152,41 @@ class Runtime:
         field = stype.field if stype else type(a)
         share = self._share(a)
         m = len(self.parties)
+        no_prss = self.options.no_prss
         rel_size = field.order.bit_length() // self.options.sec_param
-        threshold = 2 * self.threshold
+        if rel_size == 0 and no_prss:
+            threshold = self.threshold  # suffices due to the reshares below
+        else:
+            threshold = 2 * self.threshold
         prfs = None
         if rel_size >= 2:  # large field: random r nonzero whp
             r = self._np_randoms(field, 1).reshape(())
         else:
-            prfs = self.prfs(field.order)
+            prfs = None if no_prss else self.prfs(field.order)
             while True:
                 rs = self._np_randoms(field, 2)
                 r, s = rs[0], rs[1]
                 rs_prod = r * s
                 if rel_size == 0:
-                    z = thresha.np_pseudorandom_share_0(
-                        field, m, self.pid, prfs, self._prss_uci(), 1)
-                    rs_prod = rs_prod + z[0]
+                    if no_prss:
+                        rs_prod = self._reshare(rs_prod)
+                    else:
+                        z = thresha.np_pseudorandom_share_0(
+                            field, m, self.pid, prfs, self._prss_uci(), 1)
+                        rs_prod = rs_prod + z[0]
                 opened = self.output(rs_prod, threshold=threshold)
                 if int(opened.value[()] if not opened.shape else
                        opened.value[0]) != 0:
                     break
         b = share * r
-        if rel_size == 0 and prfs is not None:
-            nz = max(b.size, 1)
-            z = thresha.np_pseudorandom_share_0(
-                field, m, self.pid, prfs, self._prss_uci(), nz)
-            b = b + (z.reshape(b.shape) if b.shape else z[0].reshape(()))
+        if rel_size == 0:
+            if no_prss:
+                b = self._reshare(b)
+            elif prfs is not None:
+                nz = max(b.size, 1)
+                z = thresha.np_pseudorandom_share_0(
+                    field, m, self.pid, prfs, self._prss_uci(), nz)
+                b = b + (z.reshape(b.shape) if b.shape else z[0].reshape(()))
         c = self.output(b, threshold=threshold)
         if c.shape:
             return np.array([int(v) == 0 for v in c.value.reshape(-1)]) \

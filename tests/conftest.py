@@ -19,3 +19,8 @@ jax.config.update("jax_platforms", "cpu")
 # NB: no persistent compilation cache — the container's remote-compile
 # service writes entries with mismatched CPU features (SIGILL / wrong
 # results when loaded); in-process jit caching suffices.
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process / large batch)")
