@@ -144,22 +144,47 @@ class TcpExchange:
         self._loop.run_until_complete(asyncio.sleep(0))
         self._loop.close()
 
+    def _ssl_context(self, server: bool):
+        """Mutual-TLS context from the .config/ cert layout
+        (reference runtime.py:246-259,271-278)."""
+        import ssl
+        from mpyc_tpu.utils import certs
+        crt, key, ca = certs.cert_paths(self.rt.pid)
+        if server:
+            ctx = ssl.create_default_context(ssl.Purpose.CLIENT_AUTH)
+            ctx.verify_mode = ssl.CERT_REQUIRED
+        else:
+            ctx = ssl.create_default_context(ssl.Purpose.SERVER_AUTH)
+        ctx.load_cert_chain(crt, keyfile=key)
+        ctx.load_verify_locations(cafile=ca)
+        return ctx
+
     async def _setup(self):
         rt = self.rt
         m = len(rt.parties)
         my = rt.parties[rt.pid]
         listen_port = my.port
+        use_ssl = getattr(rt.options, 'ssl', False)
         if rt.pid > 0:
             self._server = await self._loop.create_server(
-                lambda: _PeerProtocol(self), host='', port=listen_port)
+                lambda: _PeerProtocol(self), host='', port=listen_port,
+                ssl=self._ssl_context(server=True) if use_ssl else None)
         # dial peers with higher pid; they accept from us (lower pid)
         for peer in rt.parties:
             if peer.pid > rt.pid:
                 while True:
                     try:
-                        await self._loop.create_connection(
-                            lambda p=peer.pid: _PeerProtocol(self, p),
-                            host=peer.host, port=peer.port)
+                        if use_ssl:
+                            from mpyc_tpu.utils import certs
+                            await self._loop.create_connection(
+                                lambda p=peer.pid: _PeerProtocol(self, p),
+                                host=peer.host, port=peer.port,
+                                ssl=self._ssl_context(server=False),
+                                server_hostname=certs.party_name(peer.pid))
+                        else:
+                            await self._loop.create_connection(
+                                lambda p=peer.pid: _PeerProtocol(self, p),
+                                host=peer.host, port=peer.port)
                         break
                     except OSError:
                         await asyncio.sleep(0.1)

@@ -147,6 +147,8 @@ class Runtime:
         if m == 1:
             return
         backend = os.getenv('MPYC_TPU_TRANSPORT', 'cpp')
+        if getattr(self.options, 'ssl', False):
+            backend = 'python'  # TLS lives in the asyncio transport
         if backend == 'cpp':
             from mpyc_tpu.parallel import cpp_exchange
             if cpp_exchange.available():
@@ -2959,6 +2961,11 @@ def setup(argv=None):
             # spawn the other m-1 parties as subprocesses (reference:
             # runtime.py:5156-5193)
             pid = 0
+            if options.ssl:
+                # single-machine -M run: auto-generate missing certs so
+                # the spawned parties find them (.config/ in the cwd)
+                from mpyc_tpu.utils import certs as _certs
+                _certs.generate(m)
             import subprocess
             prog = sys.argv[0]
             for i in range(1, m):
