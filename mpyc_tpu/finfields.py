@@ -677,8 +677,8 @@ class FiniteFieldArray:
         """
         if not isinstance(idx, tuple):
             idx = (idx,)
-        if Ellipsis in idx:
-            k = idx.index(Ellipsis)
+        if any(i is Ellipsis for i in idx):  # NB: `in` would == numpy arrays
+            k = next(k for k, i in enumerate(idx) if i is Ellipsis)
             consumed = sum(1 for i in idx
                            if i is not Ellipsis and i is not None)
             fill = self.ndim - consumed

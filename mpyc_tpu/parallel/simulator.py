@@ -126,6 +126,13 @@ class SimRuntime(Runtime):
             return s
         return x
 
+    def _share_like(self, field_arr):
+        """Broadcast a public logical field array over the party axis
+        (a public constant's Shamir sharing is the constant polynomial)."""
+        m = len(self.parties)
+        return field_arr.from_data(jnp.broadcast_to(
+            field_arr.data[None], (m,) + field_arr.data.shape))
+
     def _share2(self, a, b):
         sa, sb = self._share(a), self._share(b)
         m = len(self.parties)

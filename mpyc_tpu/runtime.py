@@ -1275,7 +1275,8 @@ class Runtime:
         stype = self._sectype(*sec)
         field = stype.field
         shares = [self._share(x) if isinstance(x, sectypes.SecureObject)
-                  else self._encode_public(stype, np.asarray(x, dtype=object))
+                  else self._share_like(self._encode_public(
+                      stype, np.asarray(x, dtype=object)))
                   for x in arrays]
         nd = len(shares[0].shape) - self._pax  # logical ndim
         nd_elem = field.array._elem_ndim
@@ -1315,6 +1316,240 @@ class Runtime:
         """Secure swap of arrays a, b when condition c holds."""
         d = self.mul(c, self.sub(b, a))
         return [self.add(a, d), self.sub(b, d)]
+
+    # ======================================================================
+    # numpy-API parity (reference runtime.py:988-1294, 2637-3345)
+    # ======================================================================
+    # The generic ops are array-capable, so the elementwise np_* names are
+    # aliases; the shape ops compose the plane-aware primitives
+    # (np_getitem/np_concatenate/np_stack/np_reshape/...), which keeps them
+    # correct on both the per-party and the co-located simulator plane.
+
+    def np_add(self, a, b):
+        return self.add(a, b)
+
+    def np_subtract(self, a, b):
+        return self.sub(a, b)
+
+    def np_multiply(self, a, b):
+        return self.mul(a, b)
+
+    def np_divide(self, a, b):
+        return self.div(a, b)
+
+    def np_pow(self, a, b):
+        return self.pow(a, b)
+
+    def np_reciprocal(self, a):
+        return self.reciprocal(a)
+
+    def np_left_shift(self, a, b):
+        """Secure elementwise a * 2**b for public non-negative b."""
+        if isinstance(b, (int, np.integer)):
+            return self.mul(a, 1 << int(b))
+        factors = np.array([1 << int(v) for v in np.asarray(b).reshape(-1)],
+                           dtype=object).reshape(np.asarray(b).shape)
+        return self.mul(a, factors)
+
+    def np_minimum(self, a, b):
+        """Secure elementwise minimum."""
+        c = self.np_less(a, b)  # a < b
+        return self.add(b, self.mul(c, self.sub(a, b)))
+
+    def np_maximum(self, a, b):
+        """Secure elementwise maximum."""
+        c = self.np_less(a, b)
+        return self.add(a, self.mul(c, self.sub(b, a)))
+
+    def np_any(self, a, axis=None):
+        """Secure any() over 0/1 values along an axis."""
+        return self.sub(1, self.np_all(self.sub(1, a), axis=axis))
+
+    def np_cumulative_sum(self, a, axis=None):
+        return self.np_cumsum(a, axis=axis)
+
+    def np_add_bits(self, a, b):
+        """Secure binary addition of bit arrays (last axis = bits, LSB
+        first); result has the same width (sum mod 2**l)."""
+        stype = self._sectype(a) if isinstance(a, sectypes.SecureObject) \
+            else self._sectype(b)
+        x = self._share(a) if isinstance(a, sectypes.SecureObject) \
+            else self._encode_public(stype, a)
+        y = self._share(b) if isinstance(b, sectypes.SecureObject) \
+            else self._encode_public(stype, b)
+        vec = len(x.shape) - self._pax == 1  # single bit vector: lift to 2-D
+        if vec:
+            x = self._logical_reshape(x, (1,) + x.shape[self._pax:])
+            y = self._logical_reshape(y, (1,) + y.shape[self._pax:])
+        out = self._add_bits_prefix(x, y)
+        if vec:
+            out = self._logical_reshape(out, out.shape[self._pax + 1:])
+        return self._wrap(stype, out, array=True, integral=True)
+
+    # -- shape manipulation -------------------------------------------------
+
+    def np_expand_dims(self, a, axis):
+        shape = list(a.shape)
+        ax = axis % (len(shape) + 1)
+        shape.insert(ax, 1)
+        return self.np_reshape(a, tuple(shape))
+
+    def np_squeeze(self, a, axis=None):
+        shape = list(a.shape)
+        if axis is None:
+            new = [d for d in shape if d != 1]
+        else:
+            axes = (axis,) if isinstance(axis, int) else axis
+            axes = {ax % len(shape) for ax in axes}
+            if any(shape[ax] != 1 for ax in axes):
+                raise ValueError('cannot squeeze non-unit axis')
+            new = [d for i, d in enumerate(shape) if i not in axes]
+        return self.np_reshape(a, tuple(new))
+
+    def np_append(self, a, b, axis=None):
+        if axis is None:
+            a = self.np_flatten(a) if isinstance(a, sectypes.SecureArray) \
+                else a
+            b = self.np_flatten(b) if isinstance(b, sectypes.SecureArray) \
+                else b
+            axis = 0
+        return self.np_concatenate([a, b], axis=axis)
+
+    def _np_atleast(self, a, nd):
+        if not isinstance(a, sectypes.SecureObject):
+            a = np.asarray(a, dtype=object)
+            return a.reshape((1,) * (nd - a.ndim) + a.shape) \
+                if a.ndim < nd else a
+        shape = a.shape
+        while len(shape) < nd:
+            shape = (1,) + shape
+        return self.np_reshape(a, shape) if shape != a.shape else a
+
+    def np_hstack(self, tup):
+        tup = list(tup)
+        axis = 0 if all(len(x.shape) == 1 for x in tup) else 1
+        return self.np_concatenate(tup, axis=axis)
+
+    def np_vstack(self, tup):
+        return self.np_concatenate([self._np_atleast(x, 2) for x in tup],
+                                   axis=0)
+
+    def np_dstack(self, tup):
+        out = []
+        for x in tup:
+            x = self._np_atleast(x, 2)
+            if len(x.shape) == 2:
+                x = self.np_reshape(x, x.shape + (1,))
+            out.append(x)
+        return self.np_concatenate(out, axis=2)
+
+    def np_column_stack(self, tup):
+        cols = [self.np_reshape(x, (x.shape[0], 1)) if len(x.shape) == 1
+                else x for x in tup]
+        return self.np_concatenate(cols, axis=1)
+
+    def np_split(self, a, parts, axis=0):
+        n = a.shape[axis]
+        if isinstance(parts, int):
+            if n % parts:
+                raise ValueError('array split does not result in equal '
+                                 'division')
+            bounds = [(i * n // parts, (i + 1) * n // parts)
+                      for i in range(parts)]
+        else:
+            edges = [0] + [int(i) for i in parts] + [n]
+            bounds = list(zip(edges[:-1], edges[1:]))
+        ax = axis % len(a.shape)
+        pre = (slice(None),) * ax
+        return [self.np_getitem(a, pre + (slice(i, j),)) for i, j in bounds]
+
+    def np_hsplit(self, a, parts):
+        return self.np_split(a, parts, axis=0 if len(a.shape) == 1 else 1)
+
+    def np_vsplit(self, a, parts):
+        return self.np_split(a, parts, axis=0)
+
+    def np_dsplit(self, a, parts):
+        return self.np_split(a, parts, axis=2)
+
+    def np_diagonal(self, a, offset=0, axis1=0, axis2=1):
+        n1, n2 = a.shape[axis1], a.shape[axis2]
+        if offset >= 0:
+            cnt = max(0, min(n1, n2 - offset))
+            rows, cols = np.arange(cnt), np.arange(cnt) + offset
+        else:
+            cnt = max(0, min(n1 + offset, n2))
+            rows, cols = np.arange(cnt) - offset, np.arange(cnt)
+        nd = len(a.shape)
+        a1, a2 = axis1 % nd, axis2 % nd
+        idx = [slice(None)] * nd
+        idx[a1], idx[a2] = rows, cols
+        res = self.np_getitem(a, tuple(idx))
+        if len(res.shape) > 1:
+            # numpy.diagonal puts the diagonal axis last; fancy indexing
+            # leaves it where the advanced indices were (if adjacent) or
+            # first (if separated) — move it to the end
+            lo, hi = sorted((a1, a2))
+            pos = lo if hi == lo + 1 else 0
+            perm = [i for i in range(len(res.shape)) if i != pos] + [pos]
+            res = self.np_transpose(res, perm)
+        return res
+
+    def np_diag(self, a, k=0):
+        if len(a.shape) == 2:
+            return self.np_diagonal(a, offset=k)
+        return self.np_diagflat(a, k=k)
+
+    def np_diagflat(self, a, k=0):
+        a = self.np_flatten(a) if len(a.shape) != 1 else a
+        n = a.shape[0] + abs(k)
+        stype = self._sectype(a)
+        # public zeros via the secure-array constructor: logical-shape
+        # share, valid on both planes (sim broadcasts the party axis)
+        zeros = stype.array(np.zeros((n, n), dtype=object))
+        idx = np.arange(a.shape[0])
+        rows, cols = (idx, idx + k) if k >= 0 else (idx - k, idx)
+        return self.np_update(zeros, (rows, cols), a)
+
+    def np_trace(self, a, offset=0, axis1=0, axis2=1):
+        return self.np_sum(self.np_diagonal(a, offset, axis1, axis2),
+                           axis=-1 if len(a.shape) > 2 else None)
+
+    def np_fliplr(self, a):
+        return self.np_flip(a, axis=1)
+
+    def np_flipud(self, a):
+        return self.np_flip(a, axis=0)
+
+    def np_rot90(self, a, k=1, axes=(0, 1)):
+        k %= 4
+        a0, a1 = axes
+        if k == 0:
+            return self.np_copy(a)
+        if k == 2:
+            return self.np_flip(self.np_flip(a, a0), a1)
+        if k == 1:
+            return self.np_swapaxes(self.np_flip(a, a1), a0, a1)
+        return self.np_flip(self.np_swapaxes(a, a0, a1), a1)  # k == 3
+
+    def np_block(self, arrays):
+        """Assemble an array from nested lists of blocks (numpy.block
+        semantics: innermost lists concatenate along the last axis, each
+        nesting level up along the axis before)."""
+
+        def depth(x):
+            return 1 + depth(x[0]) if isinstance(x, list) else 0
+
+        d = depth(arrays)
+
+        def rec(x, level):
+            if not isinstance(x, list):
+                return self._np_atleast(x, d) \
+                    if isinstance(x, sectypes.SecureArray) else x
+            parts = [rec(xi, level + 1) for xi in x]
+            return self.np_concatenate(parts, axis=level - d)
+
+        return rec(arrays, 0)
 
     def np_cumsum(self, a, axis=None):
         """Secure cumulative sum (local Hillis-Steele prefix doubling)."""

@@ -1102,3 +1102,90 @@ class SecureFixedPointArray(SecureArray):
         conv = np.vectorize(lambda v: int(cls.sectype.field(int(v))) / (1 << f),
                             otypes=[object])
         return conv(a.value).astype(np.float64)
+
+
+# ===========================================================================
+# numpy interoperability protocol (reference sectypes.py:21-92,1028-1034)
+# ===========================================================================
+# Makes numpy calls on secure operands dispatch into the runtime, e.g.
+# np.less(secint(9), 10), np.sum(a), np.block([[c, c], [c, c]]).
+
+import operator as _operator  # noqa: E402
+
+_NP_BINARY_UFUNCS = {
+    np.less: _operator.lt, np.less_equal: _operator.le,
+    np.equal: _operator.eq, np.not_equal: _operator.ne,
+    np.greater: _operator.gt, np.greater_equal: _operator.ge,
+    np.add: _operator.add, np.subtract: _operator.sub,
+    np.multiply: _operator.mul, np.divide: _operator.truediv,
+    np.floor_divide: _operator.floordiv, np.remainder: _operator.mod,
+    np.divmod: divmod, np.power: _operator.pow,
+    np.left_shift: _operator.lshift, np.right_shift: _operator.rshift,
+}
+_NP_UNARY_UFUNCS = {
+    np.negative: _operator.neg, np.positive: _operator.pos,
+    np.absolute: _operator.abs,
+}
+_WRAP_SCALAR_FUNCS = ('log', 'log2', 'log10', 'exp', 'exp2')
+
+
+def _secure_array_ufunc(self, ufunc, method, *inputs, **kwargs):
+    """np.<ufunc>(a, b) on secure operands -> operator / runtime call."""
+    if method != '__call__':
+        return NotImplemented
+    inputs = list(inputs)
+    for i, v in enumerate(inputs):
+        if isinstance(v, np.integer):
+            inputs[i] = int(v)
+        elif isinstance(v, np.floating):
+            inputs[i] = float(v)
+    if (op := _NP_BINARY_UFUNCS.get(ufunc)) is not None:
+        a, b = inputs[0], inputs[1]
+        if isinstance(a, SecureObject):
+            return op(a, b)
+        # public-first operand: use the reflected operation
+        if op is _operator.sub:
+            return b.__rsub__(a)
+        if op is _operator.truediv:
+            return b.__rtruediv__(a)
+        if op is _operator.pow:
+            return b.__rpow__(a)
+        return op(b, a)
+    if (op := _NP_UNARY_UFUNCS.get(ufunc)) is not None:
+        return op(inputs[0])
+    name = ufunc.__name__
+    wrapped = False
+    if name in _WRAP_SCALAR_FUNCS and not isinstance(inputs[0], SecureArray):
+        inputs = [runtime.np_fromlist(list(inputs))]
+        wrapped = True
+    fn = getattr(runtime, f'np_{name}', None) or getattr(runtime, name, None)
+    if fn is None:
+        raise TypeError(
+            f'np.{name} not supported for {type(self).__name__}')
+    out = fn(*inputs, **kwargs)
+    if wrapped:
+        out = runtime.np_tolist(out)[0]
+    return out
+
+
+def _secure_array_function(self, func, types, args, kwargs):
+    """np.<func>(...) on secure arrays -> runtime.np_<func>(...)."""
+    name = func.__name__
+    if name == 'vstack':
+        kwargs = {}  # numpy may inject kwargs converting row_stack
+    fn = getattr(runtime, f'np_{name}', None) or getattr(runtime, name, None)
+    if fn is None:
+        raise TypeError(f'np.{name} not supported for secure arrays')
+    return fn(*args, **kwargs)
+
+
+def _secure_scalar_function(self, func, types, args, kwargs):
+    """Scalar secure numbers reuse the array dispatch (reference
+    sectypes.py:84-89)."""
+    return _secure_array_function(self, func, types, args, kwargs)
+
+
+SecureObject.__array_ufunc__ = _secure_array_ufunc
+SecureObject.__array_function__ = _secure_scalar_function
+SecureArray.__array_ufunc__ = _secure_array_ufunc
+SecureArray.__array_function__ = _secure_array_function
