@@ -259,17 +259,16 @@ class Polynomial:
         if n == 0:
             return cls._one()
         if n < 0:
-            raise ValueError('negative exponent')
-        res = cls._one()
-        for bit in bin(n)[2:]:
-            res = cls._mul(res, res)
-            if modulus is not None:
-                res = cls._mod(res, modulus)
-            if bit == '1':
-                res = cls._mul(res, a)
-                if modulus is not None:
-                    res = cls._mod(res, modulus)
-        return res
+            if modulus is None:
+                raise ValueError('negative exponent')
+            a = cls._invert(a, modulus)
+            n = -n
+        b = a  # NB: n=1 returns a unreduced, as the reference does
+        for i in range(n.bit_length() - 2, -1, -1):
+            b = cls._mod(cls._mul(b, b), modulus)
+            if (n >> i) & 1:
+                b = cls._mod(cls._mul(b, a), modulus)
+        return b
 
     @classmethod
     def _gcd(cls, a, b):
@@ -460,6 +459,62 @@ class Polynomial:
         m = None if modulus is None else self._intern(modulus)
         return type(self)(self._powmod(self.value, n, m), check=False)
 
+    # -- public classmethod API (reference gfpx.py:580-760) ----------------
+
+    @classmethod
+    def add(cls, a, b):
+        """Add polynomials a and b."""
+        return cls(cls._add(cls._intern(a), cls._intern(b)), check=False)
+
+    @classmethod
+    def sub(cls, a, b):
+        """Subtract polynomials a and b."""
+        return cls(cls._sub(cls._intern(a), cls._intern(b)), check=False)
+
+    @classmethod
+    def mul(cls, a, b):
+        """Multiply polynomials a and b."""
+        return cls(cls._mul(cls._intern(a), cls._intern(b)), check=False)
+
+    @classmethod
+    def lshift(cls, a, n):
+        """Multiply polynomial a by X^n."""
+        return cls(cls._lshift(cls._intern(a), n), check=False)
+
+    @classmethod
+    def rshift(cls, a, n):
+        """Quotient of polynomial a divided by X^n."""
+        return cls(cls._rshift(cls._intern(a), n), check=False)
+
+    @classmethod
+    def mod(cls, a, b):
+        """Reduce polynomial a modulo nonzero polynomial b."""
+        b = cls._intern(b)
+        if not b:
+            raise ZeroDivisionError('division by zero polynomial')
+        return cls(cls._mod(cls._intern(a), b), check=False)
+
+    @classmethod
+    def divmod(cls, a, b):
+        """Divide polynomial a by nonzero polynomial b with remainder."""
+        q, r = cls._divmod(cls._intern(a), cls._intern(b))
+        return cls(q, check=False), cls(r, check=False)
+
+    @classmethod
+    def powmod(cls, a, n, b):
+        """Polynomial a to the power of n modulo nonzero polynomial b."""
+        return cls(cls._powmod(cls._intern(a), n,
+                               modulus=cls._intern(b)), check=False)
+
+    def truncate(self, d):
+        """Truncate polynomial to degree < d (drop X^d and higher)."""
+        cls = type(self)
+        return cls(cls._truncate(self.value, d), check=False)
+
+    @classmethod
+    def _truncate(cls, a, d):
+        return cls._norm(list(a[:d]))
+
     @classmethod
     def gcd(cls, a, b):
         a, b = cls._intern(a), cls._intern(b)
@@ -479,10 +534,12 @@ class Polynomial:
     def monic(self):
         return type(self)(self._monic(self.value), check=False)
 
-    def deriv(self):
-        """Formal derivative of the polynomial."""
+    def deriv(self, m=1):
+        """Order-m formal derivative of the polynomial (m>=0)."""
         p = self.p
-        cs = [i * c % p for i, c in enumerate(self.value)][1:]
+        cs = list(self.value)
+        for _ in range(m):
+            cs = [i * c % p for i, c in enumerate(cs)][1:]
         return type(self)(self._norm(cs), check=False)
 
     def reverse(self, d=None):
@@ -625,11 +682,18 @@ class BinaryPolynomial(Polynomial):
     def degree(self):
         return self.value.bit_length() - 1
 
-    def deriv(self):
-        """Formal derivative: only odd-degree terms survive mod 2."""
-        v = self.value >> 1
-        mask = sum(1 << i for i in range(0, v.bit_length(), 2))
-        return type(self)(v & mask, check=False)
+    def deriv(self, m=1):
+        """Order-m formal derivative: only odd-degree terms survive mod 2."""
+        v = self.value
+        for _ in range(m):
+            v >>= 1
+            mask = sum(1 << i for i in range(0, v.bit_length(), 2))
+            v &= mask
+        return type(self)(v, check=False)
+
+    @classmethod
+    def _truncate(cls, a, d):
+        return a & ((1 << d) - 1)
 
     @classmethod
     def _add(cls, a, b):

@@ -85,9 +85,21 @@ class Runtime:
     SecFxp = staticmethod(sectypes.SecFxp)
     SecFlt = staticmethod(sectypes.SecFlt)
     SecureFloat = sectypes.SecureFloat
-    gather = None  # set below
     coroutine = staticmethod(lambda f: f)
     returnType = None
+
+    def gather(self, *obj):
+        """Resolve secure objects to their local share values (shares are
+        concrete in the eager design; reference asyncoro.py:193-273)."""
+        def g(x):
+            if isinstance(x, sectypes.SecureObject):
+                return self._share(x)
+            if isinstance(x, (list, tuple)):
+                return type(x)(map(g, x))
+            return x
+        if len(obj) == 1:
+            return g(obj[0])
+        return tuple(map(g, obj))
 
     def __init__(self, pid, parties, options):
         self.pid = pid
@@ -1368,6 +1380,33 @@ class Runtime:
     def np_cumulative_sum(self, a, axis=None):
         return self.np_cumsum(a, axis=axis)
 
+    def add_bits(self, x, y):
+        """Secure binary addition of equal-length bit lists x, y (LSB
+        first); result bits = x + y mod 2**n (reference runtime.py:4275)."""
+        n = len(x)
+        if n == 0:
+            return []
+        stype = self._sectype(*x, *y)
+        xa = self.np_fromlist([self._coerce_op(stype, v) for v in x])
+        ya = self.np_fromlist([self._coerce_op(stype, v) for v in y])
+        out = self.np_add_bits(xa, ya)
+        return [self._bit_item(out, i) for i in range(n)]
+
+    def lshift(self, a, b):
+        """Secure left shift of a for public nonnegative integer b
+        (reference runtime.py:1144)."""
+        return self.mul(a, 1 << b)
+
+    def peek(self, x, label=''):
+        """Log the opened value of x (and this party's share) for
+        debugging (reference runtime.py:210-229)."""
+        txt = f'Peek at {abs(self._program_counter[0]) % (1 << 24):#08x}:'
+        if label:
+            txt += f' {label}'
+        logging.info(f'{txt} Task output {self.run(self.output(x))}')
+        logging.debug(f"{txt} Party {self.pid}'s share "
+                      f'{self.run(self.gather(x))}')
+
     def np_add_bits(self, a, b):
         """Secure binary addition of bit arrays (last axis = bits, LSB
         first); result has the same width (sum mod 2**l)."""
@@ -2581,43 +2620,83 @@ class Runtime:
         return self._wrap(stype, out, array=True,
                           integral=self._integral(a) and self._integral(b))
 
-    def np_argmin(self, a, axis=None, arg_only=True, **kwargs):
-        """Secure argmin along axis; set arg_only=False for (arg, min)."""
-        arg, val = self._np_arg_extremum(a, axis, is_min=True)
-        return arg if arg_only else (arg, val)
+    def np_argmin(self, a, axis=None, keepdims=False, key=None,
+                  arg_unary=False, arg_only=True):
+        """Secure indices of minimum values along an axis (reference
+        runtime.py np_argmin): indices as numbers (or unit vectors when
+        arg_unary), minimum values included when arg_only=False; first
+        occurrence is returned on ties."""
+        return self._np_argminmax(a, axis, keepdims, key, arg_unary,
+                                  arg_only, is_min=True)
 
-    def np_argmax(self, a, axis=None, arg_only=True, **kwargs):
-        """Secure argmax along axis; set arg_only=False for (arg, max)."""
-        arg, val = self._np_arg_extremum(a, axis, is_min=False)
-        return arg if arg_only else (arg, val)
+    def np_argmax(self, a, axis=None, keepdims=False, key=None,
+                  arg_unary=False, arg_only=True):
+        """Secure indices of maximum values along an axis (reference
+        runtime.py np_argmax); see np_argmin."""
+        return self._np_argminmax(a, axis, keepdims, key, arg_unary,
+                                  arg_only, is_min=False)
 
-    def _np_arg_extremum(self, a, axis, is_min):
-        if axis is None:
+    def _np_argminmax(self, a, axis, keepdims, key, arg_unary, arg_only,
+                      is_min):
+        orig_ndim = a.ndim
+        flat = axis is None
+        if flat:
             a = self.np_flatten(a)
             axis = 0
-        a = self.np_swapaxes(a, axis, -1)
+        ax = axis % a.ndim
+        moved = ax != a.ndim - 1
+        if moved:
+            a = self.np_swapaxes(a, ax, -1)
+        u, m = self._np_argext(a, is_min, key)
+        if arg_unary:
+            arg = self.np_swapaxes(u, ax, -1) if moved else u
+        else:
+            n = u.shape[-1]
+            arg = self.np_sum(
+                self.mul(u, np.arange(n, dtype=object)), axis=-1)
+            if keepdims:
+                arg = self.np_reshape(arg, (1,) * orig_ndim) if flat else \
+                    self.np_expand_dims(arg, ax)
+        if arg_only:
+            return arg
+        if keepdims:
+            val = self.np_reshape(m, (1,) * orig_ndim) if flat else \
+                self.np_swapaxes(m, ax, -1) if moved else m
+        else:
+            val = self.np_getitem(m, (..., 0))
+        return arg, val
+
+    def _np_argext(self, a, is_min, key):
+        """(unit vector u, extremum m) along the last axis; odd-even
+        pairing so the FIRST occurrence wins on ties (reference
+        runtime.py _np_argmin/_np_argmax)."""
         stype = self._sectype(a)
         n = a.shape[-1]
-        idx = self._wrap(stype, self._encode_public(
-            stype, np.arange(n, dtype=object)), array=True, integral=True)
-        val = a
-        while val.shape[-1] > 1:
-            nn = val.shape[-1]
-            half = nn // 2
-            v0 = self.np_getitem(val, (..., slice(0, half)))
-            v1 = self.np_getitem(val, (..., slice(half, 2 * half)))
-            i0 = self.np_getitem(idx, (..., slice(0, half)))
-            i1 = self.np_getitem(idx, (..., slice(half, 2 * half)))
-            c = self.np_less(v1, v0) if is_min else self.np_less(v0, v1)
-            v = self.add(self.mul(c, self.sub(v1, v0)), v0)
-            i = self.add(self.mul(c, self.sub(i1, i0)), i0)
-            if nn % 2:
-                v = self._np_concat_last(v, self.np_getitem(
-                    val, (..., slice(2 * half, nn))))
-                i = self._np_concat_last(i, self.np_getitem(
-                    idx, (..., slice(2 * half, nn))))
-            val, idx = v, i
-        return self.np_getitem(idx, (..., 0)), self.np_getitem(val, (..., 0))
+        if n == 1:
+            u = self._wrap(stype, self._encode_public(
+                stype, np.ones(a.shape, dtype=object)), array=True,
+                integral=True)
+            return u, a
+        n0 = n % 2
+        a1 = self.np_getitem(a, (..., slice(n0, None, 2)))
+        a2 = self.np_getitem(a, (..., slice(n0 + 1, None, 2)))
+        k1 = key(a1) if key is not None else a1
+        k2 = key(a2) if key is not None else a2
+        c = self.np_less(k2, k1) if is_min else self.np_less(k1, k2)
+        m = self.add(self.mul(c, self.sub(a2, a1)), a1)
+        if n0:
+            m = self._np_concat_last(self.np_getitem(a, (..., slice(0, 1))),
+                                     m)
+        u, m = self._np_argext(m, is_min, key)
+        if n0:
+            u0 = self.np_getitem(u, (..., slice(0, 1)))
+            u = self.np_getitem(u, (..., slice(1, None)))
+        u2 = self.mul(u, c)
+        inter = self.np_stack([self.sub(u, u2), u2], axis=-1)
+        u = self.np_reshape(inter, inter.shape[:-2] + (2 * u.shape[-1],))
+        if n0:
+            u = self._np_concat_last(u0, u)
+        return u, m
 
     def unit_vector(self, a, n):
         """Secure length-n unit vector with 1 at secret index a, 0 <= a < n.
@@ -3055,32 +3134,119 @@ class Runtime:
     def exp(self, a):
         return self.np_exp(a)
 
-    def sincos(self, a):
-        """Secure (sin a, cos a) for fixed-point a in [-pi, pi].
+    def _cpx_mul(self, x, y):
+        """Secure complex product of 2-tuples x, y with one resharing
+        (reference runtime.py:4747-4792). Components are secure fxp
+        values/arrays or public floats/float arrays."""
+        shx = isinstance(x[0], sectypes.SecureObject)
+        shy = isinstance(y[0], sectypes.SecureObject)
+        stype = self._sectype(x[0]) if shx else self._sectype(y[0])
+        f = stype.frac_length
 
-        Polynomial approximations on the reduced range (the reference uses
-        Korzilius-Schoenmakers complex rotations, runtime.py:4747-4851, which
-        additionally handle arbitrary ranges; range reduction mod 2*pi is
-        future work here).
+        def enc_pair(pair):
+            out, integral = [], True
+            for v in pair:
+                if isinstance(v, sectypes.SecureObject):
+                    out.append(self._share(v))
+                    integral = integral and self._integral(v)
+                else:
+                    vals = np.asarray(v).reshape(-1)
+                    if any(isinstance(u, (float, np.floating))
+                           and not float(u).is_integer() for u in vals):
+                        integral = False
+                    out.append(self._encode_public(stype, v))
+            return out, integral
+
+        (a, b), x_int = enc_pair(x)
+        (c, d), y_int = enc_pair(y)
+        z0 = a * c - b * d
+        z1 = a * d + b * c
+        if f and (x_int or y_int):
+            z0 = z0 >> f  # exact: one operand integral
+            z1 = z1 >> f
+        if shx and shy:
+            z0, z1 = self._reshare([z0, z1])
+        if f and not (x_int or y_int):
+            z0 = self.np_trunc_field(z0, f, stype.bit_length, stype)
+            z1 = self.np_trunc_field(z1, f, stype.bit_length, stype)
+        arr = bool(z0.shape[self._pax:])
+        integral = x_int and y_int
+        return (self._wrap(stype, z0, array=arr, integral=integral),
+                self._wrap(stype, z1, array=arr, integral=integral))
+
+    def sincos(self, a):
+        """Secure (sin a, cos a) for fixed-point a, any range.
+
+        Korzilius-Schoenmakers CSCML'23 protocol (reference
+        runtime.py:4794-4838): blind the angle with a random grid point psi
+        whose rotation (cos, -sin) is built from random bits via complex
+        products, open the masked angle, rotate back publicly.
         """
-        x2 = self.mul(a, a)
-        sin_c = [1.0, -1 / 6, 1 / 120, -1 / 5040, 1 / 362880]
-        cos_c = [1.0, -1 / 2, 1 / 24, -1 / 720, 1 / 40320]
-        s = self._public_fxp(a, sin_c[-1])
-        for c in reversed(sin_c[:-1]):
-            s = self.add(self.mul(s, x2), self._public_fxp(a, c))
-        s = self.mul(s, a)
-        co = self._public_fxp(a, cos_c[-1])
-        for c in reversed(cos_c[:-1]):
-            co = self.add(self.mul(co, x2), self._public_fxp(a, c))
-        return s, co
+        stype = self._sectype(a)
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        N = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        f = stype.frac_length
+        k = f + 6
+        secfxp2 = self.SecFxp(2 * k)  # frac length k
+        n = 1 << k
+
+        bits = self.np_random_bits(secfxp2, N * k)
+        bits = self.np_reshape(bits, (N, k))
+        # psi = sum_j bits[:, j] * 2^(k-1-j) as an integral fxp array
+        weights = np.array([1 << (k - 1 - j) for j in range(k)], dtype=object)
+        psi = self.np_sum(self.mul(bits, weights), axis=1)
+
+        b = [self._bit_sel(bits, j) for j in range(k)]
+        r12 = self.mul(b[1], b[2])
+        s0 = self.sub(1, self.mul(b[0], 2))
+        isq2 = 1 / math.sqrt(2)
+        c0 = self.mul(s0, self.add(
+            self.sub(self.add(self.sub(1, b[1]), self.sub(r12, b[2])), 0),
+            self.mul(self.sub(b[2], self.mul(r12, 2)), isq2)))
+        s_0 = self.mul(s0, self.add(self.sub(b[1], r12), self.mul(b[2], isq2)))
+        cs_psi = [(c0, self.neg(s_0))]
+        for i in range(3, k):
+            theta_i = math.pi / (1 << i)
+            c_i = self.add(1, self.mul(b[i], math.cos(theta_i) - 1))
+            s_i = self.mul(b[i], -math.sin(theta_i))
+            cs_psi.append((c_i, s_i))
+        while len(cs_psi) > 1:  # log-depth product of rotations
+            nxt = [self._cpx_mul(cs_psi[i], cs_psi[i + 1])
+                   for i in range(0, len(cs_psi) - 1, 2)]
+            if len(cs_psi) % 2:
+                nxt.append(cs_psi[-1])
+            cs_psi = nxt
+        cs_psi = cs_psi[0]
+
+        R = self._np_randoms(secfxp2, N, 1 << self.options.sec_param)
+        R = self.np_left_shift(R, k)
+
+        a_list = self.np_tolist(a) if shape else [a]
+        a2 = self.convert(a_list, secfxp2)
+        a2 = self.np_fromlist(a2)
+        a2 = self.mul(self.div(a2, 2 * math.pi), n)
+        a2 = self.np_left_shift(self.np_trunc(a2), k)
+        chi = self.output(self.add(a2, self.add(psi, self.mul(R, n))),
+                          raw=True)
+        chi_vals = np.array([(int(v) >> k) % n
+                             for v in np.atleast_1d(chi.value.reshape(-1))],
+                            dtype=object)
+        angles = chi_vals.astype(np.float64) * (2 * math.pi / n)
+        c, s = self._cpx_mul(cs_psi, (np.cos(angles), np.sin(angles)))
+        out = self.convert(self.np_tolist(c) + self.np_tolist(s), stype)
+        c_out, s_out = out[:N], out[N:]
+        if shape:
+            s_res = self.np_reshape(self.np_fromlist(s_out), shape)
+            c_res = self.np_reshape(self.np_fromlist(c_out), shape)
+            return s_res, c_res
+        return s_out[0], c_out[0]
 
     def sin(self, a):
-        """Secure sine of a (a in [-pi, pi])."""
+        """Secure sine of fixed-point a."""
         return self.sincos(a)[0]
 
     def cos(self, a):
-        """Secure cosine of a (a in [-pi, pi])."""
+        """Secure cosine of fixed-point a."""
         return self.sincos(a)[1]
 
     def tan(self, a):

@@ -49,6 +49,14 @@ class secindex:
 
     __radd__ = __add__
 
+    @staticmethod
+    def random(sectype, length, offset=0):
+        """Uniformly random secure index over the given range (reference
+        seclists.py:422)."""
+        from mpyc_tpu.random import random_unit_vector
+        return secindex(random_unit_vector(sectype, length),
+                        sectype=sectype, offset=offset)
+
 
 def _unit(i, n):
     """Unit vector (list of secure bits) for index i over length n."""
@@ -191,20 +199,46 @@ class seclist(list):
         x = runtime.sorted(list(self), key=key, reverse=reverse)
         super().__init__(x)
 
+    def copy(self):
+        """Shallow copy as a new seclist (reference seclists.py:282)."""
+        return seclist(list(self), sectype=self.sectype)
+
     def count(self, value):
         """Secure count of occurrences of value."""
         value = self._coerce_value(value)
         return runtime.sum([runtime.eq(a, value) for a in self])
+
+    def contains(self, item):
+        """Secure 0/1 test whether item occurs in the list (reference
+        seclists.py:296)."""
+        return self.count(item) != 0
+
+    def find(self, value):
+        """Secure index of the first occurrence of value, or -1 if value
+        is not present (reference seclists.py:304)."""
+        if not self:
+            return self.sectype(-1)
+        value = self._coerce_value(value)
+        return runtime.find(list(self), value, bits=False, e=-1)
+
+    def remove(self, value):
+        """Remove first occurrence of value; raise ValueError if value is
+        not present (reference seclists.py:271)."""
+        i = self.find(value)
+        if runtime.eq_public(i, -1):
+            raise ValueError('value is not in list')
+        self.delete(i)
 
     def index(self, value):
         """Secure index of the first occurrence of value."""
         value = self._coerce_value(value)
         return runtime.indexOf(list(self), value, bits=False)
 
-    def __contains__(self, value):
-        """Secure membership test (returns secure 0/1)."""
-        value = self._coerce_value(value)
-        return runtime.any([runtime.eq(a, value) for a in self])
+    def __contains__(self, item):
+        """Not implemented: "item in self" is forced to a public bool by
+        Python; use seclist.contains(self, item) for a secure result
+        (reference seclists.py:288)."""
+        raise NotImplementedError('use seclist.contains()')
 
     def __add__(self, other):
         out = seclist(self, sectype=self.sectype)

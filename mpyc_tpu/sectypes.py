@@ -1020,6 +1020,43 @@ class SecureArray(SecureObject):
     def tolist(self):
         return runtime.np_tolist(self)
 
+    @property
+    def flat(self):
+        """1D iterator over the array (reference sectypes.py:1227)."""
+        yield from self.flatten()
+
+    def diagonal(self, offset=0, axis1=0, axis2=1):
+        """Diagonals of 2D (sub)arrays (reference sectypes.py:1270)."""
+        return runtime.np_diagonal(self, offset=offset, axis1=axis1,
+                                   axis2=axis2)
+
+    def trace(self, offset=0, axis1=0, axis2=1):
+        """Sums along diagonals of 2D (sub)arrays (reference
+        sectypes.py:1279)."""
+        return runtime.np_trace(self, offset=offset, axis1=axis1,
+                                axis2=axis2)
+
+    def sort(self, *args, **kwargs):
+        """New array sorted along an axis, default -1 (reference
+        sectypes.py:1304)."""
+        return runtime.np_sort(self, *args, **kwargs)
+
+    def argmin(self, *args, **kwargs):
+        """Indices of minimum values; defaults arg_unary=True,
+        arg_only=False — NB: different from np_argmin (reference
+        sectypes.py:1312)."""
+        kwargs.setdefault('arg_unary', True)
+        kwargs.setdefault('arg_only', False)
+        return runtime.np_argmin(self, *args, **kwargs)
+
+    def argmax(self, *args, **kwargs):
+        """Indices of maximum values; defaults arg_unary=True,
+        arg_only=False — NB: different from np_argmax (reference
+        sectypes.py:1329)."""
+        kwargs.setdefault('arg_unary', True)
+        kwargs.setdefault('arg_only', False)
+        return runtime.np_argmax(self, *args, **kwargs)
+
 
 class SecureFiniteFieldArray(SecureArray):
     __slots__ = ()

@@ -75,6 +75,35 @@ def test_add_bits(mpc):
     assert got == (x + y) % 64
 
 
+def test_add_bits_scalar_list(mpc):
+    secint = mpc.SecInt(16)
+    x, y = 45, 19
+    xs = [secint((x >> j) & 1) for j in range(7)]
+    ys = [secint((y >> j) & 1) for j in range(7)]
+    bits = mpc.add_bits(xs, ys)
+    got = sum(int(mpc.run(mpc.output(b))) << j for j, b in enumerate(bits))
+    assert got == (x + y) % 128
+
+
+def test_lshift(mpc):
+    secint = mpc.SecInt(32)
+    a = mpc.input(secint(5))[0]
+    assert mpc.run(mpc.output(mpc.lshift(a, 3))) == 40
+    secfxp = mpc.SecFxp(32, 16)
+    b = mpc.input(secfxp(1.5))[0]
+    assert mpc.run(mpc.output(mpc.lshift(b, 2))) == 6.0
+
+
+def test_peek(mpc, caplog):
+    import logging as _logging
+    secint = mpc.SecInt(32)
+    a = mpc.input(secint(42))[0]
+    with caplog.at_level(_logging.INFO):
+        mpc.peek(a, label='answer')
+    assert any('42' in r.message and 'answer' in r.message
+               for r in caplog.records)
+
+
 def test_shape_manipulation(mpc):
     secint = mpc.SecInt(32)
     a = _arr(mpc, secint, [[1, 2, 3], [4, 5, 6]])

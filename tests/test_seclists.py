@@ -57,10 +57,36 @@ def test_sort_count_index_contains(mpc):
     x = seclist([3, 1, 4, 1, 5], sectype=secint)
     assert mpc.run(mpc.output(x.count(1))) == 2
     assert mpc.run(mpc.output(x.index(secint(4)))) == 2
-    assert mpc.run(mpc.output(x.__contains__(5))) == 1
-    assert mpc.run(mpc.output(x.__contains__(6))) == 0
+    assert mpc.run(mpc.output(x.contains(5))) == 1
+    assert mpc.run(mpc.output(x.contains(6))) == 0
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        5 in x
     x.sort()
     assert [mpc.run(mpc.output(v)) for v in x] == [1, 1, 3, 4, 5]
+
+
+def test_find_remove_copy(mpc):
+    secint = mpc.SecInt(16)
+    x = seclist([3, 1, 4, 1, 5], sectype=secint)
+    assert mpc.run(mpc.output(x.find(4))) == 2
+    assert mpc.run(mpc.output(x.find(9))) == -1
+    y = x.copy()
+    y.remove(secint(1))
+    assert [mpc.run(mpc.output(v)) for v in y] == [3, 4, 1, 5]
+    assert [mpc.run(mpc.output(v)) for v in x] == [3, 1, 4, 1, 5]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        y.remove(secint(9))
+
+
+def test_secindex_random(mpc):
+    from mpyc_tpu.seclists import secindex
+    secint = mpc.SecInt(16)
+    ix = secindex.random(secint, 4, offset=1)
+    bits = [mpc.run(mpc.output(b)) for b in ix.value]
+    assert sum(bits) == 1 and all(b in (0, 1) for b in bits)
+    assert ix.offset == 1
 
 
 def test_lexicographic(mpc):

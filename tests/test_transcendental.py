@@ -41,10 +41,22 @@ def test_exp(mpc):
 
 def test_sincos(mpc):
     secfxp = mpc.SecFxp(32)
-    for v in (0.0, 1.0, -1.2, 2.0):
+    for v in (0.0, 1.0, -1.2, 2.0, 5.5, -7.25, 12.0):
         x = mpc.input(secfxp(v))[0]
         s, c = mpc.sincos(x)
         assert abs(mpc.run(mpc.output(s)) - math.sin(v)) < 1e-2, v
         assert abs(mpc.run(mpc.output(c)) - math.cos(v)) < 1e-2, v
     x = mpc.input(secfxp(0.8))[0]
     assert abs(mpc.run(mpc.output(mpc.tan(x))) - math.tan(0.8)) < 1e-2
+
+
+def test_sincos_array(mpc):
+    import numpy as np
+    secfxp = mpc.SecFxp(32)
+    vals = np.array([0.0, 1.0, -2.5, 4.0])
+    x = mpc.input(secfxp.array(vals))[0]
+    s, c = mpc.sincos(x)
+    s_out = np.asarray(mpc.run(mpc.output(s)), dtype=float)
+    c_out = np.asarray(mpc.run(mpc.output(c)), dtype=float)
+    assert np.allclose(s_out, np.sin(vals), atol=1e-2)
+    assert np.allclose(c_out, np.cos(vals), atol=1e-2)
