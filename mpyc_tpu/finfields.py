@@ -698,6 +698,188 @@ class FiniteFieldArray:
         return type(self).from_data(
             jnp.roll(self._data, shift, axis=axis % self.ndim))
 
+    # -- generic views / reductions (reference finfields.py:980-1375) ------
+
+    def ravel(self):
+        return self.flatten()
+
+    def diag(a, k=0):
+        """np.diag semantics: 2D -> k-th diagonal, 1D -> diagonal matrix
+        (reference finfields.py:980)."""
+        cls = type(a)
+        if a.ndim == 1:
+            n = a.shape[0]
+            m = n + abs(k)
+            tail = a._data.shape[1:]
+            z = jnp.zeros((m, m) + tail, dtype=a._data.dtype)
+            r = jnp.arange(n) + max(0, -k)
+            c = jnp.arange(n) + max(0, k)
+            z = z.at[r, c].set(a._data)
+            return cls.from_data(z)
+        if a.ndim == 2:
+            return a.diagonal(offset=k)
+        raise ValueError('diag expects a 1D or 2D array')
+
+    def diagonal(self, offset=0, axis1=0, axis2=1):
+        nd = self.ndim
+        d = jnp.diagonal(self._data, offset, axis1 % nd, axis2 % nd)
+        # jnp.diagonal appends the diagonal axis last (after elem axes);
+        # move it to the last *logical* position
+        d = jnp.moveaxis(d, -1, d.ndim - 1 - self._elem_ndim)
+        return type(self).from_data(d)
+
+    def trace(self, offset=0, axis1=0, axis2=1):
+        return self.diagonal(offset, axis1, axis2).sum(axis=-1)
+
+    def take(self, indices, axis=None):
+        a = self if axis is not None else self.flatten()
+        ax = (axis % a.ndim) if axis is not None else 0
+        ax += 0 if ax >= 0 else 0
+        return type(a).from_data(
+            jnp.take(a._data, jnp.asarray(indices), axis=ax))
+
+    def compress(self, condition, axis=None):
+        a = self if axis is not None else self.flatten()
+        ax = (axis % a.ndim) if axis is not None else 0
+        idx = np.nonzero(np.asarray(condition, dtype=bool))[0]
+        return type(a).from_data(jnp.take(a._data, idx, axis=ax))
+
+    def repeat(self, repeats, axis=None):
+        a = self if axis is not None else self.flatten()
+        ax = (axis % a.ndim) if axis is not None else 0
+        return type(a).from_data(jnp.repeat(a._data, repeats, axis=ax))
+
+    def nonzero(self):
+        vals = np.asarray(self._decode())
+        return np.nonzero(vals != 0)
+
+    @property
+    def flat(self):
+        """1D iterator of scalar field elements (reference
+        finfields.py:985)."""
+        f = self.field
+        for v in np.asarray(self._decode()).reshape(-1):
+            yield f(int(v))
+
+    def prod(self, axis=None):
+        """Product reduction (log-depth tree of field multiplications)."""
+        if axis is None:
+            d = self.flatten()._data
+        else:
+            d = jnp.moveaxis(self._data, axis % self.ndim, 0)
+        cur = type(self).from_data(d)
+        if cur.shape and cur.shape[0] == 0:
+            ones = np.ones(cur.shape[1:], dtype=object)
+            return type(self)(ones)
+        while cur.shape and cur.shape[0] > 1:
+            n = cur.shape[0]
+            h = n // 2
+            head = cur[:h] * cur[h:2 * h]
+            if n % 2:
+                head = type(self).from_data(jnp.concatenate(
+                    [head._data, cur._data[2 * h:]], axis=0))
+            cur = head
+        return cur[0] if cur.shape else cur
+
+    # -- linear algebra mod the field (host; config-time scale) ------------
+
+    @staticmethod
+    def gauss_solve(A, B):
+        """Solve A X = B by Gauss-Jordan elimination over the field
+        (reference finfields.py:874)."""
+        cls = type(A)
+        field = cls.field
+        n = A.shape[0]
+        if A.shape != (n, n):
+            raise np.linalg.LinAlgError('array must be square')
+        if not isinstance(B, FiniteFieldArray):
+            B = cls(np.asarray(B, dtype=object))
+        b_vals = np.asarray(B.value)
+        b_2d = b_vals.reshape(n, -1)
+        W = [[field(int(v)) for v in row_a] + [field(int(v)) for v in row_b]
+             for row_a, row_b in zip(np.asarray(A.value).tolist(),
+                                     b_2d.tolist())]
+        for k in range(n):
+            piv = next((r for r in range(k, n) if int(W[r][k]) != 0), None)
+            if piv is None:
+                raise ZeroDivisionError('no inverse exists')
+            if piv != k:
+                W[k], W[piv] = W[piv], W[k]
+            inv = W[k][k].reciprocal()
+            W[k] = [x * inv for x in W[k]]
+            for r in range(n):
+                if r != k and int(W[r][k]) != 0:
+                    f_ = W[r][k]
+                    W[r] = [x - f_ * y for x, y in zip(W[r], W[k])]
+        X = np.array([[int(x) for x in row[n:]] for row in W], dtype=object)
+        return cls(X.reshape(b_vals.shape))
+
+    @staticmethod
+    def gauss_inv(A):
+        """Matrix inverse by Gaussian elimination (reference
+        finfields.py:910)."""
+        return FiniteFieldArray.gauss_solve(
+            A, type(A)(np.eye(len(A), dtype=object)))
+
+    @staticmethod
+    def gauss_det(a):
+        """Determinant(s) over the last 2 dimensions (reference
+        finfields.py:918)."""
+        cls = type(a)
+        field = cls.field
+        if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+            raise np.linalg.LinAlgError('last 2 dimensions must be square')
+        n = a.shape[-1]
+        blocks = np.asarray(a.value).reshape(-1, n, n)
+        dets = []
+        for blk in blocks:
+            M = [[field(int(v)) for v in row] for row in blk.tolist()]
+            det = field(1)
+            for k in range(n):
+                piv = next((r for r in range(k, n) if int(M[r][k]) != 0),
+                           None)
+                if piv is None:
+                    det = field(0)
+                    break
+                if piv != k:
+                    M[k], M[piv] = M[piv], M[k]
+                    det = -det
+                det = det * M[k][k]
+                inv = M[k][k].reciprocal()
+                for r in range(k + 1, n):
+                    if int(M[r][k]) != 0:
+                        f_ = M[r][k] * inv
+                        M[r] = [x - f_ * y for x, y in zip(M[r], M[k])]
+            dets.append(int(det))
+        d = np.array(dets, dtype=object).reshape(a.shape[:-2])
+        if d.shape == ():
+            return field(int(d[()]))
+        return cls(d)
+
+    @staticmethod
+    def matrix_pow(A, n):
+        """Matrix power with negative-exponent support (reference
+        finfields.py:959)."""
+        cls = type(A)
+        if n < 0:
+            A = FiniteFieldArray.gauss_inv(A)
+            n = -n
+        C = cls(np.eye(len(A), dtype=object))
+        D = A
+        while n:
+            if n & 1:
+                C = C @ D
+            n >>= 1
+            if n:
+                D = D @ D
+        return C
+
+    def __array_function__(self, func, types, args, kwargs):
+        h = _FF_ARRAY_FUNCTIONS.get(func)
+        if h is None:
+            return NotImplemented
+        return h(*args, **kwargs)
+
     def __setitem__(self, idx, value):
         value = self._coerce(value)
         if value is NotImplemented:
@@ -821,6 +1003,19 @@ class PrimeFieldArray(FiniteFieldArray):
 
     def _decode(self):
         return self.ctx.decode_ints(np.asarray(self._data))
+
+    @classmethod
+    def intarray(cls, a):
+        """Extract field array as a (signed) integer object ndarray
+        (reference finfields.py:1378)."""
+        vals = np.asarray(a._decode())
+        if cls.field.is_signed and vals.size:
+            p = cls.field.modulus
+            half = p >> 1
+            vals = np.vectorize(
+                lambda v: int(v) - p if int(v) > half else int(v),
+                otypes=[object])(vals)
+        return vals
 
     def __getitem__(self, idx):
         return type(self).from_data(self._data[self._expand_idx(idx)])
@@ -1146,6 +1341,37 @@ class ExtensionFieldArray(FiniteFieldArray):
             return cls(other)
         return NotImplemented
 
+    def sum(self, axis=None):
+        if axis is None:
+            cur = self.flatten()
+        else:
+            cur = type(self).from_data(
+                jnp.moveaxis(self._data, axis % self.ndim, 0))
+        while cur.shape and cur.shape[0] > 1:
+            n = cur.shape[0]
+            h = n // 2
+            head = cur[:h] + cur[h:2 * h]
+            if n % 2:
+                head = type(self).from_data(jnp.concatenate(
+                    [head._data, cur._data[2 * h:]], axis=0))
+            cur = head
+        return cur[0] if cur.shape else cur
+
+    def _matmul(self, other, reflected=False):
+        o = self._coerce(other)
+        if o is NotImplemented:
+            return NotImplemented
+        a, b = (o, self) if reflected else (self, o)
+        a2 = a.reshape((1,) + a.shape) if a.ndim == 1 else a
+        b2 = b.reshape(b.shape + (1,)) if b.ndim == 1 else b
+        prod = a2[:, :, None] * b2[None, :, :]
+        out = prod.sum(axis=1)
+        if a.ndim == 1:
+            out = out.reshape(out.shape[1:])
+        if b.ndim == 1:
+            out = out.reshape(out.shape[:-1])
+        return out
+
 
 # -- dynamic array class factories -------------------------------------------
 
@@ -1184,3 +1410,29 @@ def _make_ext_array_class(field_cls):
     cls.field = field_cls
     cls.ctx = ctx
     return _as_pytree(cls)
+
+
+def arrayGF(field, modulus=None):
+    """Array class attached to a field (reference finfields.py:46)."""
+    return field.array
+
+
+# numpy __array_function__ dispatch for plain field arrays (reference
+# registers via @_implements, finfields.py:686-692)
+_FF_ARRAY_FUNCTIONS = {
+    np.linalg.solve: FiniteFieldArray.gauss_solve,
+    np.linalg.inv: FiniteFieldArray.gauss_inv,
+    np.linalg.det: FiniteFieldArray.gauss_det,
+    np.linalg.matrix_power: FiniteFieldArray.matrix_pow,
+    np.diag: FiniteFieldArray.diag,
+    np.diagonal: lambda a, *args, **kw: a.diagonal(*args, **kw),
+    np.trace: lambda a, *args, **kw: a.trace(*args, **kw),
+    np.take: lambda a, indices, **kw: a.take(indices, **kw),
+    np.repeat: lambda a, repeats, **kw: a.repeat(repeats, **kw),
+    np.nonzero: lambda a: a.nonzero(),
+    np.prod: lambda a, **kw: a.prod(**kw),
+    np.sum: lambda a, **kw: a.sum(**kw),
+    np.transpose: lambda a, *args, **kw: a.transpose(*args, **kw),
+    np.reshape: lambda a, shape, **kw: a.reshape(shape),
+    np.ravel: lambda a, **kw: a.ravel(),
+}

@@ -3337,7 +3337,12 @@ def setup(argv=None):
     parser.add_argument('--no-async', action='store_true')
     parser.add_argument('--log-level', default='warning')
     parser.add_argument('-f', type=str, default='')
-    args, _ = parser.parse_known_args(argv)
+    raw_argv = list(sys.argv)  # keep raw args for respawning peers
+    args, leftover = parser.parse_known_args(argv)
+    if argv is None:
+        # strip runtime options so applications only see their own args
+        # (reference runtime.py:5102: sys.argv = [sys.argv[0]] + args)
+        sys.argv = [sys.argv[0]] + leftover
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper(),
                                       logging.WARNING))
@@ -3368,9 +3373,9 @@ def setup(argv=None):
                 from mpyc_tpu.utils import certs as _certs
                 _certs.generate(m)
             import subprocess
-            prog = sys.argv[0]
+            prog = raw_argv[0]
             for i in range(1, m):
-                cmd = [sys.executable, prog] + sys.argv[1:] + ['-I', str(i)]
+                cmd = [sys.executable, prog] + raw_argv[1:] + ['-I', str(i)]
                 subprocess.Popen(cmd)
     else:
         parties = [Party(i) for i in range(m)]

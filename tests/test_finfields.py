@@ -199,3 +199,81 @@ def test_pytree_jit():
     out = f(A, B)
     assert [int(v) for v in out.value] == [(x * y + x) % 19
                                            for x, y in zip([1, 2, 3], [4, 5, 6])]
+
+
+def test_array_views_and_reductions():
+    """Views/reductions parity (reference finfields.py:980-1375)."""
+    p = 97
+    F = finfields.GF(p)
+    x = np.arange(1, 17, dtype=object).reshape(4, 4)
+    a = F.array(x)
+    assert [int(v) for v in a.diagonal().value] == [1, 6, 11, 16]
+    assert int(a.trace().value[()]) == (1 + 6 + 11 + 16) % p
+    assert [int(v) for v in a.take([0, 2], axis=1).value[0]] == [1, 3]
+    assert a.compress([True, False, True], axis=0).shape == (2, 4)
+    assert a.repeat(2, axis=0).shape == (8, 4)
+    assert a.ravel().shape == (16,)
+    nz = F.array(np.array([0, 5, 0, 7], dtype=object)).nonzero()
+    assert list(nz[0]) == [1, 3]
+    pr = a.prod(axis=0)
+    assert int(pr.value[0]) == (1 * 5 * 9 * 13) % p
+    assert int(a[:1, :3].prod().value[()]) == 6
+    assert [int(v) for v in finfields.FiniteFieldArray.diag(a, 1).value] == \
+        [2, 7, 12]
+    v = F.array(np.array([3, 4], dtype=object))
+    m = finfields.FiniteFieldArray.diag(v)
+    assert [[int(u) for u in row] for row in m.value] == [[3, 0], [0, 4]]
+    flat = list(a[0].flat)
+    assert all(isinstance(e, F) for e in flat)
+    assert [int(e.value) for e in flat] == [1, 2, 3, 4]
+
+
+def test_array_gauss_linalg():
+    """np.linalg protocol on plain field arrays (reference
+    finfields.py:874-978)."""
+    p = 97
+    F = finfields.GF(p)
+    rng = np.random.default_rng(3)  # NB: seed 5 gives det == 0 mod 97
+    A = F.array(rng.integers(1, p, (4, 4)).astype(object))
+    B = F.array(rng.integers(0, p, (4, 2)).astype(object))
+    singular = F.array(np.random.default_rng(5)
+                       .integers(1, p, (4, 4)).astype(object))
+    assert int(np.linalg.det(singular).value) == 0
+    with pytest.raises(ZeroDivisionError):
+        np.linalg.inv(singular)
+    X = np.linalg.solve(A, B)
+    assert ((A @ X) == B).all()
+    I = np.linalg.inv(A)
+    eye = np.asarray((A @ I).value)
+    assert [[int(v) for v in row] for row in eye] == \
+        [[int(i == j) for j in range(4)] for i in range(4)]
+    d = np.linalg.det(A)
+    # determinant consistency: det(A) * det(inv(A)) == 1
+    di = np.linalg.det(I)
+    assert int((d * di).value) == 1
+    P2 = np.linalg.matrix_power(A, 2)
+    assert ((A @ A) == P2).all()
+    Pm1 = np.linalg.matrix_power(A, -1)
+    assert (Pm1 == I).all()
+    assert finfields.arrayGF(F) is F.array
+
+
+def test_array_intarray_signed():
+    F = finfields.GF(11)
+    F.is_signed = True
+    try:
+        a = F.array(np.array([1, 10, 6], dtype=object))
+        vals = F.array.intarray(a)
+        assert list(vals) == [1, -1, -5]
+    finally:
+        F.is_signed = False
+
+
+def test_ext_array_matmul_sum():
+    F = finfields.GF(gfpx.GFpX(3)('x^3+2x+1'))
+    b = F.array(np.array([[2, 5], [8, 4]], dtype=object))
+    ib = np.linalg.inv(b)
+    prod = np.asarray((b @ ib).value).reshape(-1)
+    assert [int(v) for v in prod] == [1, 0, 0, 1]
+    s = b.sum(axis=1)
+    assert int(np.asarray(s.value).reshape(-1)[0]) == int((F(2) + F(5)).value)
