@@ -4,9 +4,12 @@
 #   ./run-all.sh -M3       (three local parties over TCP)
 #   ./run-all.sh -M3 --sim (three co-located parties, one process)
 # Mirrors the reference demos/run-all.sh pattern (extra args pass through).
+# Slow demos (cnnmnist, multilateration) are excluded; run them directly.
 cd "$(dirname "$0")"
 set -e
-for demo in helloworld parallelsort secretsanta aes sha3 elgamal dsa; do
+for demo in helloworld oneliners parallelsort sort secretsanta unanimous \
+    indextounitvector ot id3gini aes sha3 onewayhashchains lpsolver \
+    lpsolverfxp ridgeregression kmsurvival pseudoinverse bnn elgamal dsa; do
     echo "=== $demo $* ==="
     python "$demo.py" "$@"
 done

@@ -3322,6 +3322,7 @@ def setup(argv=None):
     """Parse CLI args / environment and return the runtime."""
     import argparse
     parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument('-V', '--VERSION', action='store_true')
     parser.add_argument('-H', '--HELP', action='store_true')
     parser.add_argument('-C', '--config')
     parser.add_argument('-P', dest='parties', action='append')
@@ -3331,11 +3332,20 @@ def setup(argv=None):
     parser.add_argument('-B', '--base-port', type=int, default=11365)
     parser.add_argument('--ssl', action='store_true')
     parser.add_argument('--sim', action='store_true')
+    parser.add_argument('-W', '--workers', type=int)
     parser.add_argument('-L', '--bit-length', type=int, default=32)
     parser.add_argument('-K', '--sec-param', type=int, default=30)
     parser.add_argument('--no-prss', action='store_true')
     parser.add_argument('--no-async', action='store_true')
+    parser.add_argument('--no-barrier', action='store_true')
+    parser.add_argument('--no-gmpy2', action='store_true')   # accepted,
+    parser.add_argument('--no-numpy', action='store_true')   # no-op on TPU
+    parser.add_argument('--no-uvloop', action='store_true')  # build
+    parser.add_argument('--mix32-64bit', action='store_true')
+    parser.add_argument('--output-windows', action='store_true')
+    parser.add_argument('--output-file', action='store_true')
     parser.add_argument('--log-level', default='warning')
+    parser.add_argument('--no-log', action='store_true')
     parser.add_argument('-f', type=str, default='')
     raw_argv = list(sys.argv)  # keep raw args for respawning peers
     args, leftover = parser.parse_known_args(argv)
@@ -3343,9 +3353,14 @@ def setup(argv=None):
         # strip runtime options so applications only see their own args
         # (reference runtime.py:5102: sys.argv = [sys.argv[0]] + args)
         sys.argv = [sys.argv[0]] + leftover
+    if args.VERSION:
+        from mpyc_tpu import __version__
+        print(f'mpyc_tpu {__version__}')
+        sys.exit()
 
-    logging.basicConfig(level=getattr(logging, args.log_level.upper(),
-                                      logging.WARNING))
+    logging.basicConfig(level=logging.WARNING if args.no_log else
+                        getattr(logging, args.log_level.upper(),
+                                logging.WARNING))
 
     options = _Options(bit_length=args.bit_length, sec_param=args.sec_param,
                        threshold=args.threshold, no_prss=args.no_prss,
