@@ -10,7 +10,7 @@ default (-d none) uses the generic np_sgn comparison.  The reference's
 published weights are not bundled, so this demo draws a random +-1 network
 and verifies the secure inference against the plaintext forward pass.
 
-Usage: python demos/bnn.py [-M m] [--sim] [-b BATCH] [-d {none,0,1,2}]
+Usage: python demos/np_bnnmnist.py [-M m] [--sim] [-b BATCH] [-d {none,0,1,2}]
 """
 
 import argparse

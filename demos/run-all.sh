@@ -9,7 +9,8 @@ cd "$(dirname "$0")"
 set -e
 for demo in helloworld oneliners parallelsort sort secretsanta unanimous \
     indextounitvector ot id3gini aes sha3 onewayhashchains lpsolver \
-    lpsolverfxp ridgeregression kmsurvival pseudoinverse bnn elgamal dsa; do
+    lpsolverfxp ridgeregression kmsurvival pseudoinverse np_bnnmnist \
+    elgamal dsa SecretSantaExplained PrefixOrExplained; do
     echo "=== $demo $* ==="
     python "$demo.py" "$@"
 done

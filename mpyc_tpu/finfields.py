@@ -588,11 +588,17 @@ class FiniteFieldArray:
     field: type = None            # scalar element class
     _elem_ndim: int = 0           # trailing representation axes
 
-    def __init__(self, value, _internal=False):
+    def __init__(self, value, _internal=False, check=True):
         if _internal:
             self._data = value if isinstance(value, jax.Array) \
                 else jnp.asarray(value)
             return
+        if not check and isinstance(value, np.ndarray) and \
+                value.dtype != object:
+            # reference API: array(np.empty(n), check=False) allocates an
+            # arbitrary-content array to be filled by item assignment
+            # (reference finfields.py); start from zeros
+            value = np.zeros(value.shape, dtype=object)
         self._data = jnp.asarray(self._encode(value))
 
     # -- construction ----------------------------------------------------
@@ -637,11 +643,22 @@ class FiniteFieldArray:
                              'is ambiguous')
         return any(int(v) != 0 for v in np.asarray(self._decode()).reshape(-1))
 
-    def reshape(self, *shape):
+    def reshape(self, *shape, order='C'):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
+        shape = tuple(shape)
         tail = self._data.shape[self._data.ndim - self._elem_ndim:]
-        return type(self).from_data(self._data.reshape(tuple(shape) + tail))
+        if order == 'F':
+            # F-order = reverse logical axes, C-reshape reversed, reverse back
+            nd = self.ndim
+            perm = tuple(range(nd))[::-1] + tuple(range(nd, self._data.ndim))
+            rev = jnp.transpose(self._data, perm)
+            out = rev.reshape(tuple(reversed(shape)) + tail)
+            k = len(shape)
+            out = jnp.transpose(
+                out, tuple(range(k))[::-1] + tuple(range(k, out.ndim)))
+            return type(self).from_data(out)
+        return type(self).from_data(self._data.reshape(shape + tail))
 
     def flatten(self):
         return self.reshape(-1)

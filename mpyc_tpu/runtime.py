@@ -1224,8 +1224,8 @@ class Runtime:
         return self._wrap(stype, share, array=bool(share.shape),
                           integral=self._integral(a))
 
-    def np_reshape(self, a, shape):
-        return self._local(a, lambda s: s.reshape(shape))
+    def np_reshape(self, a, shape, order='C'):
+        return self._local(a, lambda s: s.reshape(shape, order=order))
 
     def np_flatten(self, a):
         return self._local(a, lambda s: s.flatten())
@@ -1321,8 +1321,16 @@ class Runtime:
         return self.sub(0, a)
 
     def np_where(self, c, a, b):
-        """Secure elementwise/broadcast selection c*a + (1-c)*b."""
-        return self.add(self.mul(c, self.sub(a, b)), b)
+        """Secure elementwise/broadcast selection c*a + (1-c)*b.
+
+        a and b may both be public (plain numbers/arrays); the condition c
+        is secure, so the result is (reference np.where via the array
+        ufunc bridge, sectypes.py:21-92)."""
+        try:
+            d = self.sub(a, b)
+        except TypeError:
+            d = np.asarray(a) - np.asarray(b)  # both public
+        return self.add(self.mul(c, d), b)
 
     def np_if_swap(self, c, a, b):
         """Secure swap of arrays a, b when condition c holds."""
@@ -1699,13 +1707,24 @@ class Runtime:
     def np_unit_vector(self, a, n):
         """Secure length-n unit vector with the 1 at secret position a
         (a reduced mod n), via rotating a random unit vector by a masked
-        public offset (reference runtime.py:5002-5029)."""
+        public offset (reference runtime.py:5002-5029).
+
+        The mask-and-open runs on raw field shares (with the fixed-point
+        scale divided out first, like the reference's ``a >>= f``), so
+        fixed-point operands with integral values work exactly."""
         stype = type(a)
+        field = stype.field
+        f = stype.frac_length
         u = self.random.np_random_unit_vector(stype, n)
-        r = self.np_sum(self.mul(u, np.arange(n, dtype=object)))
-        R = self._random(stype, 1 << self.options.sec_param) + 1
-        c = self.output(self.add(self.sub(a, r), self.mul(R, n)))
-        c = int(c) % n
+        su = self._share(u)
+        r = (su * field.array(np.arange(n, dtype=object))).sum()
+        sa = self._share(a)
+        if f:
+            r = r >> f
+            sa = sa >> f
+        R = self._random(stype, 1 << self.options.sec_param)
+        c = self.output(sa - r + (self._share(R) + field(1)) * field(n))
+        c = int(np.asarray(c._decode()).reshape(-1)[0]) % n
         return self.np_roll(u, c)
 
     def np_matmul(self, a, b):
@@ -2638,64 +2657,105 @@ class Runtime:
 
     def _np_argminmax(self, a, axis, keepdims, key, arg_unary, arg_only,
                       is_min):
-        orig_ndim = a.ndim
-        flat = axis is None
-        if flat:
-            a = self.np_flatten(a)
-            axis = 0
-        ax = axis % a.ndim
-        moved = ax != a.ndim - 1
-        if moved:
-            a = self.np_swapaxes(a, ax, -1)
-        u, m = self._np_argext(a, is_min, key)
-        if arg_unary:
-            arg = self.np_swapaxes(u, ax, -1) if moved else u
+        """Shared np_argmin/np_argmax engine with the reference's exact
+        shape semantics (reference runtime.py:3695-3791), including
+        multi-component comparison keys: when key.size = s > 1, the last
+        axis of a (of size s) holds the key components (e.g. numerator,
+        denominator for SecureFraction) and the reduction runs over the
+        next-to-last axis; the returned extrema then include that
+        component axis."""
+        ks = getattr(key, 'size', 1) if key is not None else 1
+        assert ks == 1 or ks == a.shape[-1]
+        shape = a.shape
+        size = int(np.prod(shape)) if shape else 1
+        ndim = a.ndim - ks + 1 if ks > 1 else a.ndim
+        if axis is None:
+            if ks == 1:
+                a = self.np_reshape(a, (1, size))
+            else:
+                a = self.np_reshape(a, (1, size // ks, ks))
         else:
-            n = u.shape[-1]
-            arg = self.np_sum(
-                self.mul(u, np.arange(n, dtype=object)), axis=-1)
-            if keepdims:
-                arg = self.np_reshape(arg, (1,) * orig_ndim) if flat else \
-                    self.np_expand_dims(arg, ax)
+            if ks == 1:
+                a = self.np_swapaxes(a, axis, -1)
+                a = self.np_reshape(a, (-1, a.shape[-1]))
+            else:
+                assert (axis + 1) % a.ndim != 0  # key axis itself not valid
+                a = self.np_swapaxes(a, axis, -2)
+                a = self.np_reshape(a, (-1, a.shape[-2], ks))
+        u, m = self._np_argext(a, is_min, key, ks)
+        if not arg_unary:
+            u = self.np_sum(
+                self.mul(u, np.arange(u.shape[1], dtype=object)), axis=-1)
+        if axis is None:
+            if not arg_unary and keepdims:
+                u = self.np_reshape(u, (1,) * ndim)
+            else:
+                u = self.np_getitem(u, 0)
+        else:
+            shape = list(shape)
+            if ks > 1:
+                del shape[-1]
+            if arg_unary:
+                shape[axis], shape[-1] = shape[-1], shape[axis]
+            elif keepdims:
+                shape[axis] = 1
+            else:
+                del shape[axis]
+            u = self.np_reshape(u, tuple(shape))
+            if arg_unary:
+                u = self.np_swapaxes(u, axis, -1)
         if arg_only:
-            return arg
-        if keepdims:
-            val = self.np_reshape(m, (1,) * orig_ndim) if flat else \
-                self.np_swapaxes(m, ax, -1) if moved else m
-        else:
-            val = self.np_getitem(m, (..., 0))
-        return arg, val
+            return u
 
-    def _np_argext(self, a, is_min, key):
-        """(unit vector u, extremum m) along the last axis; odd-even
-        pairing so the FIRST occurrence wins on ties (reference
-        runtime.py _np_argmin/_np_argmax)."""
+        if axis is None:
+            if keepdims:
+                m = self.np_reshape(m, (1,) * ndim)
+            else:
+                m = self.np_getitem(m, (0, 0))
+        elif keepdims:
+            if arg_unary:
+                shape[axis], shape[-1] = shape[-1], shape[axis]
+                shape[axis] = 1
+            if ks > 1:
+                shape = shape + [ks]
+            m = self.np_reshape(m, tuple(shape))
+        return u, m
+
+    def _np_argext(self, a, is_min, key, ks=1):
+        """(unit vector u, extremum m) along axis 1 of 2D a (3D with a
+        trailing key-component axis when ks > 1); odd-even pairing so the
+        FIRST occurrence wins on ties (reference runtime.py
+        _np_argmin/_np_argmax :3793-3821)."""
         stype = self._sectype(a)
-        n = a.shape[-1]
+        n = a.shape[1]
         if n == 1:
             u = self._wrap(stype, self._encode_public(
-                stype, np.ones(a.shape, dtype=object)), array=True,
+                stype, np.ones(a.shape[:2], dtype=object)), array=True,
                 integral=True)
             return u, a
         n0 = n % 2
-        a1 = self.np_getitem(a, (..., slice(n0, None, 2)))
-        a2 = self.np_getitem(a, (..., slice(n0 + 1, None, 2)))
-        k1 = key(a1) if key is not None else a1
-        k2 = key(a2) if key is not None else a2
-        c = self.np_less(k2, k1) if is_min else self.np_less(k1, k2)
-        m = self.add(self.mul(c, self.sub(a2, a1)), a1)
+        sel1 = (slice(None), slice(n0, None, 2))
+        sel2 = (slice(None), slice(n0 + 1, None, 2))
+        a1 = self.np_getitem(a, sel1)
+        a2 = self.np_getitem(a, sel2)
+        if key is None:
+            c = self.np_less(a2, a1) if is_min else self.np_less(a1, a2)
+        else:
+            c = key(a2) < key(a1) if is_min else key(a1) < key(a2)
+        cc = c if ks == 1 else self.np_expand_dims(c, -1)
+        m = self.add(self.mul(cc, self.sub(a2, a1)), a1)
         if n0:
-            m = self._np_concat_last(self.np_getitem(a, (..., slice(0, 1))),
-                                     m)
-        u, m = self._np_argext(m, is_min, key)
+            m = self.np_concatenate(
+                [self.np_getitem(a, (slice(None), slice(0, 1))), m], axis=1)
+        u, m = self._np_argext(m, is_min, key, ks)
         if n0:
-            u0 = self.np_getitem(u, (..., slice(0, 1)))
-            u = self.np_getitem(u, (..., slice(1, None)))
+            u0 = self.np_getitem(u, (slice(None), slice(0, 1)))
+            u = self.np_getitem(u, (slice(None), slice(1, None)))
         u2 = self.mul(u, c)
         inter = self.np_stack([self.sub(u, u2), u2], axis=-1)
-        u = self.np_reshape(inter, inter.shape[:-2] + (2 * u.shape[-1],))
+        u = self.np_reshape(inter, (inter.shape[0], 2 * u2.shape[1]))
         if n0:
-            u = self._np_concat_last(u0, u)
+            u = self.np_concatenate([u0, u], axis=1)
         return u, m
 
     def unit_vector(self, a, n):

@@ -992,8 +992,9 @@ class SecureArray(SecureObject):
     def __getitem__(self, idx):
         return runtime.np_getitem(self, idx)
 
-    def reshape(self, *shape):
-        return runtime.np_reshape(self, shape if len(shape) != 1 else shape[0])
+    def reshape(self, *shape, order='C'):
+        return runtime.np_reshape(self, shape if len(shape) != 1 else shape[0],
+                                  order=order)
 
     def flatten(self):
         return runtime.np_flatten(self)
