@@ -14,6 +14,16 @@ Python 3.11+ has fast bigint pow/invert built in.
 from math import isqrt, gcd  # noqa: F401  (re-exported)
 import random
 
+
+def version():
+    """Identify this pure-Python layer (reference gmpy.py:114-116)."""
+    return 'mpyc_tpu host number theory (pure Python)'
+
+
+def mpz(x):
+    """Python int(x), standing in for gmpy2's mpz (reference gmpy.py:118)."""
+    return int(x)
+
 _SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
                  59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113]
 

@@ -1481,6 +1481,10 @@ class Runtime:
         return self.np_concatenate([self._np_atleast(x, 2) for x in tup],
                                    axis=0)
 
+    def np_row_stack(self, tup):
+        """Alias of np_vstack (reference runtime.py np_row_stack)."""
+        return self.np_vstack(tup)
+
     def np_dstack(self, tup):
         out = []
         for x in tup:
