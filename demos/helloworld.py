@@ -17,7 +17,7 @@ def main():
     mpc.run(mpc.start())
     secint = mpc.SecInt()
     m = len(mpc.parties)
-    xs = mpc.input(secint(mpc.pid + 1))
+    xs = mpc.input_each(lambda i: secint(i + 1))
     total = mpc.run(mpc.output(mpc.sum(xs)))
     expect = m * (m + 1) // 2
     print(f'party {mpc.pid}: sum of greetings = {total} '

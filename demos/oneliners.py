@@ -24,16 +24,19 @@ from mpyc_tpu.runtime import mpc
 def main():
     m = len(mpc.parties)
     l = m.bit_length()
-    i = mpc.pid
 
     mpc.run(mpc.start())
-    r1 = mpc.run(mpc.output(mpc.sum(mpc.input(mpc.SecInt(l + 1)(1)))))
+    r1 = mpc.run(mpc.output(mpc.sum(
+        mpc.input_each(lambda i: mpc.SecInt(l + 1)(1)))))
     print('m    =', r1)
-    r2 = mpc.run(mpc.output(mpc.sum(mpc.input(mpc.SecInt(2*l + 1)(2*i + 1)))))
+    r2 = mpc.run(mpc.output(mpc.sum(
+        mpc.input_each(lambda i: mpc.SecInt(2*l + 1)(2*i + 1)))))
     print('m**2 =', r2)
-    r3 = mpc.run(mpc.output(mpc.prod(mpc.input(mpc.SecInt(m + 2)(2)))))
+    r3 = mpc.run(mpc.output(mpc.prod(
+        mpc.input_each(lambda i: mpc.SecInt(m + 2)(2)))))
     print('2**m =', r3)
-    r4 = mpc.run(mpc.output(mpc.prod(mpc.input(mpc.SecInt(int(m*(l - 1.4) + 3))(i + 1)))))
+    r4 = mpc.run(mpc.output(mpc.prod(
+        mpc.input_each(lambda i: mpc.SecInt(int(m*(l - 1.4) + 3))(i + 1)))))
     print('m!   =', r4)
     mpc.run(mpc.shutdown())
 

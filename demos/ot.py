@@ -27,7 +27,13 @@ def main():
     t = m // 2
     message = [(None, None)] * t
     choice = [None] * t
-    if mpc.pid == 0:
+    if getattr(mpc, 'is_simulator', False):
+        # co-located plane: the one program plays every party
+        for j in range(t):
+            message[j] = (random.randint(0, 99), random.randint(0, 99))
+            choice[j] = random.randint(0, 1)
+        print(f'Simulating {t} senders and {t} receivers.')
+    elif mpc.pid == 0:
         print('You are the trusted third party.')
     elif 1 <= mpc.pid <= t:
         message[mpc.pid - 1] = (random.randint(0, 99), random.randint(0, 99))

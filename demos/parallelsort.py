@@ -23,8 +23,7 @@ def main():
     for name, sectype, mk in (
             ('secint32', mpc.SecInt(32), lambda i: (i * 37) % 11 - 5),
             ('secfxp32', mpc.SecFxp(32), lambda i: ((i * 37) % 11 - 5) / 4)):
-        vals_mine = mk(mpc.pid)
-        xs = mpc.input(sectype(vals_mine))
+        xs = mpc.input_each(lambda i: sectype(mk(i)))
         arr = mpc.np_fromlist(xs)
         srt = mpc.np_sort(arr)
         got = list(mpc.run(mpc.output(srt)))

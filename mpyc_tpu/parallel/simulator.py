@@ -416,12 +416,10 @@ class SimRuntime(Runtime):
         if not isinstance(idx, tuple):
             idx = (idx,)
         share2 = share[(slice(None),) + idx]
-        arr = bool(share2.shape[1:])
-        res = self._wrap(stype, share2, array=True,
-                         integral=self._integral(a))
-        if not arr and not isinstance(res, sectypes.SecureArray):
-            pass
-        return res
+        # 0-d logical results become scalar secure numbers, like the base
+        # plane's np_getitem (and the reference's, runtime.py:2637+)
+        return self._wrap(stype, share2, array=bool(share2.shape[1:]),
+                          integral=self._integral(a))
 
     def np_sum(self, a, axis=None):
         stype = self._sectype(a)
@@ -440,13 +438,35 @@ class SimRuntime(Runtime):
         stype = self._sectype(a, b)
         f = stype.frac_length
         a_int, b_int = self._integral(a), self._integral(b)
-        both_sec = isinstance(a, sectypes.SecureObject) and \
-            isinstance(b, sectypes.SecureObject)
-        sa = self._share(a) if isinstance(a, sectypes.SecureObject) \
-            else self._encode_public(stype, a)
-        sb = self._share(b) if isinstance(b, sectypes.SecureObject) \
-            else self._encode_public(stype, b)
+        a_sec = isinstance(a, sectypes.SecureObject)
+        b_sec = isinstance(b, sectypes.SecureObject)
+        both_sec = a_sec and b_sec
+        sa = self._share(a) if a_sec else self._encode_public(stype, a)
+        sb = self._share(b) if b_sec else self._encode_public(stype, b)
+        # Align the party axis (leading dim of secure shares) with the
+        # logical matmul batch dims: logical shapes right-align, the party
+        # axis stays leftmost and broadcasts against the peer's batch dims.
+        la = sa.shape[1:] if a_sec else sa.shape
+        lb = sb.shape[1:] if b_sec else sb.shape
+        a_vec = len(la) == 1  # numpy matmul vector promotion, done here so
+        b_vec = len(lb) == 1  # the party axis is never mistaken for a row dim
+        if a_vec:
+            sa = sa.reshape(sa.shape[:-1] + (1,) + sa.shape[-1:])
+            la = (1,) + la
+        if b_vec:
+            sb = sb.reshape(sb.shape + (1,))
+            lb = lb + (1,)
+        rank = max(len(la), len(lb))
+        m = len(self.parties)
+        if a_sec and len(la) < rank:
+            sa = sa.reshape((m,) + (1,) * (rank - len(la)) + la)
+        if b_sec and len(lb) < rank:
+            sb = sb.reshape((m,) + (1,) * (rank - len(lb)) + lb)
         c = sa @ sb  # party axis broadcasts as leading batch dim
+        if a_vec:
+            c = c[..., 0, :]
+        if b_vec:
+            c = c[..., 0]
         if f and (a_int or b_int):
             c = c >> f
         if both_sec:

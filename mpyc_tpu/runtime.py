@@ -114,6 +114,7 @@ class Runtime:
         self.threshold = options.threshold if options.threshold is not None \
             else (len(parties) - 1) // 2
         self._rng = rng_mod.KeccakRNG()
+        self._pipeline = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -221,6 +222,44 @@ class Runtime:
     def throttler(self, load_percentage=1.0, name=None):
         """No-op in eager mode (kept for API compatibility)."""
 
+    def pipeline(self):
+        """Context manager enabling deferred-receive pipelining.
+
+        Inside ``with mpc.pipeline():`` every resharing round (secure
+        multiplications, matmuls, inner products, ...) issues its sends
+        immediately but defers its receives: results carry LazyShare
+        placeholders, forced transparently on first use (or by
+        ``mpc.flush()``).  Independent operations thus overlap their
+        network round trips — the eager-rounds counterpart of the
+        reference's asyncio dataflow latency hiding (reference
+        asyncoro.py:416-464, SURVEY §2.13).  The pc-tagged exchange
+        buffers make out-of-order completion safe; nesting is allowed.
+        """
+        rt = self
+
+        class _Pipeline:
+            def __enter__(self):
+                rt._pipeline += 1
+                return rt
+
+            def __exit__(self, *exc):
+                rt._pipeline -= 1
+                return False
+
+        return _Pipeline()
+
+    @staticmethod
+    def flush(*xs):
+        """Force pending pipelined receives of the given secure objects
+        (lists/tuples allowed); without arguments this is a no-op, since
+        unforced placeholders complete on first use anyway."""
+        for x in xs:
+            if isinstance(x, (list, tuple)):
+                Runtime.flush(*x)
+            elif isinstance(x, sectypes.SecureObject):
+                x.share  # property read forces any LazyShare
+        return xs[0] if len(xs) == 1 else (xs or None)
+
     def logging(self, enable=None):
         if enable is None:
             enable = logger.getEffectiveLevel() > logging.INFO
@@ -300,6 +339,21 @@ class Runtime:
     # ======================================================================
     # share I/O: input / output / reshare / transfer / convert
     # ======================================================================
+
+    def input_each(self, f):
+        """One secret per party: party i contributes f(i); returns the list
+        of m secure values.
+
+        Plane-agnostic way to express "every party inputs its own value":
+        on the per-party plane each party evaluates f(its own pid) and
+        Shamir-inputs it (one round, like input with senders=None); on the
+        co-located simulator plane (--sim) the single program evaluates
+        f(i) for every party i, keeping the demo semantics identical.
+        """
+        if getattr(self, 'is_simulator', False):
+            return [self.input(f(i), senders=i)
+                    for i in range(len(self.parties))]
+        return self.input(f(self.pid))
 
     def input(self, x, senders=None):
         """Input x to the computation; senders provide values.
@@ -496,20 +550,42 @@ class Runtime:
                                b''.join(self._marshal(r) for r in rows))
 
         sizes = [xi.size if xi.shape else 1 for xi in xl]
-        pts = []
-        for j in range(2 * t + 1):
-            peer = (uci + j) % m
-            if peer == self.pid:
-                if own_rows is not None:
-                    pts.append((peer + 1, own_rows))
-            else:
-                data = self._recv(peer, pc)
-                pts.append((peer + 1, self._split_rows(field, data, sizes)))
-        ys = []
-        for i, xi in enumerate(xl):
-            points = [(xc, rows[i]) for xc, rows in pts]
-            rec = thresha.np_recombine(field, points)
-            ys.append(rec.reshape(xi.shape) if xi.shape else rec.reshape(()))
+        shapes = [xi.shape for xi in xl]
+
+        def complete():
+            pts = []
+            for j in range(2 * t + 1):
+                peer = (uci + j) % m
+                if peer == self.pid:
+                    if own_rows is not None:
+                        pts.append((peer + 1, own_rows))
+                else:
+                    data = self._recv(peer, pc)
+                    pts.append((peer + 1,
+                                self._split_rows(field, data, sizes)))
+            ys = []
+            for i, shape in enumerate(shapes):
+                points = [(xc, rows[i]) for xc, rows in pts]
+                rec = thresha.np_recombine(field, points)
+                ys.append(rec.reshape(shape) if shape else rec.reshape(()))
+            return ys
+
+        if self._pipeline:
+            # pipeline mode: sends are out; defer receive + recombine so
+            # subsequent independent rounds can issue their sends first
+            # (latency hiding a la reference asyncoro dataflow)
+            done = []
+
+            def thunk():
+                if not done:
+                    done.append(complete())
+                return done[0]
+
+            ys = [sectypes.LazyShare(thunk, i, shape)
+                  for i, shape in enumerate(shapes)]
+            return ys if x_is_list else ys[0]
+
+        ys = complete()
         return ys if x_is_list else ys[0]
 
     def transfer(self, obj, senders=None, receivers=None, sender_receivers=None):
@@ -1005,8 +1081,12 @@ class Runtime:
             c = self.mul(c, c)
             return c
         if b == 0:
-            return self._wrap(stype, self._encode_public(
-                stype, 1), array=self._is_array_op(a), integral=True)
+            if self._is_array_op(a):
+                return self._wrap(stype, self._share_like(self._encode_public(
+                    stype, np.ones(a.shape, dtype=object))), array=True,
+                    integral=True)
+            return self._wrap(stype, self._encode_public(stype, 1),
+                              array=False, integral=True)
         if b < 0:
             if stype.frac_length:
                 a = self._rec(a)
@@ -1358,7 +1438,87 @@ class Runtime:
         return self.div(a, b)
 
     def np_pow(self, a, b):
-        return self.pow(a, b)
+        """Secure elementwise exponentiation where a or b is public
+        (reference runtime.py:1331-1388)."""
+        if isinstance(b, (int, np.integer)) and b == 2:
+            return self.mul(a, a)
+        if isinstance(a, (int, float, np.integer, np.floating)) and \
+                not isinstance(b, (int, float, np.integer, np.floating)):
+            # public base, secure exponent
+            if isinstance(a, (int, np.integer)):
+                stype = self._sectype(b)
+                if not stype.frac_length or self._integral(b):
+                    return self.\
+                        _np_pow_public_int_base_secret_integral_exponent(
+                            int(a), b)
+            if a != 2:
+                b = self.mul(b, math.log2(a))  # a^b = 2^(b log2 a)
+            return self.np_exp2(b)
+        if isinstance(b, (float, np.floating)):
+            if float(b).is_integer():
+                b = int(b)
+            else:  # NB: requires a > 0
+                return self.np_exp2(self.mul(self.np_log2(a), float(b)))
+        return self.pow(a, int(b))
+
+    def _np_pow_public_int_base_secret_integral_exponent(self, a, b):
+        """a**b for public int a > 0 and secret nonnegative integral
+        exponents b (reference runtime.py:1390-1424, the protocol of
+        secgroups repeat_public_base_secret_output).
+
+        Each of t+1 rotating senders inputs (r_i, a^-r_i mod p); the
+        masked exponent c = b + sum r_i is opened; a^b = a^c * prod
+        a^-r_i, computed in the field.  Sender randomness is drawn below
+        2^(l+k)/(t+1) so the sum statistically hides the l-bit exponent.
+        """
+        from mpyc_tpu import gmpy
+        stype = type(b)
+        sctype = stype.sectype
+        field = sctype.field
+        p = field.modulus
+        t = self.threshold
+        l, k = sctype.bit_length, self.options.sec_param
+        f = sctype.frac_length
+        bound = max(2, (1 << (l + k)) // (t + 1))
+        size = int(np.prod(b.shape, dtype=np.int64)) if b.shape else 1
+        senders = self._no_prss_senders()  # t+1 senders, pc-rotated
+        a_modp = a % p
+        ainv = int(gmpy.invert(a_modp, p))
+
+        def contribution():
+            r = [secrets.randbelow(bound) for _ in range(size)]
+            a_r = [int(gmpy.powmod(ainv, ri, p)) for ri in r]
+            arr = np.array([r, a_r], dtype=object)
+            return stype(arr, integral=True) if f else stype(arr)
+
+        if getattr(self, 'is_simulator', False):
+            ins = [self.input(contribution(), senders=i) for i in senders]
+        else:
+            if self.pid in senders:
+                x = contribution()
+            else:
+                z = np.zeros((2, size), dtype=object)  # type/shape only
+                x = stype(z, integral=True) if f else stype(z)
+            ins = self.input(x, senders=list(senders))
+        r_sum = self.np_getitem(ins[0], (0,))
+        for v in ins[1:]:
+            r_sum = self.add(r_sum, self.np_getitem(v, (0,)))
+        ars = [self.np_getitem(v, (1,)) for v in ins]
+        while len(ars) > 1:  # log-depth product of the a^-r_i
+            nxt = [self.mul(ars[i], ars[i + 1])
+                   for i in range(0, len(ars) - 1, 2)]
+            if len(ars) % 2:
+                nxt.append(ars[-1])
+            ars = nxt
+        a_r = ars[0]
+        b_flat = self.np_reshape(b, (size,)) if b.shape else \
+            self.np_reshape(b, (1,))
+        c = self.output(self.add(b_flat, r_sum), raw=True)
+        c_ints = [int(v) >> f for v in np.asarray(c.value).reshape(-1)]
+        a_c = np.array([int(gmpy.powmod(a_modp, ci, p)) for ci in c_ints],
+                       dtype=object)
+        res = self.mul(a_r, a_c)  # public multiplier: local, fxp-scaled
+        return self.np_reshape(res, b.shape)
 
     def np_reciprocal(self, a):
         return self.reciprocal(a)
@@ -1773,7 +1933,9 @@ class Runtime:
         f = stype.frac_length
         sa = self._share(self.np_fromlist([x for row in A for x in row]))
         sa = self._logical_reshape(sa, (n1, n2))
-        sd = self._share(d if isinstance(d, sectypes.SecureObject) else stype(d))
+        sd = self._logical_reshape(
+            self._share(d if isinstance(d, sectypes.SecureObject)
+                        else stype(d)), (1, 1))
         sb = self._logical_reshape(self._share(self.np_fromlist(b)), (n1, 1))
         sc = self._logical_reshape(self._share(self.np_fromlist(c)), (1, n2))
         raw = sa * sd - sb * sc
@@ -2733,8 +2895,8 @@ class Runtime:
         stype = self._sectype(a)
         n = a.shape[1]
         if n == 1:
-            u = self._wrap(stype, self._encode_public(
-                stype, np.ones(a.shape[:2], dtype=object)), array=True,
+            u = self._wrap(stype, self._share_like(self._encode_public(
+                stype, np.ones(a.shape[:2], dtype=object))), array=True,
                 integral=True)
             return u, a
         n0 = n % 2
@@ -2770,13 +2932,12 @@ class Runtime:
         later optimization).
         """
         stype = type(a)
-        arr = self._wrap(stype, self._encode_public(
-            stype, np.arange(n, dtype=object)), array=True, integral=True)
-        sh = self._share(a)
-        pad = self._pax + 1 - len(sh.shape) + 0
+        arr = self._wrap(stype, self._share_like(self._encode_public(
+            stype, np.arange(n, dtype=object))), array=True, integral=True)
         diff = self.sub(self._as_array(stype, a, n), arr)
         e = self.np_equal(diff, self._wrap(
-            stype, self._encode_public(stype, np.zeros(n, dtype=object)),
+            stype, self._share_like(self._encode_public(
+                stype, np.zeros(n, dtype=object))),
             array=True, integral=True))
         return self.np_tolist(e)
 
@@ -3386,31 +3547,63 @@ def setup(argv=None):
     """Parse CLI args / environment and return the runtime."""
     import argparse
     parser = argparse.ArgumentParser(add_help=False)
-    parser.add_argument('-V', '--VERSION', action='store_true')
-    parser.add_argument('-H', '--HELP', action='store_true')
-    parser.add_argument('-C', '--config')
-    parser.add_argument('-P', dest='parties', action='append')
-    parser.add_argument('-M', type=int, dest='M')
-    parser.add_argument('-I', '--index', type=int)
-    parser.add_argument('-T', '--threshold', type=int)
-    parser.add_argument('-B', '--base-port', type=int, default=11365)
-    parser.add_argument('--ssl', action='store_true')
-    parser.add_argument('--sim', action='store_true')
-    parser.add_argument('-W', '--workers', type=int)
-    parser.add_argument('-L', '--bit-length', type=int, default=32)
-    parser.add_argument('-K', '--sec-param', type=int, default=30)
-    parser.add_argument('--no-prss', action='store_true')
-    parser.add_argument('--no-async', action='store_true')
-    parser.add_argument('--no-barrier', action='store_true')
-    parser.add_argument('--no-gmpy2', action='store_true')   # accepted,
-    parser.add_argument('--no-numpy', action='store_true')   # no-op on TPU
-    parser.add_argument('--no-uvloop', action='store_true')  # build
-    parser.add_argument('--mix32-64bit', action='store_true')
-    parser.add_argument('--output-windows', action='store_true')
-    parser.add_argument('--output-file', action='store_true')
-    parser.add_argument('--log-level', default='warning')
-    parser.add_argument('--no-log', action='store_true')
-    parser.add_argument('-f', type=str, default='')
+    group = parser.add_argument_group('MPyC-TPU help')
+    group.add_argument('-V', '--VERSION', action='store_true',
+                       help='print MPyC-TPU version number and exit')
+    group.add_argument('-H', '--HELP', action='store_true',
+                       help='print this help message for MPyC-TPU and exit')
+    group = parser.add_argument_group('MPyC-TPU configuration')
+    group.add_argument('-C', '--config', metavar='ini',
+                       help='use ini file, defining all m parties')
+    group.add_argument('-P', dest='parties', action='append', metavar='addr',
+                       help='use addr=host:port per party (repeat m times)')
+    group.add_argument('-M', type=int, dest='M', metavar='m',
+                       help='use m local parties (and run all m, '
+                            'if i is not set)')
+    group.add_argument('-I', '--index', type=int, metavar='i',
+                       help='set index of this local party to i, 0<=i<m')
+    group.add_argument('-T', '--threshold', type=int, metavar='t',
+                       help='threshold t, 0<=t<m/2')
+    group.add_argument('-B', '--base-port', type=int, default=11365,
+                       metavar='b', help='use port number b+i for party i')
+    group.add_argument('--ssl', action='store_true',
+                       help='enable SSL connections')
+    group.add_argument('--sim', action='store_true',
+                       help='co-located simulator plane: all m parties in '
+                            'this process, party axis on the device mesh')
+    group.add_argument('-W', '--workers', type=int, metavar='w',
+                       help='maximum number of worker threads per party')
+    group = parser.add_argument_group('MPyC-TPU parameters')
+    group.add_argument('-L', '--bit-length', type=int, default=32,
+                       metavar='l',
+                       help='default bit length l for secure numbers')
+    group.add_argument('-K', '--sec-param', type=int, default=30, metavar='k',
+                       help='security parameter k, leakage probability 2**-k')
+    group.add_argument('--no-prss', action='store_true',
+                       help='use interactive protocols instead of PRSS')
+    group.add_argument('--no-async', action='store_true',
+                       help='no-op (evaluation is round-eager already)')
+    group.add_argument('--no-barrier', action='store_true',
+                       help='disable barriers')
+    group.add_argument('--no-gmpy2', action='store_true',
+                       help='accepted for compatibility (no-op on TPU build)')
+    group.add_argument('--no-numpy', action='store_true',
+                       help='accepted for compatibility (no-op on TPU build)')
+    group.add_argument('--no-uvloop', action='store_true',
+                       help='accepted for compatibility (no-op on TPU build)')
+    group.add_argument('--mix32-64bit', action='store_true',
+                       help='portable wire marshaling for mixed platforms')
+    group = parser.add_argument_group('MPyC-TPU misc')
+    group.add_argument('--output-windows', action='store_true',
+                       help='accepted for compatibility (no-op, headless)')
+    group.add_argument('--output-file', action='store_true',
+                       help='append output of parties 1<=i<m to party{m}_{i}.log')
+    group.add_argument('--log-level', default='warning', metavar='ll',
+                       help='logging level ll=debug/info/warning(default)/error')
+    group.add_argument('--no-log', action='store_true',
+                       help='disable logging messages')
+    group.add_argument('-f', type=str, default='',
+                       help='consume IPython\'s -f argument F')
     raw_argv = list(sys.argv)  # keep raw args for respawning peers
     args, leftover = parser.parse_known_args(argv)
     if argv is None:
@@ -3420,6 +3613,9 @@ def setup(argv=None):
     if args.VERSION:
         from mpyc_tpu import __version__
         print(f'mpyc_tpu {__version__}')
+        sys.exit()
+    if args.HELP:
+        parser.print_help()
         sys.exit()
 
     logging.basicConfig(level=logging.WARNING if args.no_log else

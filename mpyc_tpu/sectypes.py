@@ -26,24 +26,107 @@ from mpyc_tpu import fingroups
 runtime = None  # set by mpyc_tpu.runtime at setup
 
 
+class LazyShare:
+    """Placeholder for a share whose exchange receive is still pending.
+
+    Created by protocol ops inside ``with mpc.pipeline():`` — the round's
+    sends are issued eagerly, and the receive + recombine (the thunk) runs
+    on first use of the share.  This is the eager-rounds counterpart of the
+    reference's asyncio dataflow latency hiding (reference
+    asyncoro.py:416-464): independent ops issue their messages
+    back-to-back without waiting for each other's replies; the pc-tagged
+    transport buffers make out-of-order completion safe.
+    """
+
+    __slots__ = ('_thunk', '_index', '_value', 'shape')
+
+    def __init__(self, thunk, index, shape):
+        self._thunk = thunk
+        self._index = index
+        self._value = None
+        self.shape = shape
+
+    def force(self):
+        if self._value is None:
+            self._value = self._thunk()[self._index]
+            self._thunk = None
+        return self._value
+
+    # transparent proxy: any field-array use of a pending share forces it,
+    # so protocol code that keeps computing on a reshare result is oblivious
+    # to pipeline mode (only shares stored in secure objects stay lazy)
+
+    def __getattr__(self, name):
+        return getattr(self.force(), name)
+
+    def __getitem__(self, idx):
+        return self.force()[idx]
+
+    def __mul__(self, other):
+        return self.force() * other
+
+    def __rmul__(self, other):
+        return other * self.force()
+
+    def __add__(self, other):
+        return self.force() + other
+
+    def __radd__(self, other):
+        return other + self.force()
+
+    def __sub__(self, other):
+        return self.force() - other
+
+    def __rsub__(self, other):
+        return other - self.force()
+
+    def __matmul__(self, other):
+        return self.force() @ other
+
+    def __rmatmul__(self, other):
+        return other @ self.force()
+
+    def __rshift__(self, n):
+        return self.force() >> n
+
+    def __lshift__(self, n):
+        return self.force() << n
+
+    def __neg__(self):
+        return -self.force()
+
+
 class SecureObject:
     """Base class for secret-shared objects.
 
     The share attribute holds a finite field array (device data). For
-    scalar secure numbers the share has shape ().
+    scalar secure numbers the share has shape ().  In pipeline mode the
+    share may transiently be a LazyShare; reading .share forces it.
     """
 
-    __slots__ = ('share',)
+    __slots__ = ('_sh',)
 
     field: type = None
     bit_length: int = None
     frac_length: int = 0
 
     def __init__(self, value=None):
-        self.share = value
+        self._sh = value
+
+    @property
+    def share(self):
+        sh = self._sh
+        if type(sh) is LazyShare:
+            sh = sh.force()
+            self._sh = sh
+        return sh
+
+    @share.setter
+    def share(self, value):
+        self._sh = value
 
     def set_share(self, value):
-        self.share = value
+        self._sh = value
 
     def __bool__(self):
         raise TypeError('cannot use secure type in Boolean expressions')
@@ -296,7 +379,7 @@ class SecureFiniteField(SecureNumber):
                 if self.subfield is not None and isinstance(value, self.subfield):
                     value = self.field(value.value)
                 value = self.field.array(np.array(value.value, dtype=object))
-            elif not isinstance(value, finfields.FiniteFieldArray):
+            elif not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
                 raise TypeError(f'cannot convert {type(value)} to {type(self)}')
         super().__init__(value)
 
@@ -397,7 +480,7 @@ class SecureInteger(SecureNumber):
                 value = self.field.array(np.array(value, dtype=object))
             elif isinstance(value, self.field):
                 value = self.field.array(np.array(value.value, dtype=object))
-            elif not isinstance(value, finfields.FiniteFieldArray):
+            elif not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
                 raise TypeError(f'cannot convert {type(value)} to {type(self)}')
         super().__init__(value)
 
@@ -426,7 +509,7 @@ class SecureFixedPoint(SecureNumber):
                 value = self.field.array(np.array(value.value, dtype=object))
             else:
                 self.integral = integral
-                if not isinstance(value, finfields.FiniteFieldArray):
+                if not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
                     raise TypeError(f'cannot convert {type(value)} to {type(self)}')
         else:
             self.integral = integral
@@ -810,7 +893,7 @@ class SecureArray(SecureObject):
     _output_conversion = None
 
     def __init__(self, value=None, shape=None):
-        if value is not None and not isinstance(value, finfields.FiniteFieldArray):
+        if value is not None and not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
             value = self._encode_public(value)
         if value is not None:
             shape = value.shape
@@ -867,6 +950,8 @@ class SecureArray(SecureObject):
             return type(self)(np.asarray(other, dtype=object))
         if isinstance(other, finfields.FiniteFieldArray):
             return type(self)(other)
+        if isinstance(other, finfields.FiniteFieldElement):
+            return type(self)(np.array(other, dtype=object))
         return NotImplemented
 
     # arithmetic — forwarded to the same runtime ops as scalars
@@ -1126,7 +1211,7 @@ class SecureFixedPointArray(SecureArray):
 
     def __init__(self, value=None, shape=None, integral=None):
         if integral is None and value is not None and \
-                not isinstance(value, finfields.FiniteFieldArray):
+                not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
             arr = np.asarray(value, dtype=object)
             integral = all(isinstance(v, (int, np.integer))
                            or (isinstance(v, float) and v.is_integer())

@@ -24,3 +24,30 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (multi-process / large batch)")
+
+
+def free_base_port(span=16):
+    """Reserve a base port for an -M spawned multi-party run.
+
+    Binds an ephemeral port P and returns it if P+1..P+span-1 are also
+    free, so concurrent pytest processes (or a full-suite run racing a
+    single-test run) never collide on hardcoded bases.
+    """
+    import socket
+
+    while True:
+        with socket.socket() as s:
+            s.bind(('127.0.0.1', 0))
+            base = s.getsockname()[1]
+        if base + span >= 65535:
+            continue
+        ok = True
+        for off in range(1, span):
+            with socket.socket() as t:
+                try:
+                    t.bind(('127.0.0.1', base + off))
+                except OSError:
+                    ok = False
+                    break
+        if ok:
+            return base

@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+import conftest
+
 import mpyc_tpu.sectypes as sectypes
 import mpyc_tpu.asyncoro as asyncoro
 from mpyc_tpu.runtime import Runtime, Party, _Options
@@ -121,7 +123,7 @@ def test_multiparty_no_prss(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     env.pop('XLA_FLAGS', None)
     out = subprocess.run(
-        [sys.executable, str(script), '-M3', '--no-prss', '-B', '11441'],
+        [sys.executable, str(script), '-M3', '--no-prss', '-B', str(conftest.free_base_port())],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'NOPRSS-MP-OK 0' in out.stdout

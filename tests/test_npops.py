@@ -59,3 +59,30 @@ def test_np_unit_vector():
 def test_np_cumsum():
     c = out(mpc.np_cumsum(arr([1, 2, 3, 4])))
     assert list(np.array(c)) == [1, 3, 6, 10]
+
+
+def test_np_pow_public_base_secret_exponent():
+    # reference runtime.py:1331-1424: a^b with public int base and
+    # secret nonnegative integral exponent (masked-open protocol)
+    b = secint.array(np.array([0, 1, 5, 13], dtype=object))
+    assert [int(v) for v in out(mpc.np_pow(2, b))] == [1, 2, 32, 8192]
+    assert [int(v) for v in out(mpc.np_pow(3, b))] == [1, 3, 243, 1594323]
+    secfxp = mpc.SecFxp(32)
+    bf = secfxp.array(np.array([0, 1, 5, 10], dtype=object))
+    assert [float(v) for v in out(mpc.np_pow(2, bf))] == \
+        [1.0, 2.0, 32.0, 1024.0]
+
+
+def test_np_pow_float_exponent():
+    secfxp = mpc.SecFxp(32)
+    a = secfxp.array(np.array([4.0, 9.0], dtype=object))
+    r = [float(v) for v in out(mpc.np_pow(a, 0.5))]
+    assert all(abs(v - e) < 0.1 for v, e in zip(r, [2.0, 3.0]))
+    r = [float(v) for v in out(mpc.np_pow(a, 2.0))]  # integral float -> int
+    assert r == [16.0, 81.0]
+
+
+def test_np_pow_public_int_exponent():
+    b = secint.array(np.array([0, 1, 5, 13], dtype=object))
+    assert [int(v) for v in out(mpc.np_pow(b, 2))] == [0, 1, 25, 169]
+    assert [int(v) for v in out(mpc.np_pow(b, 3))] == [0, 1, 125, 2197]

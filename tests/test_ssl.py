@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+import conftest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -51,7 +53,7 @@ def test_multiparty_ssl(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     env.pop('XLA_FLAGS', None)
     out = subprocess.run(
-        [sys.executable, str(script), '-M3', '--ssl', '-B', '11471'],
+        [sys.executable, str(script), '-M3', '--ssl', '-B', str(conftest.free_base_port())],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr[-2000:]
