@@ -144,30 +144,29 @@ def main():
     print(f'dataset: {name}, with {len(rows)} individuals over '
           f'{m} parties ({unit})')
 
-    # each party owns every m-th row
-    my = [i for i in range(len(rows)) if i % m == mpc.pid]
-    maxT_local = max(round(T[i]) for i in my)
-    maxT = int(mpc.run(mpc.output(mpc.max(
-        [mpc.input(mpc.SecInt(32)(maxT_local), senders=j)
-         for j in range(m)]))))
+    # each party owns every m-th row (input_each keeps this plane-agnostic:
+    # party j evaluates its own slice, also under --sim)
+    def rows_of(pid):
+        return [i for i in range(len(rows)) if i % m == pid]
 
-    def my_table(value):
-        idx = [i for i in my if str(G[i]) == str(value)]
+    maxT = int(mpc.run(mpc.output(mpc.max(mpc.input_each(
+        lambda j: mpc.SecInt(32)(max(round(T[i]) for i in rows_of(j))))))))
+
+    def party_table(pid, value):
+        idx = [i for i in rows_of(pid) if str(G[i]) == str(value)]
         return events_to_table(maxT, [T[i] for i in idx],
                                [E[i] for i in idx])
 
-    d1l, n1l = my_table(v1)
-    d2l, n2l = my_table(v2)
-
     # secure union: share per-time counts and add over parties
-    def share_sum(vec):
-        cols = mpc.input([secfxp(v) for v in vec])
+    def share_sum(col_fn):
+        cols = mpc.input_each(
+            lambda j: [secfxp(v) for v in col_fn(j)])
         return [mpc.sum(col) for col in zip(*cols)]
 
-    d1 = share_sum(d1l)
-    n1 = share_sum(n1l)
-    d2 = share_sum(d2l)
-    n2 = share_sum(n2l)
+    d1 = share_sum(lambda j: party_table(j, v1)[0])
+    n1 = share_sum(lambda j: party_table(j, v1)[1])
+    d2 = share_sum(lambda j: party_table(j, v2)[0])
+    n2 = share_sum(lambda j: party_table(j, v2)[1])
 
     chi = logrank_test(secfxp, d1, d2, n1, n2)
     p = chi2_sf_1df(chi)

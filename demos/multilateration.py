@@ -92,9 +92,9 @@ def schmidt_multilateration(secint, locations, toas):
     AT = mpc.np_transpose(A)
     ATA = AT @ A                                          # (3, 3)
     ATb = AT @ mpc.np_transpose(b.reshape(1, C))          # (3, 1)
-    ATA_l = [[secint(ATA.share[i, j].reshape(())) for j in range(3)]
+    ATA_l = [[mpc.np_getitem(ATA, (i, j)) for j in range(3)]
              for i in range(3)]
-    ATb_l = [[secint(ATb.share[i, 0].reshape(()))] for i in range(3)]
+    ATb_l = [[mpc.np_getitem(ATb, (i, 0))] for i in range(3)]
     w_det = linear_solve(ATA_l, ATb_l)
     x, y, z, det = (int(v) for v in mpc.run(mpc.output(w_det)))
     return x / det, y / det, z / det
@@ -138,7 +138,8 @@ def main():
         toas = [None] * 5
         for i, sensor_id in enumerate(list(zip(*eval(row.measurements)))[0]):
             sender_pid = i % len(mpc.parties)
-            if mpc.pid == sender_pid:
+            # on --sim the one process provides every sender's value
+            if mpc.pid == sender_pid or getattr(mpc, 'is_simulator', False):
                 lla_i = sensors.loc[sensor_id][
                     ['latitude', 'longitude', 'height']].values
                 x_i, y_i, z_i = DatumTransformation.wgs_to_ecef(*lla_i)

@@ -32,7 +32,10 @@ secint = None
 
 def scalar(a):
     """Shape-() secure array entry as a secure number."""
-    return secint(a.share.reshape(()) if hasattr(a, 'share') else a)
+    if hasattr(a, 'share'):
+        # plane-agnostic: keep any leading party axis of the share
+        return secint(mpc._logical_reshape(mpc._share(a), ()))
+    return secint(a)
 
 
 def blocks(TL, TR, BL, BR):

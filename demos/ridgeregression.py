@@ -179,9 +179,32 @@ def linear_solve(A, B):
                    for v in RA], dtype=object).reshape(d, d)
     RB = mpc.matrix_prod(R, B)
     # raw shares of RB: Bareiss steps are linear, so shares flow through
+    if getattr(mpc, 'is_simulator', False):
+        # co-located plane: shares are party-stacked; run the local
+        # elimination once per party and restack the results
+        m = len(mpc.parties)
+        RBs_all = np.array(
+            [[int(v) for v in np.asarray(x.share.value).reshape(-1)]
+             for row in RB for x in row], dtype=object)  # (d*e, m)
+        per_party = []
+        detRA_sh = None
+        for pidx in range(m):
+            RBs = RBs_all[:, pidx].reshape(d, e)
+            invA_B, detRA_sh = bareiss(secnum.field,
+                                       np.concatenate((RA, RBs), axis=1))
+            per_party.append(invA_B)
+        detA = secnum(secnum.field(int(detRA_sh))) / detR  # detRA public
+        adjA_B = []
+        for i in range(d):
+            for j in range(e):
+                stacked = secnum.field.array(np.array(
+                    [int(per_party[p][i][j]) for p in range(m)],
+                    dtype=object))
+                adjA_B.append(secnum(stacked) * detA)
+        return adjA_B + [detA]
+
     RBs = np.array([int(x.share.value[()]) for row in RB for x in row],
                    dtype=object).reshape(d, e)
-
     invA_B, detRA_sh = bareiss(secnum.field,
                                np.concatenate((RA, RBs), axis=1))
     # detRA is public (from RA columns only)
@@ -285,9 +308,11 @@ def main():
             AB.append(beta * sum(Yt[j]))
         del Xt, Yt
 
-        ABarr = secint.field.array(np.array(AB, dtype=object))
+        # degree-0 sharing (all parties hold the same sums) -> degree-t via
+        # one reshare; _share_like broadcasts over the party axis on --sim
+        ABarr = mpc._share_like(secint.field.array(np.array(AB, dtype=object)))
         ABarr = mpc._reshare(ABarr)
-        AB = [secint(secint.field(int(v))) for v in ABarr.value.reshape(-1)]
+        AB = mpc.np_tolist(mpc._wrap(secint, ABarr, array=True, integral=True))
         AB = mpc.convert(AB, secnum)
 
         A = [[None] * d for _ in range(d)]

@@ -76,6 +76,22 @@ class SimRuntime(Runtime):
     def barrier(self, name=None):
         pass
 
+    def transfer(self, obj, senders=None, receivers=None,
+                 sender_receivers=None):
+        """Plain-object exchange on the co-located plane: the one process
+        plays every party, so each sender's object is `obj` itself
+        (pickle round-trip preserved for copy semantics, like the base
+        plane's self-transfer)."""
+        import pickle
+        m = len(self.parties)
+        dup = lambda: pickle.loads(pickle.dumps(obj))  # noqa: E731
+        if sender_receivers is not None:
+            return {s: dup() for s, r in sender_receivers if r == self.pid}
+        if isinstance(senders, int):
+            return dup()
+        snd = list(range(m) if senders is None else senders)
+        return [dup() for _ in snd]
+
     # -- primitives with party-stacked shares ------------------------------
     # A share array has shape (m,) + logical_shape (+ limb axes).
 
@@ -203,7 +219,91 @@ class SimRuntime(Runtime):
             ys.append(acc)
         return ys if x_is_list else ys[0]
 
+    def _convert(self, x, t_type):
+        """Field conversion with party-stacked shares (PRSS correlated
+        masks drawn with one uci so both fields see the same integers;
+        base-plane twin: runtime.py _convert, reference runtime.py:691-787).
+        """
+        import math
+
+        s_type = type(x[0])
+        if issubclass(s_type, sectypes.SecureArray):
+            raise NotImplementedError('convert of arrays: use np ops')
+        n = len(x)
+        m = len(self.parties)
+        t = self.threshold
+        s_field = s_type.field
+        t_field = t_type.field
+        s_is_ff = issubclass(s_type, sectypes.SecureFiniteField)
+        if s_is_ff:
+            bound = s_field.order
+            l = None
+        else:
+            k = self.options.sec_param
+            l = min(s_type.bit_length, t_type.bit_length)
+            d_senders = math.comb(m, t)
+            bound = 1 << max(0, (k + l) - d_senders.bit_length() + 1)
+        prfs_s = self.prfs(bound)
+        uci = self._prss_uci()
+        if s_is_ff:
+            # arbitrary bound q: field-independent host integer stream
+            # embeds identically into both fields (reference:
+            # runtime.py:758-761 / thresha host PRF)
+            s_r = self._stacked_prss_host(s_field, prfs_s, uci, n)
+            t_r = self._stacked_prss_host(t_field, prfs_s, uci, n)
+        else:
+            s_r = self._stacked_prss(s_field, prfs_s, uci, n)  # (m, n)
+            t_r = self._stacked_prss(t_field, prfs_s, uci, n)  # same ints
+
+        d = t_type.frac_length - s_type.frac_length
+        shares = [self._share(xi) for xi in x]  # each (m,)
+        stacked = s_field.array.from_data(
+            jnp.stack([s.data for s in shares], axis=1))  # (m, n)
+        if d < 0:
+            stacked = self.np_trunc_field(stacked, -d, s_type.bit_length,
+                                          s_type)
+        if s_field.is_signed:
+            offset = s_field.order // 2 if s_is_ff else 1 << (l - 1)
+        else:
+            offset = 0
+        masked = stacked + offset + s_r
+        c = self.output(masked)  # public (n,) values in s_field
+        c_ints = [int(v) for v in np.asarray(c.value).reshape(-1)]
+        out = []
+        for i in range(n):
+            v = self._share_like(t_field.array(
+                np.array(c_ints[i], dtype=object))) - t_r[:, i]
+            if s_is_ff:
+                v = self._share(self._mod(t_type(v),
+                                          int(s_field.modulus)))
+            v = v - offset
+            if d > 0 and not s_is_ff:
+                v = v * (1 << d)
+            res = t_type(v)
+            if issubclass(t_type, sectypes.SecureFixedPoint):
+                res.integral = not s_type.frac_length
+            out.append(res)
+        return out
+
     # PRSS: stacked over parties ------------------------------------------
+
+    def _stacked_prss_host(self, field, prfs, uci, n):
+        """Party-stacked PRSS shares from the host integer PRF stream
+        (arbitrary bounds; same integers embed into any field)."""
+        m = len(self.parties)
+        acc = None
+        for S, prf in prfs.items():
+            vals = field.array(prf.host_integers(uci, (n,)))
+            rows = []
+            for i in range(m):
+                if i in S:
+                    contrib = vals * int(thresha._f_S_i(field, m, i, S))
+                    rows.append(contrib.data)
+                else:
+                    rows.append(jnp.zeros_like(vals.data))
+            stacked = field.array.from_data(jnp.stack(rows, axis=0))
+            acc = stacked if acc is None else acc + stacked
+        return acc
 
     def _stacked_prss(self, field, prfs, uci, n, zero=False):
         m = len(self.parties)

@@ -260,6 +260,43 @@ class Runtime:
                 x.share  # property read forces any LazyShare
         return xs[0] if len(xs) == 1 else (xs or None)
 
+    def _wire_modules(self):
+        """Point the extension modules (random/statistics/seclists/secpols/
+        secgroups/mpctools) and the type layer at this runtime instance,
+        and expose their public surface as attributes (the reference wires
+        its singleton the same way, runtime.py:5203-5212).  Called by
+        setup(); test fixtures creating bare Runtime objects call it too.
+        """
+        rt = self
+        sectypes.runtime = rt
+        asyncoro.runtime = rt
+        import mpyc_tpu
+        mpyc_tpu.runtime = rt
+        from mpyc_tpu import mpctools as _mpctools
+        from mpyc_tpu import random as _random_mod
+        from mpyc_tpu import statistics as _statistics
+        from mpyc_tpu import seclists as _seclists
+        from mpyc_tpu import secpols as _secpols
+        from mpyc_tpu import secgroups as _secgroups
+        _mpctools.runtime = rt
+        _random_mod.runtime = rt
+        _statistics.runtime = rt
+        _seclists.runtime = rt
+        _secpols.runtime = rt
+        _secgroups.runtime = rt
+        rt.random = _random_mod
+        rt.statistics = _statistics
+        rt.seclist = _seclists.seclist
+        rt.SecGrp = _secgroups.SecGrp
+        rt.SecureFiniteGroup = _secgroups.SecureFiniteGroup
+        rt.SecSymmetricGroup = _secgroups.SecSymmetricGroup
+        rt.SecQuadraticResidues = _secgroups.SecQuadraticResidues
+        rt.SecSchnorrGroup = _secgroups.SecSchnorrGroup
+        rt.SecEllipticCurve = _secgroups.SecEllipticCurve
+        rt.SecHyperellipticCurve = _secgroups.SecHyperellipticCurve
+        rt.SecClassGroup = _secgroups.SecClassGroup
+        return rt
+
     def logging(self, enable=None):
         if enable is None:
             enable = logger.getEffectiveLevel() > logging.INFO
@@ -626,7 +663,8 @@ class Runtime:
         xl = list(x) if x_is_list else [x]
         if not xl:
             return []
-        xl = [self._wrap(type(xi).sectype, self._share(xi).reshape(()),
+        xl = [self._wrap(type(xi).sectype,
+                         self._logical_reshape(self._share(xi), ()),
                          array=False, integral=self._integral(xi))
               if isinstance(xi, sectypes.SecureArray) and xi.size == 1
               else xi for xi in xl]
@@ -1843,12 +1881,16 @@ class Runtime:
         sctype = stype.sectype if hasattr(stype, 'sectype') else stype
         field = sctype.field
         n = A.shape[-1]
+        pax = self._pax  # leading party axes (1 on the simulator plane)
         while True:
             U = self._np_randoms(field, n * n)
             U = self._logical_reshape(U, (n, n))
-            dd = jnp.moveaxis(jnp.diagonal(U.data, axis1=0, axis2=1), -1, 0)
+            dd = jnp.diagonal(U.data, axis1=pax, axis2=pax + 1)
+            dd = jnp.moveaxis(dd, -1, pax)
             diag_raw = U.from_data(dd)
-            diag = [self._wrap(sctype, diag_raw[i], array=False, integral=True)
+            sel = (slice(None),) * pax
+            diag = [self._wrap(sctype, diag_raw[sel + (i,)],
+                               array=False, integral=True)
                     for i in range(n)]
             detU = self.prod(diag)
             if not self.is_zero_public(detU):
@@ -1856,7 +1898,8 @@ class Runtime:
 
         # share-wise triangular split: slicing shares slices the secrets
         low = np.tril(np.ones((n, n), dtype=bool), -1)
-        lowm = jnp.asarray(low).reshape(low.shape + (1,) * (U.data.ndim - 2))
+        lowm = jnp.asarray(low).reshape(
+            (1,) * pax + low.shape + (1,) * (U.data.ndim - 2 - pax))
         zero = jnp.zeros_like(U.data)
         eye = self._encode_public(sctype, np.eye(n, dtype=object))
         L_raw = U.from_data(jnp.where(lowm, U.data, zero)) + eye
@@ -1881,7 +1924,8 @@ class Runtime:
         f = stype.frac_length
         u = self.random.np_random_unit_vector(stype, n)
         su = self._share(u)
-        r = (su * field.array(np.arange(n, dtype=object))).sum()
+        # sum over the logical axis only (leading party axis on --sim)
+        r = (su * field.array(np.arange(n, dtype=object))).sum(axis=-1)
         sa = self._share(a)
         if f:
             r = r >> f
@@ -3675,33 +3719,7 @@ def setup(argv=None):
         rt = SimRuntime(m, options)
     else:
         rt = Runtime(pid, parties, options)
-    sectypes.runtime = rt
-    asyncoro.runtime = rt
-    import mpyc_tpu
-    mpyc_tpu.runtime = rt
-    from mpyc_tpu import mpctools as _mpctools
-    from mpyc_tpu import random as _random_mod
-    from mpyc_tpu import statistics as _statistics
-    from mpyc_tpu import seclists as _seclists
-    from mpyc_tpu import secpols as _secpols
-    from mpyc_tpu import secgroups as _secgroups
-    _mpctools.runtime = rt
-    _random_mod.runtime = rt
-    _statistics.runtime = rt
-    _seclists.runtime = rt
-    _secpols.runtime = rt
-    _secgroups.runtime = rt
-    rt.random = _random_mod
-    rt.statistics = _statistics
-    rt.seclist = _seclists.seclist
-    rt.SecGrp = _secgroups.SecGrp
-    rt.SecureFiniteGroup = _secgroups.SecureFiniteGroup
-    rt.SecSymmetricGroup = _secgroups.SecSymmetricGroup
-    rt.SecQuadraticResidues = _secgroups.SecQuadraticResidues
-    rt.SecSchnorrGroup = _secgroups.SecSchnorrGroup
-    rt.SecEllipticCurve = _secgroups.SecEllipticCurve
-    rt.SecHyperellipticCurve = _secgroups.SecHyperellipticCurve
-    rt.SecClassGroup = _secgroups.SecClassGroup
+    rt._wire_modules()
     return rt
 
 

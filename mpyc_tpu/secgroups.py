@@ -281,17 +281,28 @@ def repeat_secret_base_secret_output(a, x, secgrp):
     return c
 
 
-def _local_exponents(x):
-    """Party's Lagrange-weighted share(s) of x as public integers."""
+def _local_exponents(x, pid=None):
+    """Party pid's Lagrange-weighted share(s) of x as public integers
+    (pid defaults to the own pid; on the co-located simulator plane any
+    party's local exponent can be extracted from the stacked share)."""
+    import numpy as _np
+
     field = type(x[0]).field
     m = len(runtime.parties)
+    if pid is None:
+        pid = runtime.pid
     if m == 1:
         lambda_i = field(1)
     else:
-        lambda_i = _recombination_vector(field, range(1, m+1), 0)[runtime.pid]
+        lambda_i = _recombination_vector(field, range(1, m+1), 0)[pid]
+    sim = getattr(runtime, 'is_simulator', False)
     es = []
     for xi in x:
-        v = field(int(runtime._share(xi).value[()]))
+        sh = runtime._share(xi)
+        if sim:
+            v = field(int(_np.asarray(sh.value).reshape(-1)[pid]))
+        else:
+            v = field(int(sh.value[()]))
         e_i = int(lambda_i * v)  # signed representative iff field.is_signed
         if isinstance(xi, SecureFiniteField) and xi.subfield is not None:
             e_i %= field.characteristic
@@ -303,6 +314,12 @@ def repeat_public_base_secret_output(a, x, secgrp):
     """a^[x] -> [a^x]: each party exponentiates by its Lagrange-local
     exponent and inputs the result; a log-depth reduce combines them
     (reference: secgroups.py:275-291)."""
+    if getattr(runtime, 'is_simulator', False):
+        m = len(runtime.parties)
+        c = [runtime.input(
+                secgrp(secgrp.group.repeat(a, _local_exponents([x], p)[0])),
+                senders=p) for p in range(m)]
+        return mpctools.reduce(secgrp.operation, c)
     e_i = _local_exponents([x])[0]
     c_i = secgrp.group.repeat(a, e_i)
     c = runtime.input(secgrp(c_i))
@@ -315,6 +332,12 @@ def repeat_public_base_public_output(a, x):
     if not isinstance(a, list):
         a, x = [a], [x]
     group = type(a[0])
+    if getattr(runtime, 'is_simulator', False):
+        m = len(runtime.parties)
+        cs = [functools.reduce(group.operation,
+                               map(group.repeat, a, _local_exponents(x, p)))
+              for p in range(m)]
+        return functools.reduce(group.operation, cs)
     e_i = _local_exponents(x)
     c_i = functools.reduce(group.operation, map(group.repeat, a, e_i))
     c = runtime.transfer(c_i)

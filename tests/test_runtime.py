@@ -27,12 +27,12 @@ def mpc(request):
     old = sectypes.runtime
     rt = _make_runtime(1 if request.param == 'm1' else 3,
                        sim=request.param == 'sim3')
-    sectypes.runtime = rt
-    asyncoro.runtime = rt
+    rt._wire_modules()
     rt.start()
     yield rt
     rt.shutdown()
-    sectypes.runtime = old
+    if old is not None:
+        old._wire_modules()
 
 
 def test_secint_arithmetic(mpc):
@@ -142,3 +142,84 @@ def test_input_multiple_senders(mpc):
     assert len(xs) == m
     total = mpc.run(mpc.output(mpc.sum(xs)))
     assert total == 5 * m
+
+
+def test_convert(mpc):
+    # field conversion on both planes (reference runtime.py:691-787);
+    # simulator twin uses party-stacked PRSS masks with one shared uci
+    secint = mpc.SecInt(32)
+    secint16 = mpc.SecInt(16)
+    secfxp = mpc.SecFxp(32)
+    x = mpc.input(secint(-42))[0]
+    y = mpc.convert(x, secfxp)
+    assert float(mpc.run(mpc.output(y))) == -42.0
+    assert int(mpc.run(mpc.output(mpc.convert(y, secint)))) == -42
+    assert int(mpc.run(mpc.output(mpc.convert(x, secint16)))) == -42
+    secfld = mpc.SecFld(257)
+    u = mpc.input(secfld(200))[0]
+    assert int(mpc.run(mpc.output(mpc.convert(u, secint)))) == 200
+
+
+def test_transfer(mpc):
+    m = len(mpc.parties)
+    objs = mpc.transfer({'pid': mpc.pid, 'v': [1, 2]})
+    assert len(objs) == m
+    assert all(o['v'] == [1, 2] for o in objs)
+    one = mpc.transfer('hello', senders=0)
+    assert one == 'hello'
+
+
+def test_np_matmul_broadcast(mpc):
+    # public (k,k) @ secure batched (..., k, 1): party axis must broadcast
+    # as leading batch dim (regression: np_aes S-box affine layer on --sim)
+    secfld = mpc.SecFld(2**8)
+    A = secfld.field.array(np.eye(3, dtype=int).astype(object))
+    b = mpc.input(secfld.array(np.arange(12, dtype=object).reshape(4, 3)))[0]
+    c = A @ b[..., np.newaxis]
+    out = mpc.run(mpc.output(c))
+    assert np.asarray(out).reshape(4, 3).tolist() == \
+        np.arange(12).reshape(4, 3).tolist()
+    # secure vector @ secure matrix (logical 1-D promotion)
+    secint = mpc.SecInt(32)
+    v = mpc.input(secint.array(np.array([1, 2], dtype=object)))[0]
+    M = mpc.input(secint.array(np.array([[3, 4], [5, 6]],
+                                        dtype=object)))[0]
+    r = mpc.run(mpc.output(v @ M))
+    assert [int(t) for t in np.asarray(r).reshape(-1)] == [13, 16]
+    r = mpc.run(mpc.output(M @ v))
+    assert [int(t) for t in np.asarray(r).reshape(-1)] == [11, 17]
+    s = mpc.run(mpc.output(v @ v))
+    assert int(s) == 5
+
+
+def test_gauss_scalar_pivot(mpc):
+    secint = mpc.SecInt(32)
+    A = [[mpc.input(secint(v))[0] for v in row]
+         for row in ((2, 1), (4, 3))]
+    d = mpc.input(secint(3))[0]
+    b = [mpc.input(secint(v))[0] for v in (1, 2)]
+    c = [mpc.input(secint(v))[0] for v in (5, 6)]
+    out = mpc.gauss(A, d, b, c)
+    exp = [[2 * 3 - 1 * 5, 1 * 3 - 1 * 6], [4 * 3 - 2 * 5, 3 * 3 - 2 * 6]]
+    got = [[int(mpc.run(mpc.output(v))) for v in row] for row in out]
+    assert got == exp
+
+
+def test_np_pow_secret_exponent(mpc):
+    secint = mpc.SecInt(32)
+    b = mpc.input(secint.array(np.array([0, 1, 5], dtype=object)))[0]
+    r = mpc.run(mpc.output(mpc.np_pow(2, b)))
+    assert [int(v) for v in np.asarray(r).reshape(-1)] == [1, 2, 32]
+
+
+def test_np_unit_vector_planes(mpc):
+    # regression: the masked rotation offset must sum over the logical
+    # axis only (the party axis broke fxp unit vectors on --sim)
+    secfxp = mpc.SecFxp(24, 12)
+    secint = mpc.SecInt(32)
+    for val in range(5):
+        u = mpc.run(mpc.output(mpc.np_unit_vector(secfxp(val), 5)))
+        got = [float(v) for v in np.asarray(u).reshape(-1)]
+        assert got == [float(i == val) for i in range(5)], (val, got)
+    u = mpc.run(mpc.output(mpc.np_unit_vector(secint(3), 4)))
+    assert [int(v) for v in np.asarray(u).reshape(-1)] == [0, 0, 0, 1]
