@@ -35,3 +35,19 @@ def gather_shares(rt, *obj):
 def returnType(*args, **kwargs):
     """No-op placeholder declaration (reference: asyncoro.py:336-375)."""
     return None
+
+
+def exception_handler(loop, context):
+    """Asyncio loop exception handler (reference: asyncoro.py:467-477).
+
+    Rounds are eager here, so protocol errors raise at the call site with
+    ordinary tracebacks; this handler only covers stray transport tasks.
+    """
+    loop.default_exception_handler(context)
+
+
+# API-compat re-exports: the reference defines SecureObject and the wire
+# protocol class in asyncoro (asyncoro.py:15-177); in the TPU build they
+# live with the type system and the host transport respectively.
+from mpyc_tpu.sectypes import SecureObject  # noqa: E402,F401
+from mpyc_tpu.parallel.exchange import TcpExchange as MessageExchanger  # noqa: E402,F401

@@ -94,6 +94,11 @@ def _unpickle_xgf_elt(char, modulus_int, value_int):
     return xGF(gfpx.GFpX(char), modulus_int)(value_int)
 
 
+def _unpickle_field_array(elt, values):
+    """Recreate a field array from a carrier element + object values."""
+    return type(elt).array(values)
+
+
 # ===========================================================================
 # scalar elements (host-side values)
 # ===========================================================================
@@ -943,6 +948,12 @@ class FiniteFieldArray:
             return f(int(vals[()]))
         return np.vectorize(lambda v: f(int(v)), otypes=[object])(vals).tolist()
 
+    def __reduce__(self):
+        # pickle via the (picklable) scalar field class + decoded values,
+        # so transfer() of field arrays between parties round-trips
+        # (reference wires share arrays as pickles, runtime.py:478-485)
+        return _unpickle_field_array, (self.field(0), self._decode())
+
     def __int__(self):
         if self.shape != ():
             raise TypeError('only scalar (shape-()) arrays convert to int')
@@ -1020,6 +1031,17 @@ class PrimeFieldArray(FiniteFieldArray):
 
     def _decode(self):
         return self.ctx.decode_ints(np.asarray(self._data))
+
+    def signed_(self):
+        """Signed integer representation, symmetric around zero
+        (reference finfields.py:1395)."""
+        p = self.field.modulus
+        v = self._decode()
+        return np.where(v > p >> 1, v - p, v)
+
+    def unsigned_(self):
+        """Unsigned integer representation (reference finfields.py:1404)."""
+        return self._decode().copy()
 
     @classmethod
     def intarray(cls, a):

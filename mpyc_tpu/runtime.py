@@ -3695,7 +3695,18 @@ def setup(argv=None):
             prog = raw_argv[0]
             for i in range(1, m):
                 cmd = [sys.executable, prog] + raw_argv[1:] + ['-I', str(i)]
-                subprocess.Popen(cmd)
+                if args.output_windows:  # accepted for compat: keep attached
+                    subprocess.Popen(cmd)
+                elif args.output_file:
+                    # reference runtime.py:5183-5187: append to party{m}_{i}.log
+                    with open(f'party{m}_{i}.log', 'a') as fh:
+                        fh.write('\n')
+                        fh.write(f'$> {" ".join(cmd)}\n')
+                        subprocess.Popen(cmd, stdout=fh,
+                                         stderr=subprocess.STDOUT)
+                else:
+                    subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                     stderr=subprocess.STDOUT)
     else:
         parties = [Party(i) for i in range(m)]
         pid = args.index if args.index is not None else 0

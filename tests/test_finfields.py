@@ -277,3 +277,25 @@ def test_ext_array_matmul_sum():
     assert [int(v) for v in prod] == [1, 0, 0, 1]
     s = b.sum(axis=1)
     assert int(np.asarray(s.value).reshape(-1)[0]) == int((F(2) + F(5)).value)
+
+
+def test_array_pickle_roundtrip():
+    # transfer() wires field arrays as pickles (reference runtime.py:478-485)
+    import pickle
+    F = finfields.GF(97)
+    A = F.array(np.array([1, 95, 3], dtype=object))
+    B = pickle.loads(pickle.dumps(A))
+    assert [int(v) for v in B.value] == [1, 95, 3]
+    X = finfields.GF(gfpx.GFpX(2)('x^8+x^4+x^3+x+1'))
+    C = pickle.loads(pickle.dumps(X.array(np.array([5, 6], dtype=object))))
+    assert [int(v) for v in C.value] == [5, 6]
+    E = finfields.GF(gfpx.GFpX(3)('x^2+1'))
+    D = pickle.loads(pickle.dumps(E.array(np.array([4, 7], dtype=object))))
+    assert [int(v) for v in D.value] == [4, 7]
+
+
+def test_array_signed_unsigned():
+    F = finfields.GF(97)
+    A = F.array(np.array([1, 95, 3], dtype=object))
+    assert list(A.signed_()) == [1, -2, 3]
+    assert list(A.unsigned_()) == [1, 95, 3]
