@@ -474,7 +474,12 @@ class ExtensionFieldElement(FiniteFieldElement):
         return type(self)((-self.value) % self.modulus)
 
     def __rshift__(self, other):
-        return NotImplemented
+        # divide by the polynomial with int encoding 1<<other (x^other for
+        # char 2, the constant 2^other for larger char) — reference
+        # finfields.py:562-566
+        if not isinstance(other, int):
+            return NotImplemented
+        return self * type(self)(self._reciprocal(1 << other))
 
     @classmethod
     def _reciprocal(cls, a):
@@ -689,6 +694,9 @@ class FiniteFieldArray:
         return type(self).from_data(jnp.swapaxes(self._data, a % nd, b % nd))
 
     def __getitem__(self, idx):
+        # NB: scalar indexing returns a shape-() *array*, not a field
+        # element (design delta vs reference finfields.py:1004-1009: device
+        # data stays on device; 0-d arrays coerce wherever elements do)
         return type(self).from_data(self._data[idx])
 
     def _expand_idx(self, idx):
@@ -1057,6 +1065,7 @@ class PrimeFieldArray(FiniteFieldArray):
         return vals
 
     def __getitem__(self, idx):
+        # NB: scalar indexing returns a shape-() array (see base class note)
         return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):
@@ -1212,6 +1221,7 @@ class BinaryFieldArray(FiniteFieldArray):
         return self.ctx.decode_ints(np.asarray(self._data))
 
     def __getitem__(self, idx):
+        # NB: scalar indexing returns a shape-() array (see base class note)
         return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):
@@ -1314,6 +1324,7 @@ class ExtensionFieldArray(FiniteFieldArray):
         return self.ctx.decode_ints(np.asarray(self._data))
 
     def __getitem__(self, idx):
+        # NB: scalar indexing returns a shape-() array (see base class note)
         return type(self).from_data(self._data[self._expand_idx(idx)])
 
     def _binop(self, other, opname, reflected=False):

@@ -87,14 +87,20 @@ class Polynomial:
 
     @classmethod
     def _from_int(cls, a):
-        if a < 0:
-            raise ValueError('negative polynomial encoding')
         p = cls.p
+        neg = a < 0
+        if neg:
+            a = -a
         cs = []
         while a:
             a, r = divmod(a, p)
-            cs.append(r)
+            cs.append(p - r if neg and r else r)
         return cs
+
+    @staticmethod
+    def _to_list(a):
+        # coefficient list view (reference gfpx.py:171-174; no copy)
+        return a.value
 
     @classmethod
     def _to_int(cls, cs):
@@ -277,11 +283,12 @@ class Polynomial:
         return cls._monic(a)
 
     @classmethod
-    def _monic(cls, a):
+    def _monic(cls, a, lc_pinv=False):
         if not a or a[-1] == 1:
-            return a
-        inv = gmpy2.invert(a[-1], cls.p)
-        return [(c * inv) % cls.p for c in a]
+            return (a, 1 if a else 0) if lc_pinv else a
+        inv = int(gmpy2.invert(a[-1], cls.p))
+        b = [(c * inv) % cls.p for c in a]
+        return (b, inv) if lc_pinv else b
 
     @classmethod
     def _gcdext(cls, a, b):
@@ -453,6 +460,14 @@ class Polynomial:
         cls = type(self)
         return cls(q, check=False), cls(r, check=False)
 
+    def __rdivmod__(self, other):
+        b = self._both(other)
+        if b is None:
+            return NotImplemented
+        q, r = self._divmod(b, self.value)
+        cls = type(self)
+        return cls(q, check=False), cls(r, check=False)
+
     def __pow__(self, n, modulus=None):
         if not isinstance(n, int):
             return NotImplemented
@@ -531,8 +546,15 @@ class Polynomial:
         a, m = cls._intern(a), cls._intern(modulus)
         return cls(cls._invert(a, m), check=False)
 
-    def monic(self):
-        return type(self)(self._monic(self.value), check=False)
+    def monic(self, lc_pinv=False):
+        """Monic version; with lc_pinv also return the inverse of the
+        leading coefficient (0 for the zero polynomial) — reference
+        gfpx.py:535-547."""
+        cls = type(self)
+        if lc_pinv:
+            a, a1 = cls._monic(self.value, lc_pinv=True)
+            return cls(a, check=False), a1
+        return cls(self._monic(self.value), check=False)
 
     def deriv(self, m=1):
         """Order-m formal derivative of the polynomial (m>=0)."""
@@ -543,12 +565,12 @@ class Polynomial:
         return type(self)(self._norm(cs), check=False)
 
     def reverse(self, d=None):
-        """Reverse of polynomial as degree-d polynomial (d defaults to degree)."""
+        """Reverse as degree-d polynomial: pad with zeros or truncate to
+        degree d (>= -1) first, then reverse (reference gfpx.py:549-558)."""
         cs = list(self.value)
         if d is None:
             d = len(cs) - 1
-        if d + 1 < len(cs):
-            raise ValueError('d too small')
+        cs = cs[:d + 1]
         cs = cs + [0] * (d + 1 - len(cs))
         return type(self)(self._norm(cs[::-1]), check=False)
 
@@ -613,9 +635,15 @@ class BinaryPolynomial(Polynomial):
 
     @classmethod
     def _from_int(cls, a):
-        if a < 0:
-            raise ValueError('negative polynomial encoding')
-        return a
+        return abs(a)
+
+    @staticmethod
+    def _to_list(a):
+        c = []
+        while a:
+            a, r = divmod(a, 2)
+            c.append(r)
+        return c
 
     @classmethod
     def _to_int(cls, v):
@@ -628,7 +656,7 @@ class BinaryPolynomial(Polynomial):
                 raise TypeError(f'polynomial of type {cls.__name__} expected')
             return a.value
         if isinstance(a, int):
-            return a
+            return cls._from_int(a)
         if isinstance(a, str):
             return cls._from_terms(a)
         if isinstance(a, (tuple, list)):
@@ -674,10 +702,9 @@ class BinaryPolynomial(Polynomial):
         return (self.value >> key) & 1
 
     def __call__(self, x):
-        x %= 2
-        if x == 0:
-            return self.value & 1
-        return bin(self.value).count('1') & 1
+        # reference-exact evaluation (gfpx.py:867-869, incl. its x-even
+        # convention of returning 0 rather than the constant term)
+        return bin(self.value).count('1', 2) % 2 if x % 2 else 0
 
     def degree(self):
         return self.value.bit_length() - 1
@@ -760,8 +787,8 @@ class BinaryPolynomial(Polynomial):
         return 2
 
     @classmethod
-    def _monic(cls, a):
-        return a
+    def _monic(cls, a, lc_pinv=False):
+        return (a, 1 if a else 0) if lc_pinv else a
 
     @classmethod
     def _gcd(cls, a, b):
@@ -803,12 +830,12 @@ class BinaryPolynomial(Polynomial):
         return cls(v, check=False)
 
     def reverse(self, d=None):
+        """Reverse as degree-d bitmask polynomial: truncate or zero-pad to
+        degree d (>= -1), then reverse (reference gfpx.py:949-956)."""
         v = self.value
-        deg = v.bit_length() - 1
         if d is None:
-            d = deg
-        if d < deg:
-            raise ValueError('d too small')
+            d = v.bit_length() - 1
+        v &= (1 << max(d + 1, 0)) - 1
         out = 0
         for i in range(max(d + 1, 0)):
             if (v >> i) & 1:

@@ -197,16 +197,36 @@ def is_square(x):
 
 
 def gcdext(a, b):
-    """Extended gcd: (g, s, t) with g == gcd(a, b) == a*s + b*t."""
-    s0, s1, t0, t1 = 1, 0, 0, 1
+    """Extended gcd: (g, s, t) with g == gcd(a, b) == a*s + b*t.
+
+    Cofactors are normalized to GMP's documented contract (mpz_gcdext,
+    mirrored by the reference's tests/test_gmpy.py:32-44): g >= 0;
+    s == 0 if |a| == |b|, s == sign(a) if b == 0 or |b| == 2g, else
+    |s| < |b|/(2g); t symmetric with a and b swapped.
+    """
+    a0, b0 = a, b
+    s0, s1 = 1, 0
     while b:
         q, r = divmod(a, b)
         a, b = b, r
         s0, s1 = s1, s0 - q * s1
-        t0, t1 = t1, t0 - q * t1
     if a < 0:
-        a, s0, t0 = -a, -s0, -t0
-    return a, s0, t0
+        a, s0 = -a, -s0
+    g = a
+    if g == 0:
+        return 0, 0, 0
+    # normalize s into GMP's minimal range, then derive t exactly
+    bg = abs(b0) // g
+    if abs(a0) == abs(b0):
+        s = 0
+    elif b0 == 0 or bg == 2:
+        s = (a0 > 0) - (a0 < 0)
+    else:
+        s = s0 % bg
+        if 2 * s > bg:
+            s -= bg
+    t = (g - a0 * s) // b0 if b0 else 0
+    return g, s, t
 
 
 def ratrec(x, y, N=None, D=None):

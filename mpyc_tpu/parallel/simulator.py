@@ -183,7 +183,8 @@ class SimRuntime(Runtime):
             shares = xl
         ys = []
         for s in shares:
-            pts = [(i + 1, s[i]) for i in range(t + 1)]
+            pts = [(i + 1, s.from_data(s.data[i]))
+                   for i in range(t + 1)]
             rec = thresha.np_recombine(field, [
                 (xc, sh.flatten() if sh.shape else sh.reshape(1))
                 for xc, sh in pts])
@@ -504,7 +505,8 @@ class SimRuntime(Runtime):
         stype = self._sectype(a)
         share = self._share(a)
         m = len(self.parties)
-        parts = [fn(share[i]) for i in range(m)]
+        parts = [fn(share.from_data(share.data[i]))
+                 for i in range(m)]
         out = share.from_data(jnp.stack([p.data for p in parts], axis=0))
         return self._wrap(stype, out, array=True,
                           integral=self._integral(a) if integral is None

@@ -323,6 +323,14 @@ class Runtime:
         """Shares of two operands, shape-aligned (sim overrides this)."""
         return self._share(a), self._share(b)
 
+    def _share_scalar_at(self, a, i):
+        """Share of element i of 1-D secure array a, as a shape-() share
+        (keeps any leading party axis; avoids the element-returning
+        public __getitem__)."""
+        s = self._share(a)
+        idx = (slice(None),) * self._pax + (i,)
+        return s.from_data(s.data[idx])
+
     @staticmethod
     def _sectype(*xs):
         """Scalar sectype of the operands (first secure operand wins)."""
@@ -806,7 +814,7 @@ class Runtime:
         """n secure random values (reference runtime.py:4023-4060)."""
         x = self._np_randoms_field(sftype, n, bound)
         if issubclass(sftype, sectypes.SecureObject):
-            return [sftype(x[i].reshape(())) for i in range(n)]
+            return [sftype(x.from_data(x.data[i])) for i in range(n)]
         return x
 
     def _np_randoms(self, sftype, n, bound=None):
@@ -845,7 +853,7 @@ class Runtime:
         if issubclass(sftype, sectypes.SecureObject):
             out = []
             for i in range(n):
-                o = sftype(arr.share[i].reshape(()))
+                o = sftype(arr.share.from_data(arr.share.data[i]))
                 if issubclass(sftype, sectypes.SecureFixedPoint):
                     o.integral = True
                 out.append(o)
@@ -1318,7 +1326,8 @@ class Runtime:
                 nz = max(b.size, 1)
                 z = thresha.np_pseudorandom_share_0(
                     field, m, self.pid, prfs, self._prss_uci(), nz)
-                b = b + (z.reshape(b.shape) if b.shape else z[0].reshape(()))
+                b = b + (z.reshape(b.shape) if b.shape
+                         else z.from_data(z.data[0]))
         c = self.output(b, threshold=threshold)
         if c.shape:
             return np.array([int(v) == 0 for v in c.value.reshape(-1)]) \
@@ -1394,7 +1403,7 @@ class Runtime:
         """Secure array -> (nested) list of secure numbers."""
         stype = self._sectype(a)
         if len(a.shape) == 1:
-            return [self._wrap(stype, self._share(a)[i].reshape(()),
+            return [self._wrap(stype, self._share_scalar_at(a, i),
                                array=False, integral=self._integral(a))
                     for i in range(a.shape[0])]
         return [self.np_tolist(self.np_getitem(a, i))
