@@ -175,8 +175,7 @@ def linear_solve(A, B):
     R, detR = random_matrix_determinant(secnum, d)
     RA = mpc.matrix_prod(R, A)
     RA = mpc.output([a for row in RA for a in row], raw=True)
-    RA = np.array([int(v.value[()]) if hasattr(v, 'value') else int(v)
-                   for v in RA], dtype=object).reshape(d, d)
+    RA = np.array([int(v) for v in RA], dtype=object).reshape(d, d)
     RB = mpc.matrix_prod(R, B)
     # raw shares of RB: Bareiss steps are linear, so shares flow through
     if getattr(mpc, 'is_simulator', False):

@@ -1379,6 +1379,17 @@ class ExtensionFieldArray(FiniteFieldArray):
         out = np.vectorize(lambda v: f._sqrt(v, INV=INV), otypes=[object])(vals)
         return type(self)(out)
 
+    def __lshift__(self, n):
+        if not isinstance(n, int):
+            return NotImplemented
+        return self * ((1 << n) % self.field.characteristic)
+
+    def __rshift__(self, n):
+        if not isinstance(n, int):
+            return NotImplemented
+        p = self.field.characteristic
+        return self * int(gmpy2.invert((1 << n) % p, p))
+
     @classmethod
     def _coerce(cls, other):
         if isinstance(other, cls):

@@ -169,8 +169,11 @@ class BinaryFieldCtx:
         flat = arr.reshape(-1)
         out = np.empty(flat.shape[0], dtype=np.uint32)
         for i in range(flat.shape[0]):
-            out[i] = int(flat[i]) & (self.order - 1) if self.d < 32 \
-                else int(flat[i]) & 0xFFFFFFFF
+            v = int(flat[i])
+            if v < 0:
+                v = -v  # -f(x) == f(x) coefficientwise in char 2
+            out[i] = v & (self.order - 1) if self.d < 32 \
+                else v & 0xFFFFFFFF
         return out.reshape(arr.shape)
 
     def decode_ints(self, vals) -> np.ndarray:

@@ -178,10 +178,15 @@ class ExtFieldCtx:
         return out.reshape(arr.shape + (self.d, self.base.L))
 
     def _int_coeffs(self, v: int):
+        # negative ints encode the negated polynomial of |v| (reference
+        # gfpx semantics: GF9(-3) == -(x) == 2x)
+        neg = v < 0
+        if neg:
+            v = -v
         cs = []
         while v:
             v, r = divmod(v, self.p)
-            cs.append(r)
+            cs.append((-r) % self.p if neg else r)
         return cs
 
     def decode_ints(self, data) -> np.ndarray:

@@ -195,6 +195,10 @@ class SimRuntime(Runtime):
             conv = stype._output_conversion
             if conv is not None:
                 ys = [conv(a) for a in ys]
+        elif sctype is not None and not is_arr:
+            # raw open of scalar secure numbers: field elements (parity
+            # with the base plane / reference runtime.py:593-596)
+            ys = [field(int(a.value[()])) for a in ys]
         return ys if x_is_list else ys[0]
 
     def _reshare(self, x):

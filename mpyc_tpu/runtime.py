@@ -20,6 +20,7 @@ jitted limb arithmetic. Communication backends:
 from __future__ import annotations
 
 import functools
+import inspect
 import itertools
 import logging
 import math
@@ -85,8 +86,32 @@ class Runtime:
     SecFxp = staticmethod(sectypes.SecFxp)
     SecFlt = staticmethod(sectypes.SecFlt)
     SecureFloat = sectypes.SecureFloat
-    coroutine = staticmethod(lambda f: f)
-    returnType = None
+    @staticmethod
+    def coroutine(f):
+        """Decorator for user-defined MPyC coroutines (reference
+        asyncoro.mpc_coro): in the eager plane the coroutine body runs
+        synchronously to completion and its result is returned."""
+        if not inspect.iscoroutinefunction(f):
+            return f
+
+        @functools.wraps(f)
+        def wrapper(*args, **kwargs):
+            import asyncio
+            coro = f(*args, **kwargs)
+            try:
+                loop = asyncio.get_event_loop()
+            except RuntimeError:
+                loop = asyncio.new_event_loop()
+            return loop.run_until_complete(coro)
+        return wrapper
+
+    @staticmethod
+    def returnType(*args, **kwargs):
+        """Placeholder declaration (reference asyncoro.py:336-375); in the
+        eager plane there are no placeholders — awaiting this is a no-op."""
+        async def _done():
+            return None
+        return _done()
 
     def gather(self, *obj):
         """Resolve secure objects to their local share values (shares are
@@ -136,6 +161,34 @@ class Runtime:
             if subset[0] == self.pid:
                 keys[subset] = secrets.token_bytes(16)
         self._prss_keys = keys
+
+    def _prss_keys_to_peer(self, peer_pid):
+        """Return own PRSS keys to be sent to the given peer.
+
+        Reference: runtime.py:118-127.
+        """
+        m = len(self.parties)
+        t = self.threshold
+        keys = []
+        for subset in itertools.combinations(range(m), m - t):
+            if subset[0] == self.pid and peer_pid in subset:
+                keys.append(self._prss_keys[subset])
+        return keys
+
+    def _prss_keys_from_peer(self, peer_pid, data=None):
+        """Store PRSS keys received from peer (or return expected size).
+
+        Reference: runtime.py:128-141.
+        """
+        m = len(self.parties)
+        t = self.threshold
+        len_packet = 0
+        for subset in itertools.combinations(range(m), m - t):
+            if subset[0] == peer_pid and self.pid in subset:
+                if data is not None:
+                    self._prss_keys[subset] = data[len_packet:len_packet + 16]
+                len_packet += 16
+        return len_packet
 
     @functools.cache
     def prfs(self, bound):
@@ -219,8 +272,22 @@ class Runtime:
             if peer != self.pid:
                 self.exchange.receive(peer, pc)
 
-    def throttler(self, load_percentage=1.0, name=None):
-        """No-op in eager mode (kept for API compatibility)."""
+    async def throttler(self, load_percentage=1.0, name=None):
+        """Throttle runtime by given percentage (reference runtime.py:173-183).
+
+        In the eager plane there is no dataflow lookahead to bound, so this
+        only validates its argument and (at full aggregate load) acts as a
+        barrier, keeping parties loosely in step.
+        """
+        if not 0.0 <= load_percentage <= 1.0:
+            raise ValueError('percentage required as decimal fraction between 0.0 and 1.0')
+
+        self.aggregate_load += load_percentage * 10000
+        if self.aggregate_load < 10000:
+            return
+
+        self.aggregate_load -= 10000
+        self.barrier(name=name)
 
     def pipeline(self):
         """Context manager enabling deferred-receive pipelining.
@@ -555,10 +622,11 @@ class Runtime:
             if sctype is not None and not raw:
                 conv = stype._output_conversion
                 if conv is not None:
-                    if is_arr:
-                        ys = [conv(a) for a in ys]
-                    else:
-                        ys = [conv(a) for a in ys]
+                    ys = [conv(a) for a in ys]
+            elif sctype is not None and not is_arr:
+                # raw open of scalar secure numbers: field elements
+                # (reference runtime.py:593-596 yields field values)
+                ys = [field(int(a.value[()])) for a in ys]
         else:
             ys = [None] * len(shares)
         return ys if x_is_list else ys[0]
@@ -646,7 +714,13 @@ class Runtime:
                 list(range(m) if receivers is None else receivers)
             pairs = {(s, r) for s in snd for r in rcv}
         else:
-            pairs = {(s, r) for s, r in sender_receivers}
+            if isinstance(sender_receivers, dict):
+                # {sender: iterable of receivers} form (reference
+                # runtime.py:344-401)
+                pairs = {(s, r) for s, rs in sender_receivers.items()
+                         for r in rs}
+            else:
+                pairs = {(s, r) for s, r in sender_receivers}
         pc = self._pc_next()
         if any(s == self.pid for s, r in pairs):
             data = pickle.dumps(obj)
@@ -754,7 +828,10 @@ class Runtime:
                 v = self._share(self._mod(t_type(v.reshape(())),
                                           int(s_field.modulus))).reshape(())
             v = v - offset
-            if d > 0 and not s_is_ff:
+            if d > 0:
+                # scale into the target fxp domain; for ff sources the
+                # reference gets this shift from _mod's final <<f
+                # (runtime.py:1880) — our _mod returns the raw domain
                 v = v * (1 << d)
             res = t_type(v.reshape(()))
             if issubclass(t_type, sectypes.SecureFixedPoint):
@@ -1007,6 +1084,11 @@ class Runtime:
         if not b_is_sec:
             # public multiplier: local product, no reshare
             b_int = self._integral(b)
+            if f and isinstance(b, (finfields.FiniteFieldElement,
+                                    finfields.FiniteFieldArray)):
+                # public field values are fxp-encoded raw (reference
+                # runtime.py:1071-1092: b_integral False, z == 0)
+                b_int = False
             sb = self._encode_public(stype, b)
             c = self._share(a) * sb  # public operand broadcasts
             if f and (a_int or b_int):
@@ -1037,7 +1119,8 @@ class Runtime:
             v = int(b) << f if f else int(b)
             return field.array(np.array(v, dtype=object))
         if isinstance(b, float):
-            assert f, 'float constant needs fixed-point type'
+            if not f:
+                raise TypeError('float constant needs fixed-point type')
             return field.array(np.array(round(b * (1 << f)), dtype=object))
         if isinstance(b, finfields.FiniteFieldElement):
             return field.array(np.array(b.value, dtype=object))
@@ -1049,6 +1132,8 @@ class Runtime:
             def enc(v):
                 if isinstance(v, float):
                     return round(v * (1 << f))
+                if isinstance(v, finfields.FiniteFieldElement):
+                    return int(v)  # raw field value, no fxp scaling
                 return int(v) << f if f else int(v)
             return field.array(np.vectorize(enc, otypes=[object])(arr))
         raise TypeError(f'cannot encode {type(b)}')
@@ -1064,22 +1149,25 @@ class Runtime:
         return [self.mul(xi, a) for xi in x]
 
     def sum(self, x, start=0):
-        """Secure sum of elements of list x."""
+        """Secure sum of elements of list x (reference runtime.py:2025-2043)."""
         if isinstance(x, sectypes.SecureArray):
             return self.np_sum(x)
+        x = list(x)
         if not x:
             return start
+        if isinstance(start, sectypes.SecureObject) or start != 0:
+            x[0] = self.add(x[0], start)  # NB: updates x[0].integral too
         stype = self._sectype(*x)
         acc = self._share(x[0])
         for xi in x[1:]:
             acc = acc + self._share(xi)
-        if start:
-            acc = acc + self._encode_public(stype, start)
         return self._wrap(stype, acc, array=False,
                           integral=all(self._integral(xi) for xi in x))
 
     def in_prod(self, x, y):
         """Secure dot product of lists x and y (one round)."""
+        if not x:
+            return 0
         stype = self._sectype(*x, *y)
         f = stype.frac_length
         a_int = all(self._integral(xi) for xi in x)
@@ -1097,6 +1185,8 @@ class Runtime:
 
     def prod(self, x, start=1):
         """Secure product of elements of list x (log depth)."""
+        if not x:
+            return start
         if start != 1:
             x = x + [start if isinstance(start, sectypes.SecureObject)
                      else type(x[0])(start)]
@@ -1112,6 +1202,19 @@ class Runtime:
 
     def pow(self, a, b: int):
         """Secure exponentiation a**b for public integer b."""
+        if isinstance(a, sectypes.SecureFloat):
+            # square-and-multiply via the type's own * (and reciprocal)
+            if b == 0:
+                return type(a)(1)
+            if b < 0:
+                a, b = a.reciprocal(), -b
+            res, d = None, a
+            for i in range(b.bit_length()):
+                if (b >> i) & 1:
+                    res = d if res is None else res * d
+                if i < b.bit_length() - 1:
+                    d = d * d
+            return res
         stype = self._sectype(a)
         if b == 254:  # AES S-box addition chain, 11 muls in 9 rounds
             # (reference runtime.py:1296-1309)
@@ -1171,6 +1274,11 @@ class Runtime:
                 c = 1 / b
                 if c.is_integer():
                     c = round(c)
+            elif isinstance(b, (finfields.FiniteFieldElement,
+                                finfields.FiniteFieldArray)):
+                # raw field divisor: 1/b scaled into the fxp domain
+                # (reference runtime.py:1184-1188)
+                c = b.reciprocal() << f
             else:
                 c = [1 / x for x in b] if isinstance(b, (list, tuple)) else 1 / b
         elif isinstance(b, (sectypes.SecureObject, finfields.FiniteFieldElement)):
@@ -1284,10 +1392,15 @@ class Runtime:
 
     def eq_public(self, a, b):
         """Secure public equality test."""
+        if isinstance(a, sectypes.SecureFloat) or \
+                isinstance(b, sectypes.SecureFloat):
+            return self.is_zero_public(a - b)
         return self.is_zero_public(self.sub(a, b))
 
     def is_zero_public(self, a):
         """Secure public zero test of a (reference: runtime.py:879-929)."""
+        if isinstance(a, sectypes.SecureFloat):
+            return type(a).is_zero_public(a)  # reference runtime.py:882-884
         stype = self._sectype(a) if isinstance(a, sectypes.SecureObject) else None
         field = stype.field if stype else type(a)
         share = self._share(a)
@@ -1352,6 +1465,18 @@ class Runtime:
                           integral=self._integral(a))
 
     def np_reshape(self, a, shape, order='C'):
+        if isinstance(shape, (tuple, list)):
+            if sum(1 for d in shape if d == -1) > 1:
+                raise ValueError('can only specify one unknown dimension')
+            known = 1
+            for d in shape:
+                if d != -1:
+                    known *= d
+            size = int(np.prod(a.shape, dtype=np.int64))
+            if (-1 in shape and (known == 0 or size % known)) or \
+                    (-1 not in shape and known != size):
+                raise ValueError(
+                    f'cannot reshape array of size {size} into shape {tuple(shape)}')
         return self._local(a, lambda s: s.reshape(shape, order=order))
 
     def np_flatten(self, a):
@@ -1417,8 +1542,11 @@ class Runtime:
                   else self._share_like(self._encode_public(
                       stype, np.asarray(x, dtype=object)))
                   for x in arrays]
-        nd = len(shares[0].shape) - self._pax  # logical ndim
         nd_elem = field.array._elem_ndim
+        if axis is None:  # numpy semantics: flatten all inputs first
+            shares = [self._logical_flat(s) for s in shares]
+            axis = 0
+        nd = len(shares[0].shape) - self._pax  # logical ndim
         ax = (axis % nd) + self._pax if axis >= 0 else axis - nd_elem
         out = field.array.from_data(
             jnp.concatenate([s.data for s in shares], axis=ax))
@@ -1644,6 +1772,9 @@ class Runtime:
 
     def np_expand_dims(self, a, axis):
         shape = list(a.shape)
+        if not -len(shape) - 1 <= axis <= len(shape):
+            raise ValueError(
+                f'axis {axis} is out of bounds for array of dimension {len(shape) + 1}')
         ax = axis % (len(shape) + 1)
         shape.insert(ax, 1)
         return self.np_reshape(a, tuple(shape))
@@ -1731,6 +1862,12 @@ class Runtime:
         return self.np_split(a, parts, axis=2)
 
     def np_diagonal(self, a, offset=0, axis1=0, axis2=1):
+        nd = len(a.shape)
+        if nd < 2:
+            raise ValueError(
+                'diag requires an array of at least two dimensions')
+        if axis1 % nd == axis2 % nd:
+            raise ValueError('axis1 and axis2 cannot be the same')
         n1, n2 = a.shape[axis1], a.shape[axis2]
         if offset >= 0:
             cnt = max(0, min(n1, n2 - offset))
@@ -1754,6 +1891,8 @@ class Runtime:
         return res
 
     def np_diag(self, a, k=0):
+        if len(a.shape) > 2:
+            raise ValueError('Input must be 1- or 2-d.')
         if len(a.shape) == 2:
             return self.np_diagonal(a, offset=k)
         return self.np_diagflat(a, k=k)
@@ -1780,6 +1919,15 @@ class Runtime:
         return self.np_flip(a, axis=0)
 
     def np_rot90(self, a, k=1, axes=(0, 1)):
+        axes = tuple(axes)
+        if len(axes) != 2:
+            raise ValueError('len(axes) must be 2.')
+        nd = len(a.shape)
+        if axes[0] % nd == axes[1] % nd:
+            raise ValueError('Axes must be different.')
+        if not (-nd <= axes[0] < nd and -nd <= axes[1] < nd):
+            raise ValueError(
+                f'Axes={axes} out of range for array of ndim={nd}.')
         k %= 4
         a0, a1 = axes
         if k == 0:
@@ -1802,8 +1950,10 @@ class Runtime:
 
         def rec(x, level):
             if not isinstance(x, list):
-                return self._np_atleast(x, d) \
-                    if isinstance(x, sectypes.SecureArray) else x
+                if isinstance(x, sectypes.SecureObject) and \
+                        not isinstance(x, sectypes.SecureArray):
+                    x = self.np_fromlist([x])  # scalar secure number
+                return self._np_atleast(x, d)
             parts = [rec(xi, level + 1) for xi in x]
             return self.np_concatenate(parts, axis=level - d)
 
@@ -1826,32 +1976,64 @@ class Runtime:
             d *= 2
         return self._wrap(stype, s, array=True, integral=self._integral(a))
 
-    def np_convolve(self, a, b):
+    def np_convolve(self, a, b, mode='full'):
         """Secure 1-D convolution (polynomial product; one reshare round).
 
         The shorter operand is unrolled into a banded (Toeplitz) matrix of
         locally shifted copies so the product is a single secret-secret
         matmul on the MXU (reference np_convolve: runtime.py:2481+).
+        Either operand may be public; numpy's full/same/valid modes apply.
         """
-        na = a.shape[0] if isinstance(a, sectypes.SecureArray) else len(a)
-        nb = b.shape[0] if isinstance(b, sectypes.SecureArray) else len(b)
+        for v in (a, b):
+            if isinstance(v, sectypes.SecureArray) and len(v.shape) != 1:
+                raise ValueError('object too deep for desired array')
+        sec = [v for v in (a, b) if isinstance(v, sectypes.SecureObject)]
+        stype = self._sectype(*sec)
+
+        def lift(x):
+            if isinstance(x, sectypes.SecureObject):
+                return x
+            enc = self._encode_public(stype, np.asarray(x, dtype=object))
+            return self._wrap(stype, self._share_like(enc), array=True,
+                              integral=all(self._integral(v) for v in x))
+
+        a, b = lift(a), lift(b)
+        na, nb = a.shape[0], b.shape[0]
+        if not na or not nb:
+            raise ValueError('v cannot be empty')
         if na < nb:
             a, b, na, nb = b, a, nb, na
         n = na + nb - 1
-        stype = self._sectype(a, b)
         pad = np.zeros(n - na, dtype=object)
         awide = self.np_concatenate((a, pad)) if n > na else a
         rows = self.np_stack([self.np_roll(awide, j) for j in range(nb)])
         brow = self.np_reshape(b, (1, nb))
-        return self.np_getitem(self.np_matmul(brow, rows), 0)
+        out = self.np_getitem(self.np_matmul(brow, rows), 0)
+        if mode == 'same':
+            lo = (nb - 1) // 2
+            out = self.np_getitem(out, slice(lo, lo + na))
+        elif mode == 'valid':
+            out = self.np_getitem(out, slice(nb - 1, n - (nb - 1)))
+        return out
 
     def np_outer(self, a, b):
-        """Secure outer product of two flattened arrays (one reshare)."""
-        a = self.np_flatten(a) if isinstance(a, sectypes.SecureArray) else a
-        b = self.np_flatten(b) if isinstance(b, sectypes.SecureArray) else b
-        n = a.shape[0] if isinstance(a, sectypes.SecureArray) else len(a)
-        m = b.shape[0] if isinstance(b, sectypes.SecureArray) else len(b)
-        return self.mul(self.np_reshape(a, (n, 1)), self.np_reshape(b, (1, m)))
+        """Secure outer product of two flattened arrays (one reshare).
+
+        Either operand may be public (numpy semantics: both are
+        flattened first)."""
+
+        def col(x, shape):
+            if isinstance(x, sectypes.SecureArray):
+                return self.np_reshape(self.np_flatten(x), shape)
+            if isinstance(x, sectypes.SecureObject):
+                return self.np_reshape(self.np_fromlist([x]), shape)
+            return np.asarray(x, dtype=object).reshape(shape)
+
+        ar = col(a, (-1, 1))
+        br = col(b, (1, -1))
+        if isinstance(ar, sectypes.SecureArray):
+            return self.mul(ar, br)
+        return self.mul(br, ar)  # broadcastwise product is commutative
 
     def np_vander(self, a, N=None, increasing=False):
         """Secure Vandermonde matrix: columns are elementwise powers of a
@@ -1965,12 +2147,24 @@ class Runtime:
         return self._wrap(stype, c, array=True, integral=a_int and b_int)
 
     def matrix_prod(self, A, B, tr=False):
-        """Secure matrix product of lists-of-lists A and B."""
+        """Secure matrix product of lists-of-lists A and B.
+
+        Either operand (not both) may be a public matrix of
+        field elements / ints (reference runtime.py:2425-2479).
+        """
         stype = self._sectype(*(A[0] + B[0]))
-        An = self.np_fromlist([x for row in A for x in row]) \
-            .reshape(len(A), len(A[0]))
-        Bn = self.np_fromlist([x for row in B for x in row]) \
-            .reshape(len(B), len(B[0]))
+
+        def lift(M):
+            flat = [x for row in M for x in row]
+            if any(isinstance(x, sectypes.SecureObject) for x in flat):
+                return self.np_fromlist(flat).reshape(len(M), len(M[0]))
+            enc = self._encode_public(
+                stype, np.array([list(row) for row in M], dtype=object))
+            return self._wrap(stype, self._share_like(enc), array=True,
+                              integral=all(self._integral(x) for x in flat))
+
+        An = lift(A)
+        Bn = lift(B)
         if tr:
             Bn = self.np_transpose(Bn)
         Cn = self.np_matmul(An, Bn)
@@ -2016,26 +2210,45 @@ class Runtime:
     # char-2 bitwise -------------------------------------------------------
 
     def and_(self, a, b):
-        """Secure & (char-2 fields: multiplication)."""
-        return self.mul(a, b)
+        """Secure bitwise & over char-2 field coefficient vectors
+        (reference runtime.py:1427-1429)."""
+        stype = self._sectype(a, b)
+        stype = getattr(stype, 'sectype', stype)
+        if getattr(stype, 'field', None) is not None and \
+                stype.field.order == 2:
+            # GF(2): bitwise & IS field multiplication (1 round, no
+            # bit-decomposition needed — the hot path of sha3/aes)
+            return self.mul(a, b)
+        if isinstance(a, sectypes.SecureArray) or \
+                isinstance(b, sectypes.SecureArray):
+            return self.np_from_bits(
+                self.np_multiply(self.np_to_bits(a), self.np_to_bits(b)))
+        return self.from_bits(self.schur_prod(self.to_bits(a),
+                                              self.to_bits(b)))
 
     def xor(self, a, b):
-        """Secure ^ (char-2 fields: addition)."""
+        """Secure bitwise ^ (char-2 fields: addition)."""
         return self.add(a, b)
 
     def or_(self, a, b):
-        """Secure | = a + b + a*b (char 2)."""
-        return self.add(self.add(a, b), self.mul(a, b))
+        """Secure bitwise | = a ^ b ^ (a & b) (char 2,
+        reference runtime.py:1439-1441)."""
+        return self.add(self.add(a, b), self.and_(a, b))
 
     def invert(self, a):
-        """Secure ~ = 1 - a for bits (char 2)."""
+        """Secure bitwise ~: flip every coefficient, i.e. a + (q-1)
+        (char 2, reference runtime.py:1435-1437)."""
         stype = self._sectype(a)
-        one = self._encode_public(stype, 1)
-        return self._wrap(stype, one - self._share(a),
+        ones = self._encode_public(stype, stype.field.order - 1)
+        return self._wrap(stype, self._share(a) + ones,
                           array=self._is_array_op(a), integral=True)
 
     def if_else(self, c, x, y):
         """Secure selection c*x + (1-c)*y for c in {0, 1}."""
+        if isinstance(c, sectypes.SecureFixedPoint) and not c.integral:
+            raise ValueError('condition must be integral')
+        if x is y:  # reference runtime.py:2344-2345
+            return x
         if isinstance(x, list):
             return [self.if_else(c, xi, yi) for xi, yi in zip(x, y)]
         d = self.sub(x, y) if isinstance(x, sectypes.SecureObject) or \
@@ -2046,9 +2259,18 @@ class Runtime:
                                         array=False, integral=self._integral(y)))
 
     def if_swap(self, c, x, y):
-        """Secure swap: [x, y] if c == 0 else [y, x]."""
-        d = self.mul(c, self.sub(y, x))
-        return [self.add(x, d), self.sub(y, d)]
+        """Secure swap: [x, y] if c == 0 else [y, x].
+
+        Lists swap elementwise (reference runtime.py:2378-2388).
+        """
+        if isinstance(c, sectypes.SecureFixedPoint) and not c.integral:
+            raise ValueError('condition must be integral')
+        if isinstance(x, list):
+            d = [c * (yi - xi) for xi, yi in zip(x, y)]
+            return [[xi + di for xi, di in zip(x, d)],
+                    [yi - di for yi, di in zip(y, d)]]
+        d = c * (y - x)  # operators coerce public x/y (incl. both public)
+        return [x + d, y - d]
 
     # ======================================================================
     # comparison layer (reference: runtime.py:1443-1559, 3552-3693)
@@ -2265,9 +2487,17 @@ class Runtime:
         """Secure all(): product of 0/1 values (log depth)."""
         s = self._share(a)
         stype = self._sectype(a)
+        f = stype.frac_length
+        if f:
+            # integral fxp bits are multiples of 2^f: exact rescale to the
+            # 0/1 domain so the product needs no per-level truncation
+            # (reference runtime.py:2160-2168 rshifts each level instead)
+            s = s >> f
         if axis is None:
             s = self._logical_flat(s)
             out = self._prod_last_axis(s)
+            if f:
+                out = out << f
             return self._wrap(stype, out, array=False, integral=True)
         nd = len(s.shape) - self._pax
         ax = (axis % nd) + self._pax
@@ -2278,6 +2508,8 @@ class Runtime:
         data = _jnp.moveaxis(s.data, ax, self._pax + nd - 1)
         s = s.from_data(data)
         out = self._prod_last_axis(s)
+        if f:
+            out = out << f
         return self._wrap(stype, out, array=bool(out.shape[self._pax:]),
                           integral=True)
 
@@ -2288,6 +2520,9 @@ class Runtime:
         x = list(x)
         if not x:
             return 1
+        if any(isinstance(a, sectypes.SecureFixedPoint) and not a.integral
+               for a in x):  # reference runtime.py:2153-2154
+            raise ValueError('nonintegral fixed-point number')
         return self.np_all(self.np_fromlist(x))
 
     def any(self, x):
@@ -2358,17 +2593,22 @@ class Runtime:
     def mod(self, a, b):
         """Secure modulo reduction a mod b (public b)."""
         stype = self._sectype(a)
-        if isinstance(b, sectypes.SecureObject):
-            b_val = int(self.run(self.output(b)))  # public value required
-        else:
-            b_val = int(b)
+        f = stype.frac_length
         # work in the raw share domain (reference runtime.py:1825-1838):
         # for secfxp the divisor is b scaled by 2^f, so the raw result
         # directly represents a mod b (fractional part included).
-        b_raw = b_val << stype.frac_length
+        if isinstance(b, sectypes.SecureObject):
+            b_raw = int(self.run(self.output(b, raw=True)))  # public value
+        elif isinstance(b, float):
+            b_raw = round(b * (1 << f))
+        else:
+            b_raw = int(b) << f
         if b_raw == 2:
-            return self.lsb(a)
-        return self._mod(a, b_raw)
+            # lsb returns the fxp-encoded 0/1 bit; the residue lives in the
+            # raw domain, so scale by 2^-f (reference runtime.py:1837-1838)
+            r = self.lsb(a)
+            return self.mul(r, 2 ** -f) if f else r
+        return self._mod(a, b_raw)  # _mod already returns the raw domain
 
     def _mod(self, a, b: int):
         """Secure mod for public raw-domain b a la [GMS10]
@@ -2511,6 +2751,9 @@ class Runtime:
 
     def to_bits(self, a, l=None):
         """Secure bit decomposition: list of l secure bits (LSB first)."""
+        stype = self._sectype(a)
+        if (l if l is not None else stype.bit_length) == 0:
+            return []  # zero-bit types (reference runtime.py:4292)
         arr = self.np_to_bits(a, l)
         n_bits = arr.shape[-1]
         return [self.np_getitem(arr, (..., i)) if isinstance(a, sectypes.SecureArray)
@@ -2545,7 +2788,19 @@ class Runtime:
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
 
         if issubclass(stype, sectypes.SecureFiniteField):
-            return self._np_to_bits_char2(a, l_eff, stype, shape, n)
+            if field.characteristic == 2:
+                return self._np_to_bits_char2(a, l_eff, stype, shape, n)
+            if field.ext_deg > 1:
+                raise TypeError('Binary field or prime field required.')
+            # prime secfld: bit-decompose via secure integers
+            # (reference runtime.py:4307-4317)
+            xs = self.np_tolist(self.np_flatten(a)) \
+                if isinstance(a, sectypes.SecureArray) else [a]
+            xs = self.convert(xs, self.SecInt(l=1 + stype.bit_length))
+            bits = self.np_to_bits(self.np_fromlist(xs), l=l_eff)
+            flat = self.np_tolist(self.np_reshape(bits, (n * l_eff,)))
+            flat = self.convert(flat, stype)
+            return self.np_reshape(self.np_fromlist(flat), shape + (l_eff,))
 
         k = self.options.sec_param
         r_bits = self.np_random_bits(field, n * l_eff)
@@ -2985,6 +3240,8 @@ class Runtime:
         later optimization).
         """
         stype = type(a)
+        if stype.frac_length and not a.integral:
+            raise ValueError('nonintegral fixed-point number')
         arr = self._wrap(stype, self._share_like(self._encode_public(
             stype, np.arange(n, dtype=object))), array=True, integral=True)
         diff = self.sub(self._as_array(stype, a, n), arr)
@@ -3086,9 +3343,104 @@ class Runtime:
             y = tuple(y)
         return (nf, y) if e is None else y
 
-    def np_find(self, x, a, bits=True, e='len(x)', f=None, cs_f=None):
-        """Vector variant of find over a secure 1-D array x."""
-        return self.find(self.np_tolist(x), a, bits=bits, e=e, f=f, cs_f=cs_f)
+    def np_find(self, a, s, axis=-1, bits=True, e='a.shape[axis]', f=None,
+                cs_f=None):
+        """Indices of first occurrences of s in a along the given axis.
+
+        Log-depth np_where cascade, elementwise with broadcast (mirrors
+        reference runtime.py:4603-4698; see find() for bits/e/f/cs_f).
+        """
+        if bits:
+            if isinstance(s, int):
+                if s == 1:
+                    a = 1 - a
+            elif isinstance(s, sectypes.SecureObject) or np.any(s):
+                if hasattr(s, 'shape'):
+                    s = self.np_expand_dims(s, axis) \
+                        if isinstance(s, sectypes.SecureArray) \
+                        else np.expand_dims(np.asarray(s, dtype=object), axis)
+                a = s + (1 - 2 * s) * a
+        else:
+            a = a != s
+        # now find the first 0 along the axis
+
+        if cs_f is None:
+            if f is None:
+                type_f = int
+                f = lambda i: np.stack((np.array(i, dtype=object),))
+                cs_f = lambda b, i: (i + b,)
+            else:
+                type_f = type(f(0))
+                if issubclass(type_f, int):
+                    _f = f
+                    f = lambda i: np.stack((np.array(_f(i), dtype=object),)) \
+                        .reshape(-1, *((1,) * (len(a.shape) - 1)))
+                cs_f = lambda b, i: tuple(b * (f_i1 - f_i) + f_i
+                                          for f_i, f_i1 in zip(f(i), f(i+1)))
+        else:
+            if f is None:
+                type_f = type(cs_f(0, 0))
+                if issubclass(type_f, int):
+                    _cs_f = cs_f
+                    cs_f = lambda b, i: (_cs_f(b, i),)
+                elif issubclass(type_f, list):
+                    _cs_f = cs_f
+                    cs_f = lambda b, i: tuple(_cs_f(b, i))
+                f = lambda i: np.stack([np.array(v, dtype=object)
+                                        for v in cs_f(0, i)]) \
+                    .reshape(-1, *((1,) * (len(a.shape) - 1)))
+            else:
+                type_f = type(f(0))
+
+        if isinstance(e, str):
+            e = eval(e)  # pylint: disable=eval-used
+
+        if not int(np.prod(a.shape, dtype=np.int64)):
+            nf, c = 1, f(0) if e is None else None
+            if e is not None:
+                c = f(e)
+        else:
+            a = self.np_swapaxes(a, axis, -1)
+
+            def enc_like(v, b):
+                # lift public conditional-step entries alongside secure b
+                if isinstance(v, sectypes.SecureObject):
+                    return v
+                st = type(b)
+                return self._wrap(
+                    st.sectype if hasattr(st, 'sectype') else st,
+                    self._share_like(self._encode_public(
+                        getattr(st, 'sectype', st),
+                        np.broadcast_to(np.array(v, dtype=object),
+                                        b.shape).copy())),
+                    array=True, integral=True)
+
+            def cl(i, j):
+                n = j - i
+                if n == 1:
+                    b = self.np_getitem(a, (..., slice(i, i + 1)))
+                    steps = tuple(enc_like(v, b) for v in cs_f(b, i))
+                    return self.np_stack((b,) + steps)
+
+                h = i + n // 2
+                nf = cl(i, h)  # nf[0] <=> "0 is not found" in a[..., i:h]
+                return self.np_where(self.np_getitem(nf, 0), cl(h, j), nf)
+
+            c = cl(0, a.shape[-1])
+            c = self.np_squeeze(c, -1)
+            nf = self.np_getitem(c, 0)
+            f_ix = self.np_getitem(c, slice(1, None))
+            if e is None:
+                c = f_ix
+            else:
+                c = self.np_where(nf, f(e), f_ix)
+
+        if issubclass(type_f, int):
+            c = self.np_getitem(c, 0) if isinstance(c, sectypes.SecureArray) \
+                else c[0]
+        elif issubclass(type_f, tuple):
+            c = tuple(c)
+        return (nf, c) if e is None else c
 
     def indexOf(self, x, a, bits=True):
         """Secure index of a in x (value must occur)."""
@@ -3114,7 +3466,11 @@ class Runtime:
         x = self.trailing_zeros(a, l=l)
         y = self.trailing_zeros(b, l=l)
         z = self.vector_sub(self.vector_add(x, y), self.schur_prod(x, y))
-        return self.find(z, 1, e='len(x)-1', cs_f=lambda b, i: (b+1) << i)
+        # 2**"index of first 1 in z"; e=None keeps going one step past the
+        # end when z is all-zero (gcd(0,0) case), like the reference
+        # runtime.py:1908-1915
+        _, f_i = self.find(z, 1, e=None, cs_f=lambda b, i: (b+1) << i)
+        return f_i
 
     @staticmethod
     def _divstep_iterations(l):
@@ -3305,9 +3661,13 @@ class Runtime:
             c = self.mul(c, self.sub(self._public_fxp(a, 2), self.mul(c, b)))
         return self.mul(c, v)
 
-    def _norm2(self, a):
+    def _norm2(self, a, signed=True):
         """Like _norm but also returns k (secure) with a = b * 2^k,
-        b in [1/2, 1): k = (l-1) - match_position - f."""
+        b in [1/2, 1): k = (l-1) - match_position - f.
+
+        With signed=False the factor v is the plain power of two (no sign
+        flip), so a*v keeps a's sign with |a*v| in [1/2, 1) — what the
+        SecureFloat addition needs (reference sectypes.py:84-92)."""
         stype = self._sectype(a)
         f = stype.frac_length
         l = stype.bit_length
@@ -3331,7 +3691,7 @@ class Runtime:
         nf = self._dot_pow2_last(u)
         k_raw = self._dot_public_last(
             u, [(l - 1 - i) - f for i in range(l - 1)])
-        v_raw = self._reshare((s_raw * 2 - 1) * nf)
+        v_raw = self._reshare((s_raw * 2 - 1) * nf) if signed else nf
         shift = 2 * f - l + 1
         sv = (v_raw << shift) if shift >= 0 else (v_raw >> (-shift))
         v = self._wrap(stype, sv, array=is_arr, integral=False)

@@ -273,19 +273,23 @@ class SecureNumber(SecureObject):
         return runtime.mul(self, 1 << other)
 
     def __rshift__(self, other):
+        # exact floor division by 2**other (reference sectypes.py:279-285;
+        # probabilistic rounding is only via explicit mpc.trunc)
         if not isinstance(other, int):
             return NotImplemented
-        return runtime.trunc(self, f=other)
+        return self.__floordiv__(1 << other)
 
-    # bitwise (char-2 fields only; overridden there)
+    # bitwise: 1-bit semantics for secint/secfxp (reference
+    # sectypes.py:291-319); char-2 secure fields override these with
+    # coefficientwise variants
 
     def __and__(self, other):
-        return runtime.and_(self, other)
+        return self * other
 
     __rand__ = __and__
 
     def __xor__(self, other):
-        return runtime.xor(self, other)
+        return self + other - 2 * self * other
 
     def __rxor__(self, other):
         if isinstance(other, fingroups.FiniteGroupElement):
@@ -293,15 +297,15 @@ class SecureNumber(SecureObject):
             from mpyc_tpu import secgroups
             return secgroups.SecGrp(type(other)).repeat(other, self)
 
-        return runtime.xor(self, other)
+        return self + other - 2 * self * other
 
     def __or__(self, other):
-        return runtime.or_(self, other)
+        return self + other - self * other
 
     __ror__ = __or__
 
     def __invert__(self):
-        return runtime.invert(self)
+        return 1 - self
 
     # comparisons
 
@@ -378,6 +382,10 @@ class SecureFiniteField(SecureNumber):
             if isinstance(value, finfields.FiniteFieldElement):
                 if self.subfield is not None and isinstance(value, self.subfield):
                     value = self.field(value.value)
+                elif not isinstance(value, self.field):
+                    # foreign field element (reference sectypes.py:119-122)
+                    raise TypeError(
+                        f'cannot convert {type(value)} to {type(self)}')
                 value = self.field.array(np.array(value.value, dtype=object))
             elif not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
                 raise TypeError(f'cannot convert {type(value)} to {type(self)}')
@@ -403,16 +411,18 @@ class SecureFiniteField(SecureNumber):
     __rrshift__ = __lshift__
 
     def __and__(self, other):
-        if self.field.characteristic != 2:
-            raise TypeError("bad operand type for &")
-        return runtime.and_(self, other)
+        # char 2: coefficientwise; otherwise 1-bit semantics
+        # (reference sectypes.py:433-438)
+        if self.field.characteristic == 2:
+            return runtime.and_(self, other)
+        return super().__and__(other)
 
     __rand__ = __and__
 
     def __xor__(self, other):
-        if self.field.characteristic != 2:
-            raise TypeError("bad operand type for ^")
-        return runtime.xor(self, other)
+        if self.field.characteristic == 2:
+            return runtime.xor(self, other)
+        return super().__xor__(other)
 
     def __rxor__(self, other):
         if isinstance(other, fingroups.FiniteGroupElement):
@@ -422,16 +432,16 @@ class SecureFiniteField(SecureNumber):
         return self.__xor__(other)
 
     def __or__(self, other):
-        if self.field.characteristic != 2:
-            raise TypeError("bad operand type for |")
-        return runtime.or_(self, other)
+        if self.field.characteristic == 2:
+            return runtime.or_(self, other)
+        return super().__or__(other)
 
     __ror__ = __or__
 
     def __invert__(self):
-        if self.field.characteristic != 2:
-            raise TypeError("bad operand type for ~")
-        return runtime.invert(self)
+        if self.field.characteristic == 2:
+            return runtime.invert(self)
+        return super().__invert__()
 
     def __lt__(self, other):
         raise TypeError("field elements are unordered")
@@ -599,8 +609,9 @@ class SecureFloat(SecureNumber):
                                      secfxp(1))
             d2 = factor if d2 is None else runtime.mul(d2, factor)
         s = s1 + runtime.mul(s2, d2)
-        # renormalize: s = b * 2^k with b in [1/2, 1)
-        v, k = runtime._norm2(s)
+        # renormalize: s = b * 2^k with |b| in [1/2, 1) — the unsigned
+        # factor keeps s's sign (reference sectypes.py:84-92)
+        v, k = runtime._norm2(s, signed=False)
         b = runtime.mul(s, v)
         k_int = runtime.convert(k, secint)
         return secflt((b, runtime.add(e1, k_int)))
@@ -728,6 +739,7 @@ def _SecFlt(s, e):
     secflt.bit_length = s + e
     secflt.significand_type = SecFxp(s + 1, s - 1)
     secflt.exponent_type = SecInt(e)
+    globals()[name] = secflt  # make dynamic class picklable (reference sectypes.py:996)
     return secflt
 
 
@@ -816,6 +828,9 @@ def _SecFld(field):
     if secfld.subfield is not None:
         secarr._output_conversion = secfld._output_conversion
     secfld.array = secarr
+    # make dynamic classes picklable (reference sectypes.py:656,668)
+    globals()[name] = secfld
+    globals()[arr_name] = secarr
     return secfld
 
 
@@ -850,6 +865,9 @@ def _SecInt(l, p, n):
     secarr.field = secint.field
     secarr.bit_length = l
     secint.array = secarr
+    # make dynamic classes picklable (reference sectypes.py:699,704)
+    globals()[name] = secint
+    globals()[f'Array{name}'] = secarr
     return secint
 
 
@@ -877,6 +895,9 @@ def _SecFxp(l, f, p, n):
     secarr.bit_length = l
     secarr.frac_length = f
     secfxp.array = secarr
+    # make dynamic classes picklable (reference sectypes.py:729,735)
+    globals()[name] = secfxp
+    globals()[f'Array{name}'] = secarr
     return secfxp
 
 
@@ -895,6 +916,11 @@ class SecureArray(SecureObject):
     def __init__(self, value=None, shape=None):
         if value is not None and not isinstance(value, (finfields.FiniteFieldArray, LazyShare)):
             value = self._encode_public(value)
+        elif isinstance(value, finfields.FiniteFieldArray) and \
+                value.field is not self.sectype.field:
+            # foreign field array (reference sectypes.py:1361-1365)
+            raise TypeError(
+                f'cannot convert {type(value)} to {type(self)}')
         if value is not None:
             shape = value.shape
         self.shape = shape
@@ -925,6 +951,11 @@ class SecureArray(SecureObject):
     @property
     def ndim(self):
         return len(self.shape)
+
+    def __bool__(self):
+        """True iff the secure array is nonempty (reference
+        sectypes.py:1024-1026); never reveals anything secret."""
+        return bool(self.size)
 
     def __len__(self):
         if not self.shape:
@@ -994,9 +1025,13 @@ class SecureArray(SecureObject):
     __rmul__ = __mul__
 
     def __truediv__(self, other):
-        other = self._coerce(other)
-        if other is NotImplemented:
-            return NotImplemented
+        if not isinstance(other, (finfields.FiniteFieldElement,
+                                  finfields.FiniteFieldArray)):
+            # raw field divisors pass through uncoerced (reference
+            # runtime.py:1184-1188: treated as 1/b << f)
+            other = self._coerce(other)
+            if other is NotImplemented:
+                return NotImplemented
         return runtime.div(self, other)
 
     def __rtruediv__(self, other):
@@ -1250,6 +1285,8 @@ _NP_UNARY_UFUNCS = {
     np.absolute: _operator.abs,
 }
 _WRAP_SCALAR_FUNCS = ('log', 'log2', 'log10', 'exp', 'exp2')
+_FXP_ONLY_UFUNCS = ('sin', 'cos', 'tan', 'log', 'log2', 'log10',
+                    'exp', 'exp2')  # reference: fxp-only transcendentals
 
 
 def _secure_array_ufunc(self, ufunc, method, *inputs, **kwargs):
@@ -1277,6 +1314,11 @@ def _secure_array_ufunc(self, ufunc, method, *inputs, **kwargs):
     if (op := _NP_UNARY_UFUNCS.get(ufunc)) is not None:
         return op(inputs[0])
     name = ufunc.__name__
+    if name in _FXP_ONLY_UFUNCS and isinstance(inputs[0], SecureObject):
+        st = type(inputs[0])
+        if not getattr(getattr(st, 'sectype', st), 'frac_length', 0):
+            raise TypeError(
+                f'np.{name} requires a fixed-point secure type')
     wrapped = False
     if name in _WRAP_SCALAR_FUNCS and not isinstance(inputs[0], SecureArray):
         inputs = [runtime.np_fromlist(list(inputs))]

@@ -283,6 +283,11 @@ class DevicePRF:
             assert self.is_pow2 and self.max <= field.order
             k = (self.max - 1).bit_length()
             return field.array.from_data(self.bits_uint32(s, tuple(shape), k))
+        if field.ext_deg > 1:
+            # odd-char extension field: ints below the order embed as
+            # base-p digit polynomials (reference thresha.py:232-266)
+            assert self.max == field.order or self.is_pow2
+            return field.array(self.host_integers(s, tuple(shape)))
         assert self.max == field.modulus or self.is_pow2
         ctx = prime_field_ctx(field.modulus)
         n = prod(shape) if shape else 1

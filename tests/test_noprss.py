@@ -40,7 +40,7 @@ def test_randoms_bounded(mpc):
     secint = mpc.SecInt(32)
     xs = mpc._randoms(secint, 8, bound=1 << 16)
     vals = [mpc.run(mpc.output(x, raw=True)) for x in xs]
-    assert all(0 <= int(v.value[()]) < (1 << 16) for v in vals)
+    assert all(0 <= int(v) < (1 << 16) for v in vals)
 
 
 def test_random_bits(mpc):
