@@ -410,6 +410,9 @@ class Polynomial:
     def __neg__(self):
         return type(self)(self._neg(self.value), check=False)
 
+    def __pos__(self):
+        return type(self)(self.value)
+
     def __mul__(self, other):
         b = self._both(other)
         if b is None:

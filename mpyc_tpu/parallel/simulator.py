@@ -527,18 +527,30 @@ class SimRuntime(Runtime):
         return self._wrap(stype, share2, array=bool(share2.shape[1:]),
                           integral=self._integral(a))
 
-    def np_sum(self, a, axis=None):
+    def np_sum(self, a, axis=None, keepdims=False, initial=0):
         stype = self._sectype(a)
         share = self._share(a)
+        nd = len(share.shape) - 1
         if axis is None:
-            m = share.shape[0]
-            flat = share.reshape(m, -1)
-            out = flat.sum(axis=1)
+            axes = list(range(nd))
+        elif isinstance(axis, int):
+            axes = [axis % nd]
         else:
-            nd = len(share.shape) - 1
-            ax = (axis % nd) + 1
-            out = share.sum(axis=ax)
-        return self._wrap(stype, out, array=True, integral=self._integral(a))
+            axes = sorted(i % nd for i in axis)
+        for ax in reversed(axes):
+            share = share.sum(axis=ax + 1)
+        if keepdims:
+            share = self._logical_reshape(
+                share, tuple(1 if i in axes else s
+                             for i, s in enumerate(a.shape)))
+        integral = self._integral(a)
+        if isinstance(initial, sectypes.SecureObject) or initial != 0:
+            if isinstance(initial, sectypes.SecureObject):
+                share = share + self._share(initial)
+            else:
+                share = share + self._encode_public(stype, initial)
+            integral = integral and self._integral(initial)
+        return self._wrap(stype, share, array=True, integral=integral)
 
     def np_matmul(self, a, b):
         stype = self._sectype(a, b)

@@ -101,6 +101,8 @@ def randint(sectype, a, b):
 
 def choice(sectype, seq):
     """Uniformly random secret element chosen from seq."""
+    if not seq:
+        raise IndexError('cannot choose from an empty sequence')
     u = random_unit_vector(sectype, len(seq))
     s = 0
     for i, x_i in enumerate(seq):
@@ -116,6 +118,10 @@ def choices(sectype, population, weights=None, *, cum_weights=None, k=1):
         cum_weights = list(weights)
         for i in range(1, len(cum_weights)):
             cum_weights[i] += cum_weights[i - 1]
+    elif weights is not None:
+        raise TypeError('cannot specify both weights and cumulative weights')
+    if len(cum_weights) != len(population):
+        raise ValueError('number of weights does not match the population')
     n = cum_weights[-1]
     out = []
     for _ in range(k):
@@ -188,12 +194,23 @@ def random_derangement(sectype, x):
 
 def sample(sectype, population, k):
     """k uniformly random secret elements without replacement."""
-    if isinstance(population, range):
-        population = list(population)
-    x = list(population)
-    n = len(x)
+    n = len(population)
     if not 0 <= k <= n:
         raise ValueError('sample larger than population or negative')
+    if isinstance(population, range):
+        # rejection sampling of distinct randrange draws: fast and
+        # space-efficient for large ranges (reference random.py:314-323)
+        x = []
+        while len(x) < k:
+            r = randrange(sectype, population.start, population.stop,
+                          population.step)
+            if x:
+                t = runtime.prod([r - a for a in x])
+                if runtime.run(runtime.is_zero_public(t)):
+                    continue
+            x.append(r)
+        return x
+    x = list(population)
     for i in range(min(k, n - 1)):
         u = random_unit_vector(sectype, n - i)
         x_u = runtime.in_prod([xi if isinstance(xi, sectype)
@@ -210,6 +227,8 @@ def sample(sectype, population, k):
 def random(sectype):
     """Uniformly random secret fixed-point number in [0.0, 1.0)."""
     f = sectype.frac_length
+    if not f:
+        raise TypeError('secure fixed-point type required')
     x = runtime.random_bits(sectype, f)
     return runtime.from_bits(x) * (2 ** -f)
 
@@ -218,6 +237,8 @@ def uniform(sectype, a, b):
     """Uniformly random secret fixed-point number N with a <= N <= b
     (or b <= N <= a)."""
     f = sectype.frac_length
+    if not f:
+        raise TypeError('secure fixed-point type required')
     lo, hi = (a, b) if a <= b else (b, a)
     n = round((hi - lo) * (1 << f))
     return _randbelow(sectype, n + 1) * (2 ** -f) + lo

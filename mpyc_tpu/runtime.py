@@ -46,6 +46,7 @@ class Party:
     pid: int
     host: str = None
     port: int = None
+    protocol = None  # per-peer MessageExchanger (reference runtime.py:5051)
 
     def __repr__(self):
         if self.host is None:
@@ -161,6 +162,33 @@ class Runtime:
             if subset[0] == self.pid:
                 keys[subset] = secrets.token_bytes(16)
         self._prss_keys = keys
+
+    @property
+    def _loop(self):
+        """Asyncio event loop for reference-style Futures/coroutines."""
+        import asyncio
+        try:
+            return asyncio.get_event_loop()
+        except RuntimeError:
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            return loop
+
+    def set_protocol(self, peer_pid, protocol):
+        """Register a connection with the given peer (reference
+        runtime.py:5031-5035)."""
+        self.parties[peer_pid].protocol = protocol
+        if all(p.protocol is not None
+               for p in self.parties if p.pid != self.pid):
+            self.parties[self.pid].protocol.set_result(None)
+
+    def unset_protocol(self, peer_pid):
+        """Deregister the connection with the given peer (reference
+        runtime.py:5037-5041)."""
+        self.parties[peer_pid].protocol = None
+        if all(p.protocol is None
+               for p in self.parties if p.pid != self.pid):
+            self.parties[self.pid].protocol.set_result(None)
 
     def _prss_keys_to_peer(self, peer_pid):
         """Return own PRSS keys to be sent to the given peer.
@@ -433,6 +461,16 @@ class Runtime:
             return True
         if isinstance(x, float):
             return x.is_integer()
+        if isinstance(x, np.ndarray):
+            if np.issubdtype(x.dtype, np.floating):
+                # reference np_multiply: float arrays are never treated
+                # integral (runtime.py:1118-1123), so products get a
+                # proper truncation
+                return False
+            if x.dtype == object:
+                return all(Runtime._integral(v) for v in x.reshape(-1))
+        if isinstance(x, (list, tuple)):
+            return all(Runtime._integral(v) for v in x)
         return True
 
     # -- wire marshaling ---------------------------------------------------
@@ -1507,12 +1545,23 @@ class Runtime:
                           integral=self._integral(a))
 
     def np_flip(self, a, axis=None):
-        """Secure reversal along a logical axis (local)."""
+        """Secure reversal along logical axes (local).
+
+        axis=None flips over all axes; an int or tuple selects axes
+        (numpy semantics)."""
         stype = self._sectype(a)
         s = self._share(a)
         nd = len(s.shape) - self._pax
-        ax = (axis % nd if axis is not None else nd - 1) + self._pax
-        out = s.from_data(jnp.flip(s.data, axis=ax))
+        if axis is None:
+            axes = range(nd)
+        elif isinstance(axis, int):
+            axes = (axis % nd,)
+        else:
+            axes = tuple(ax % nd for ax in axis)
+        data = s.data
+        for ax in axes:
+            data = jnp.flip(data, axis=ax + self._pax)
+        out = s.from_data(data)
         return self._wrap(stype, out, array=True,
                           integral=self._integral(a))
 
@@ -1566,11 +1615,34 @@ class Runtime:
         return self._wrap(stype, out, array=True,
                           integral=all(self._integral(x) for x in arrays))
 
-    def np_sum(self, a, axis=None):
+    def np_sum(self, a, axis=None, keepdims=False, initial=0):
+        """Secure sum over axis (int, tuple, or None), with numpy's
+        keepdims/initial (reference runtime.py:3476-3506)."""
         stype = self._sectype(a)
-        share = self._share(a).sum(axis=axis)
-        return self._wrap(stype, share, array=bool(share.shape),
-                          integral=self._integral(a))
+        nd = len(a.shape)
+        share = self._share(a)
+        if axis is None:
+            axes = list(range(nd))
+        elif isinstance(axis, int):
+            axes = [axis % nd]
+        else:
+            axes = sorted(i % nd for i in axis)
+        for ax in reversed(axes):
+            share = share.sum(axis=ax + self._pax) if self._pax else \
+                share.sum(axis=ax)
+        if keepdims:
+            share = self._logical_reshape(
+                share, tuple(1 if i in axes else s
+                             for i, s in enumerate(a.shape)))
+        integral = self._integral(a)
+        if isinstance(initial, sectypes.SecureObject) or initial != 0:
+            if isinstance(initial, sectypes.SecureObject):
+                share = share + self._share(initial)
+            else:
+                share = share + self._encode_public(stype, initial)
+            integral = integral and self._integral(initial)
+        return self._wrap(stype, share, array=bool(share.shape[self._pax:]),
+                          integral=integral)
 
     def np_negative(self, a):
         return self.sub(0, a)
@@ -1585,11 +1657,21 @@ class Runtime:
             d = self.sub(a, b)
         except TypeError:
             d = np.asarray(a) - np.asarray(b)  # both public
+        if not isinstance(c, sectypes.SecureObject):
+            # public condition with secure branches: select from the
+            # secure difference side (bools become 0/1 multipliers)
+            c = np.asarray(c, dtype=object) * 1
+            return self.add(self.mul(d, c), b)
         return self.add(self.mul(c, d), b)
 
     def np_if_swap(self, c, a, b):
-        """Secure swap of arrays a, b when condition c holds."""
-        d = self.mul(c, self.sub(b, a))
+        """Secure swap of arrays a, b when condition c holds (c may be
+        public, reference runtime.py:3369-3375)."""
+        d = self.sub(b, a)
+        if isinstance(c, sectypes.SecureObject):
+            d = self.mul(c, d)
+        else:
+            d = self.mul(d, np.asarray(c, dtype=object) * 1)
         return [self.add(a, d), self.sub(b, d)]
 
     # ======================================================================
@@ -1771,13 +1853,19 @@ class Runtime:
     # -- shape manipulation -------------------------------------------------
 
     def np_expand_dims(self, a, axis):
-        shape = list(a.shape)
-        if not -len(shape) - 1 <= axis <= len(shape):
-            raise ValueError(
-                f'axis {axis} is out of bounds for array of dimension {len(shape) + 1}')
-        ax = axis % (len(shape) + 1)
-        shape.insert(ax, 1)
-        return self.np_reshape(a, tuple(shape))
+        axes = (axis,) if isinstance(axis, int) else tuple(axis)
+        out_nd = len(a.shape) + len(axes)
+        norm = []
+        for ax in axes:
+            if not -out_nd <= ax < out_nd:
+                raise ValueError(
+                    f'axis {ax} is out of bounds for array of dimension {out_nd}')
+            norm.append(ax % out_nd)
+        if len(set(norm)) != len(norm):
+            raise ValueError('repeated axis in expand_dims')
+        it = iter(a.shape)
+        shape = tuple(1 if i in norm else next(it) for i in range(out_nd))
+        return self.np_reshape(a, shape)
 
     def np_squeeze(self, a, axis=None):
         shape = list(a.shape)
@@ -1960,11 +2048,20 @@ class Runtime:
         return rec(arrays, 0)
 
     def np_cumsum(self, a, axis=None):
-        """Secure cumulative sum (local Hillis-Steele prefix doubling)."""
+        """Secure cumulative sum along an axis (local Hillis-Steele
+        prefix doubling; axis=None flattens first, numpy semantics)."""
         stype = self._sectype(a)
         s = self._share(a)
-        if axis is None and len(s.shape) - self._pax != 1:
-            s = self._logical_flat(s)
+        nd_log = len(s.shape) - self._pax
+        if axis is None:
+            if nd_log != 1:
+                s = self._logical_flat(s)
+            ax = len(s.shape) - 1
+        else:
+            ax = (axis % nd_log) + self._pax
+        moved = ax != len(s.shape) - 1
+        if moved:
+            s = s.from_data(jnp.moveaxis(s.data, ax, len(s.shape) - 1))
         nd = len(s.shape)
         n = s.shape[-1]
         zeros = stype.field.array(np.zeros(1, dtype=object))
@@ -1974,6 +2071,8 @@ class Runtime:
             shifted = shifted.at_set((..., slice(0, d)), zeros)
             s = s + shifted
             d *= 2
+        if moved:
+            s = s.from_data(jnp.moveaxis(s.data, len(s.shape) - 1, ax))
         return self._wrap(stype, s, array=True, integral=self._integral(a))
 
     def np_convolve(self, a, b, mode='full'):
@@ -3442,9 +3541,18 @@ class Runtime:
             c = tuple(c)
         return (nf, c) if e is None else c
 
-    def indexOf(self, x, a, bits=True):
-        """Secure index of a in x (value must occur)."""
-        return self.find(x, a, bits=bits)
+    def indexOf(self, x, a, bits=False):
+        """Secure index of the first occurrence of a in x.
+
+        Raises ValueError if a is not present (reference
+        runtime.py:4700-4714; the public not-found test is by design).
+        """
+        if not x:
+            raise ValueError('value is not in list')
+        ix = self.find(x, a, e=-1, bits=bits)
+        if self.eq_public(ix, -1):
+            raise ValueError('value is not in list')
+        return ix
 
     # ======================================================================
     # secure integer number theory: trailing zeros, gcd/lcm, extended gcd,

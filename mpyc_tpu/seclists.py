@@ -14,9 +14,10 @@ runtime = None
 class secindex:
     """Secure index: a unit vector with an offset (reference seclists.py:386)."""
 
-    __slots__ = ('value', 'offset', 'sectype')
+    __slots__ = ('value', 'offset', 'sectype', '_num')
 
     def __init__(self, *args, offset=0, sectype=None):
+        self._num = None
         if sectype is not None:
             # args is an iterable of bits forming a unit vector
             self.value = list(*args) if args else []
@@ -31,6 +32,12 @@ class secindex:
                 self.sectype = type(x)
                 self.value = None  # lazily expanded against a given length
                 self._num = x
+            elif isinstance(x, (list, tuple)):
+                # unit vector given as a plain list: infer the sectype
+                # (reference seclists.py:391-397 via seclist)
+                xs = seclist(x)
+                self.sectype = xs.sectype
+                self.value = list(xs)
             else:
                 raise TypeError('secindex expects unit vector or secure number')
         self.offset = offset
@@ -45,6 +52,18 @@ class secindex:
     def __add__(self, other):
         if isinstance(other, int):
             return secindex(self, offset=other)
+        if isinstance(other, secindex):
+            # index addition via unit-vector convolution (reference
+            # seclists.py:401-409): recover numeric indices, re-expand
+            sv, ov = self.value, other.value
+            m, n = len(sv), len(ov)
+            i = runtime.sum([sv[k] * k for k in range(1, m)]) if m > 1 \
+                else self.sectype(0)
+            j = runtime.sum([ov[k] * k for k in range(1, n)]) if n > 1 \
+                else other.sectype(0)
+            k = runtime.unit_vector(i + j, m + n - 1)
+            return secindex(k, sectype=self.sectype,
+                            offset=self.offset + other.offset)
         return NotImplemented
 
     __radd__ = __add__
@@ -72,6 +91,13 @@ def _unit(i, n):
         return u
     if isinstance(i, sectypes.SecureNumber):
         return runtime.unit_vector(i, n)
+    if isinstance(i, (list, tuple)):
+        # unary (unit-vector) index given directly (reference
+        # seclists.py:89-92)
+        u = list(i)
+        if len(u) != n:
+            raise IndexError('inconsistent index length')
+        return u
     raise TypeError('secret index expected')
 
 
@@ -85,11 +111,12 @@ class seclist(list):
         for a in x:
             parent.append(a)
         super().__init__(parent)
-        if sectype is None:
-            for a in self:
-                if isinstance(a, sectypes.SecureObject):
+        for a in self:
+            if isinstance(a, sectypes.SecureObject):
+                if sectype is None:
                     sectype = type(a)
-                    break
+                elif not isinstance(a, sectype):
+                    raise TypeError('inconsistent sectypes')
         if sectype is None:
             raise ValueError('sectype missing')
         self.sectype = sectype
@@ -118,6 +145,9 @@ class seclist(list):
     def __setitem__(self, key, value):
         if isinstance(key, (int, slice)):
             if isinstance(key, slice):
+                if isinstance(value, seclist) and \
+                        not issubclass(value.sectype, self.sectype):
+                    raise TypeError('inconsistent sectypes')
                 value = [self._coerce_value(v) for v in value]
             else:
                 value = self._coerce_value(value)
@@ -164,7 +194,7 @@ class seclist(list):
 
     def delete(self, key):
         """Delete element at (possibly secret) index key."""
-        if isinstance(key, int):
+        if isinstance(key, (int, slice)):
             super().__delitem__(key)
             return
         n = len(self)
@@ -241,9 +271,28 @@ class seclist(list):
         raise NotImplementedError('use seclist.contains()')
 
     def __add__(self, other):
+        if isinstance(other, seclist) and other.sectype != self.sectype:
+            raise TypeError('inconsistent sectypes')
         out = seclist(self, sectype=self.sectype)
         out.extend(other)
         return out
+
+    def __radd__(self, other):
+        # keep "[...] + s" a seclist (reference seclists.py:189-190)
+        return seclist(list(other) + list(self), self.sectype)
+
+    def __iadd__(self, other):
+        self.extend(other)
+        return self
+
+    def __mul__(self, other):
+        return seclist(list(self) * other, self.sectype)
+
+    __rmul__ = __mul__
+
+    def __imul__(self, other):
+        super().__init__(list(self) * other)
+        return self
 
     def __lt__(self, other):
         """Lexicographic secure comparison of equal-length lists."""
@@ -260,18 +309,35 @@ class seclist(list):
             else:
                 lt = lt + runtime.mul(eq, l_j)
                 eq = runtime.mul(eq, e_j)
+        if lt is None:  # one of the lists is empty
+            lt, eq = self.sectype(0), self.sectype(1)
         if len(self) < len(other):
             lt = lt + eq
         return lt
 
+    def __le__(self, other):
+        # not (other < self), reference seclists.py:367-368
+        o = other if isinstance(other, seclist) else \
+            seclist(other, self.sectype)
+        return 1 - o.__lt__(self)
+
+    def __ge__(self, other):
+        return 1 - self.__lt__(other)
+
+    def __gt__(self, other):
+        o = other if isinstance(other, seclist) else \
+            seclist(other, self.sectype)
+        return o.__lt__(self)
+
     def __eq__(self, other):
-        n = max(len(self), len(other))
         if len(self) != len(other):
             return self.sectype(0)
-        eq = None
-        for a, b in zip(self, other):
-            e = runtime.eq(a, self._coerce_value(b))
-            eq = e if eq is None else runtime.mul(eq, e)
-        return eq
+        # empty lists compare equal as plain 1 (reference seclists.py:370-375
+        # via runtime.all of an empty generator)
+        return runtime.all([a == self._coerce_value(b)
+                            for a, b in zip(self, other)])
+
+    def __ne__(self, other):
+        return 1 - self.__eq__(other)
 
     __hash__ = None

@@ -49,6 +49,8 @@ class secpoly(SecureObject):
                 sectype = runtime.SecFld(value.p)
             value = sectype.array(np.array(list(value), dtype=object))
         elif isinstance(value, (np.ndarray, list, tuple)):
+            if sectype is None:
+                raise TypeError('sectype required for plain coefficients')
             value = sectype.array(np.asarray(value, dtype=object))
         elif value is None:
             assert shape is not None and len(shape) == 1

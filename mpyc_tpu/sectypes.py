@@ -1025,18 +1025,18 @@ class SecureArray(SecureObject):
     __rmul__ = __mul__
 
     def __truediv__(self, other):
-        if not isinstance(other, (finfields.FiniteFieldElement,
-                                  finfields.FiniteFieldArray)):
-            # raw field divisors pass through uncoerced (reference
-            # runtime.py:1184-1188: treated as 1/b << f)
-            other = self._coerce(other)
-            if other is NotImplemented:
-                return NotImplemented
+        if isinstance(other, (SecureObject,)) and \
+                not isinstance(other, (SecureArray, self.sectype)):
+            return NotImplemented
+        # public divisors (ints/floats/arrays/raw field values) pass
+        # through uncoerced: runtime.div computes the exact public
+        # reciprocal instead of a secure Newton iteration (reference
+        # np_divide: runtime.py:1183-1196)
         return runtime.div(self, other)
 
     def __rtruediv__(self, other):
-        other = self._coerce(other)
-        if other is NotImplemented:
+        if isinstance(other, (SecureObject,)) and \
+                not isinstance(other, (SecureArray, self.sectype)):
             return NotImplemented
         return runtime.div(other, self)
 
@@ -1132,8 +1132,9 @@ class SecureArray(SecureObject):
     def copy(self):
         return runtime.np_copy(self)
 
-    def sum(self, axis=None):
-        return runtime.np_sum(self, axis=axis)
+    def sum(self, axis=None, keepdims=False, initial=0):
+        return runtime.np_sum(self, axis=axis, keepdims=keepdims,
+                              initial=initial)
 
     def flip(self, axis=None):
         return runtime.np_flip(self, axis=axis)
