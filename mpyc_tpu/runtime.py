@@ -1705,6 +1705,11 @@ class Runtime:
             if isinstance(a, (int, np.integer)):
                 stype = self._sectype(b)
                 if not stype.frac_length or self._integral(b):
+                    if not isinstance(b, sectypes.SecureArray):
+                        res = self.\
+                            _np_pow_public_int_base_secret_integral_exponent(
+                                int(a), self.np_fromlist([b]))
+                        return self.np_getitem(res, 0)
                     return self.\
                         _np_pow_public_int_base_secret_integral_exponent(
                             int(a), b)
@@ -1730,7 +1735,7 @@ class Runtime:
         """
         from mpyc_tpu import gmpy
         stype = type(b)
-        sctype = stype.sectype
+        sctype = getattr(stype, 'sectype', stype)
         field = sctype.field
         p = field.modulus
         t = self.threshold
@@ -2583,7 +2588,8 @@ class Runtime:
         return self.is_zero_public(a)
 
     def np_all(self, a, axis=None):
-        """Secure all(): product of 0/1 values (log depth)."""
+        """Secure all(): product of 0/1 values over axes
+        (reference runtime.py:2206-2214: np_all == np_prod)."""
         s = self._share(a)
         stype = self._sectype(a)
         f = stype.frac_length
@@ -2592,20 +2598,20 @@ class Runtime:
             # 0/1 domain so the product needs no per-level truncation
             # (reference runtime.py:2160-2168 rshifts each level instead)
             s = s >> f
+        nd = len(s.shape) - self._pax
         if axis is None:
             s = self._logical_flat(s)
-            out = self._prod_last_axis(s)
-            if f:
-                out = out << f
-            return self._wrap(stype, out, array=False, integral=True)
-        nd = len(s.shape) - self._pax
-        ax = (axis % nd) + self._pax
-        s = s.swapaxes(ax - self._pax if self._pax == 0 else ax - self._pax,
-                       nd - 1) if False else s
-        # move target logical axis to the end
-        import jax.numpy as _jnp
-        data = _jnp.moveaxis(s.data, ax, self._pax + nd - 1)
-        s = s.from_data(data)
+        else:
+            axes = (axis % nd,) if isinstance(axis, int) else \
+                tuple(sorted(i % nd for i in axis))
+            import jax.numpy as _jnp
+            data = s.data
+            for off, ax in enumerate(axes):
+                data = _jnp.moveaxis(data, ax + self._pax - off,
+                                     self._pax + nd - 1)
+            s = s.from_data(data)
+            keep = s.shape[self._pax:self._pax + nd - len(axes)]
+            s = self._logical_reshape(s, tuple(keep) + (-1,))
         out = self._prod_last_axis(s)
         if f:
             out = out << f
@@ -2638,18 +2644,18 @@ class Runtime:
         return self.np_all(a, axis=axis) if False else self._np_prod(a, axis)
 
     def _np_prod(self, a, axis):
-        s = self._share(a)
-        stype = self._sectype(a)
-        import jax.numpy as _jnp
-        if axis is None:
-            s = self._logical_flat(s)
-        else:
-            nd = len(s.shape) - self._pax
-            ax = (axis % nd) + self._pax
-            s = s.from_data(_jnp.moveaxis(s.data, ax, self._pax + nd - 1))
-        out = self._prod_last_axis(s)
-        return self._wrap(stype, out, array=bool(out.shape[self._pax:]),
-                          integral=self._integral(a))
+        # log-depth pairwise products via mul (handles fxp truncation and
+        # integral flags; reference runtime.py:2198-2204)
+        a, _ = self._reduce_prep(a, axis)
+        while (n := a.shape[-1]) > 1:
+            n0 = n % 2
+            m = self.mul(self.np_getitem(a, (..., slice(n0, (n + 1) // 2))),
+                         self.np_getitem(a, (..., slice((n + 1) // 2, n))))
+            if n0:
+                m = self._np_concat_last(
+                    self.np_getitem(a, (..., slice(0, 1))), m)
+            a = m
+        return self.np_getitem(a, (..., 0))
 
     def np_absolute(self, a, l=None):
         return self.mul(self.np_sgn(a, l=l, LT=True) * -2 + 1, a)
@@ -3181,18 +3187,33 @@ class Runtime:
             p >>= 1
         return self.np_swapaxes(a, axis, -1)
 
-    def np_amin(self, a, axis=None, **kwargs):
-        """Secure minimum over an axis (log-depth tournament)."""
-        return self._np_extremum(a, axis, is_min=True)
+    def np_amin(self, a, axis=None, keepdims=False, **kwargs):
+        """Secure minimum over axes (log-depth tournament)."""
+        return self._np_extremum(a, axis, is_min=True, keepdims=keepdims)
 
-    def np_amax(self, a, axis=None, **kwargs):
-        return self._np_extremum(a, axis, is_min=False)
+    def np_amax(self, a, axis=None, keepdims=False, **kwargs):
+        return self._np_extremum(a, axis, is_min=False, keepdims=keepdims)
 
-    def _np_extremum(self, a, axis, is_min):
+    def _reduce_prep(self, a, axis):
+        """Move the reduction axes last and flatten them into one trailing
+        axis (the pattern of reference np_prod, runtime.py:2181-2196)."""
+        nd = len(a.shape)
         if axis is None:
-            a = self.np_flatten(a)
-            axis = 0
-        a = self.np_swapaxes(a, axis, -1)
+            axes = tuple(range(nd))
+        elif isinstance(axis, int):
+            axes = (axis % nd,)
+        else:
+            axes = tuple(sorted(i % nd for i in axis))
+        order = [i for i in range(nd) if i not in axes] + list(axes)
+        if order != list(range(nd)):
+            a = self.np_transpose(a, axes=order)
+        keep = tuple(a.shape[:nd - len(axes)])
+        a = self.np_reshape(a, keep + (-1,))
+        return a, axes
+
+    def _np_extremum(self, a, axis, is_min, keepdims=False):
+        orig_shape = a.shape
+        a, axes = self._reduce_prep(a, axis)
         while a.shape[-1] > 1:
             n = a.shape[-1]
             half = n // 2
@@ -3204,6 +3225,10 @@ class Runtime:
                 tail = self.np_getitem(a, (..., slice(2 * half, n)))
                 w = self._np_concat_last(w, tail)
             a = w
+        if keepdims:
+            shape = tuple(1 if i in axes else s
+                          for i, s in enumerate(orig_shape))
+            return self.np_reshape(a, shape)
         return self.np_getitem(a, (..., 0))
 
     def _np_concat_last(self, a, b):
@@ -3807,65 +3832,94 @@ class Runtime:
                        integral=True)
         return v, k
 
-    def np_log2(self, a):
-        """Secure log2 of positive fixed-point a (normalize + polynomial)."""
-        stype = self._sectype(a)
-        v, k = self._norm2(a)            # a = b * 2^k with b = a*v in [.5,1)
-        b = self.mul(a, v)
-        # log2(b) on [1/2, 1): minimax-ish polynomial in t = 2b - 1 over [0,1)
-        t = self.sub(self.mul(b, 2), 1)  # in [0, 1)
-        # log2((1+t)/2) = log2(1+t) - 1; ln(1+t) series with range guard
-        coeffs = [0.0, 1.4426950408889634, -0.7213475204444817,
-                  0.4808983469629878, -0.3606737602222408,
-                  0.28853900817779266, -0.24044917348149388,
-                  0.20609929155556618, -0.18033688011112042]
-        acc = self._public_fxp(a, coeffs[-1])
-        for c in reversed(coeffs[:-1]):
-            acc = self.add(self.mul(acc, t), self._public_fxp(a, c))
-        return self.add(acc, self.sub(k, 1))
+    @staticmethod
+    @functools.cache
+    def _taylor_log_degree(f):
+        """Taylor degree for f-bit-accurate log around 1/sqrt(2)
+        (reference runtime.py:4853-4863)."""
+        w = 1 / (math.sqrt(2) - 1)
+        k = f - 1
+        while k > 1 and math.log2(k) + k * math.log2(w) >= f:
+            k -= 1
+        return k
 
     def np_log(self, a):
-        """Secure natural log of positive fixed-point a."""
-        return self.mul(self.np_log2(a), 0.6931471805599453)
+        """Secure natural log of positive fixed-point a.
+
+        Normalize to b in [1/2, 1) and evaluate a Taylor polynomial
+        around 1/sqrt(2) of degree adapted to the fractional precision
+        (reference runtime.py:4866-4891)."""
+        stype = self._sectype(a)
+        f = stype.frac_length
+        v, k = self._norm2(a, signed=False)  # a = b * 2^k, b = a*v in [.5,1)
+        b = self.mul(a, v)
+        alpha = 0.5 * math.sqrt(2)
+        y = self.sub(b, alpha)               # |y| < 1 - sqrt(2)/2
+        theta = self._taylor_log_degree(f)
+        # ln(b) = ln(alpha) - sum_{i=1..theta} y^i / (i (-alpha)^i), Horner
+        coeffs = [-1.0 / (i * (-alpha) ** i) for i in range(1, theta + 1)]
+        acc = self._public_fxp(a, coeffs[-1])
+        for c in reversed(coeffs[:-1]):
+            acc = self.add(self.mul(acc, y), self._public_fxp(a, c))
+        res = self.add(self.mul(acc, y), self._public_fxp(a, math.log(alpha)))
+        return self.add(res, self.mul(k, math.log(2)))
+
+    def np_log2(self, a):
+        """Secure log2 of positive fixed-point a."""
+        return self.mul(self.np_log(a), 1 / math.log(2))
 
     def np_log10(self, a):
-        return self.mul(self.np_log2(a), 0.30102999566398114)
+        return self.mul(self.np_log(a), 1 / math.log(10))
 
     def log(self, a, base=None):
         r = self.np_log(a) if base is None else \
-            self.mul(self.np_log2(a), 1.0 / math.log2(base))
+            self.mul(self.np_log(a), 1.0 / math.log(base))
         return r
 
+    @staticmethod
+    @functools.cache
+    def _taylor_exp2_degree(f):
+        """Taylor degree for f-bit-accurate 2^x on [0,1)
+        (reference runtime.py:4901-4910)."""
+        log2ln2 = math.log2(math.log(2))
+        k = 1
+        log2factorial = 1  # log2 (k+1)!
+        while log2factorial - (k + 1) * log2ln2 < f + 1:
+            k += 1
+            log2factorial += math.log2(k + 1)
+        return k
+
     def np_exp2(self, a):
-        """Secure 2**a for fixed-point a (integer/fraction split)."""
+        """Secure 2**a for fixed-point a.
+
+        Integer/fraction split: the integer part exponentiates exactly in
+        the field (offset to nonnegative, divided back out by a public
+        field power); the fractional part uses an f-bit-accurate Taylor
+        series of exp (reference runtime.py:4912-4941)."""
         stype = self._sectype(a)
         f = stype.frac_length
         l = stype.bit_length
-        # i = floor(a): trunc removes f bits; rescale to fxp integer value
-        fl_t = self.trunc(a, f=f)
-        fl_int = self.mul(fl_t, 1 << f)
-        frac = self.sub(a, fl_int)
-        # 2^floor(a) from its B-bit two's complement bits:
-        # factor 2^(2^j) per set bit, 2^(-2^(B-1)) for the sign bit
-        B = 4  # exponents in [-8, 8)
-        # fl_t's share holds floor(a) directly (before fxp rescale), so its
-        # low B bits are the exponent's two's complement bits
-        bits = self.np_to_bits(fl_t, B)
-        pw = None
-        for j in range(B):
-            b_j = self._bit_sel(bits, j)
-            big = float(2 ** (1 << j)) if j < B - 1 else 2.0 ** -(1 << j)
-            factor = self.if_else(b_j, self._public_fxp(a, big),
-                                  self._public_fxp(a, 1))
-            pw = factor if pw is None else self.mul(pw, factor)
-        # 2^frac on [0,1): polynomial
-        coeffs = [1.0, 0.6931471805599453, 0.240226506959101,
-                  0.05550410866482158, 0.009618129107628477,
-                  0.0013333558146428443, 0.00015403530393381608]
+        max_a_bl = f + (l - 1 - f).bit_length() + 1  # 2^a <= 2^(l-1-f)
+        # integer part: trunc removes f bits; rescale to the fxp domain
+        fl_t = self.trunc(a, f=f, l=max_a_bl)
+        a_int = self.mul(fl_t, 1 << f)
+        if hasattr(a_int, 'integral'):
+            a_int.integral = True
+        frac = self.sub(a, a_int)
+        # Taylor of exp at y = frac*ln2 in [0, ln2): degree for f bits
+        theta = self._taylor_exp2_degree(f)
+        y = self.mul(frac, math.log(2))
+        coeffs = [1.0 / math.factorial(i) for i in range(theta + 1)]
         acc = self._public_fxp(a, coeffs[-1])
         for c in reversed(coeffs[:-1]):
-            acc = self.add(self.mul(acc, frac), self._public_fxp(a, c))
-        return self.mul(pw, acc)
+            acc = self.add(self.mul(acc, y), self._public_fxp(a, c))
+        # 2^a_int exactly: offset to nonnegative, field-exact power,
+        # divide the offset back out as a public field power
+        offset = 1 << (l - 1 - f)
+        a_off = self.add(a_int, offset)
+        pw = self.np_pow(2, a_off)
+        res = self.mul(acc, pw)
+        return self.div(res, stype.field(2) ** offset)
 
     def _bit_sel(self, bits, j):
         stype = self._sectype(bits)

@@ -1045,6 +1045,11 @@ class SecureArray(SecureObject):
             return NotImplemented
         return runtime.pow(self, other)
 
+    def __rpow__(self, other):
+        if not isinstance(other, (int, float)):
+            return NotImplemented
+        return runtime.np_pow(other, self)
+
     def __matmul__(self, other):
         other = self._coerce(other)
         if other is NotImplemented:
