@@ -103,6 +103,15 @@ def _unpickle_field_array(elt, values):
 # scalar elements (host-side values)
 # ===========================================================================
 
+
+def _data_at_set(data, idx, value):
+    """Functional indexed update working for both jax and numpy data."""
+    if isinstance(data, np.ndarray):
+        out = np.array(data, copy=True)
+        out[idx] = np.asarray(value)
+        return out
+    return data.at[idx].set(value)
+
 class FiniteFieldElement:
     """Abstract base for field elements; value is host-side and reduced."""
 
@@ -713,6 +722,8 @@ class FiniteFieldArray:
                            if i is not Ellipsis and i is not None)
             fill = self.ndim - consumed
             idx = idx[:k] + (slice(None),) * fill + idx[k + 1:]
+        # jax rejects plain list indices; lift them to arrays
+        idx = tuple(np.asarray(i) if isinstance(i, list) else i for i in idx)
         return idx
 
     def at_set(self, idx, value):
@@ -720,8 +731,8 @@ class FiniteFieldArray:
         value = self._coerce(value)
         idx = self._expand_idx(idx)
         target_shape = self._data[idx].shape
-        return type(self).from_data(self._data.at[idx].set(
-            jnp.broadcast_to(value._data, target_shape)))
+        return type(self).from_data(_data_at_set(
+            self._data, idx, jnp.broadcast_to(value._data, target_shape)))
 
     def roll(self, shift, axis):
         """Circular shift along a logical axis."""
@@ -914,7 +925,8 @@ class FiniteFieldArray:
         value = self._coerce(value)
         if value is NotImplemented:
             raise TypeError('cannot assign this type into field array')
-        self._data = self._data.at[idx].set(
+        self._data = _data_at_set(
+            self._data, idx,
             jnp.broadcast_to(value._data, self._data[idx].shape))
 
     def __iter__(self):
@@ -1496,4 +1508,8 @@ _FF_ARRAY_FUNCTIONS = {
     np.transpose: lambda a, *args, **kw: a.transpose(*args, **kw),
     np.reshape: lambda a, shape, **kw: a.reshape(shape),
     np.ravel: lambda a, **kw: a.ravel(),
+    np.array_equal: lambda a, b, **kw: bool(
+        isinstance(b, FiniteFieldArray) and a.shape == b.shape and
+        bool(np.all(a == b))) if isinstance(a, FiniteFieldArray) else bool(
+        np.asarray(a).shape == b.shape and bool(np.all(b == np.asarray(a)))),
 }

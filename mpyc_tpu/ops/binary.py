@@ -14,9 +14,17 @@ from __future__ import annotations
 
 import functools
 
+import os as _os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Host fast-path cutoffs (see ops/fieldops.py): Python-int/numpy twins of
+# the kernels serve tiny batches where jax dispatch dominates; vectorized
+# xor/and ops get a larger cutoff.  MPYC_TPU_NOHOSTOPS=1 disables.
+_HOST_N = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 64
+_HOST_N_VEC = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 4096
 
 U32 = jnp.uint32
 
@@ -58,12 +66,22 @@ class BinaryFieldCtx:
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         jf = self._jit_cache[name]
+        host_fn = None if _HOST_N == 0 else self._host_kernel(name)
+        # xor/and-style ops vectorize on the host; raise the cutoff so
+        # e.g. the 1600-bit GF(2) Keccak state stays off the dispatch path
+        host_lim = _HOST_N_VEC if (self.d == 1 or name in ('add', 'neg')) \
+            else _HOST_N
 
         def call(*arrays):
             batch = arrays[0].shape
             n = 1
             for s in batch:
                 n *= int(s)
+            if host_fn is not None and 0 < n <= host_lim and \
+                    not any(isinstance(a, jax.core.Tracer) for a in arrays):
+                out = host_fn([np.asarray(a, dtype=np.uint32)
+                               for a in arrays])
+                return np.asarray(out, dtype=np.uint32)  # stays on the host
             n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
             flat = []
             for a in arrays:
@@ -75,6 +93,60 @@ class BinaryFieldCtx:
             out = jf(*flat)
             return out[:n].reshape(batch)
         return call
+
+    # -- host fast path (small batches / GF(2)) ------------------------------
+
+    def _hmul_int(self, x: int, y: int) -> int:
+        """Carry-less product mod the field modulus (Python ints)."""
+        r = 0
+        while y:
+            if y & 1:
+                r ^= x
+            x <<= 1
+            y >>= 1
+        d = self.d
+        for i in range(r.bit_length() - 1, d - 1, -1):
+            if (r >> i) & 1:
+                r ^= self.modulus << (i - d)
+        return r
+
+    def _hpow_int(self, x: int, e: int) -> int:
+        if e == 0:
+            return 1
+        res = x
+        for bchr in bin(e)[3:]:
+            res = self._hmul_int(res, res)
+            if bchr == '1':
+                res = self._hmul_int(res, x)
+        return res
+
+    def _host_kernel(self, name):
+        """Host (numpy / Python int) twin of the elementwise kernel."""
+        if name == 'add':
+            return lambda ab: ab[0] ^ ab[1]
+        if name == 'neg':
+            return lambda ab: ab[0]
+        if name == 'mul':
+            if self.d == 1:
+                return lambda ab: ab[0] & ab[1]
+            return lambda ab: np.vectorize(
+                self._hmul_int, otypes=[np.uint32])(ab[0], ab[1])
+        if name == 'div':
+            q2 = self.order - 2
+            if self.d == 1:
+                return lambda ab: ab[0] & ab[1]  # 1/b == b in GF(2)
+            return lambda ab: np.vectorize(
+                lambda x, y: self._hmul_int(
+                    int(x), self._hpow_int(int(y), q2)),
+                otypes=[np.uint32])(ab[0], ab[1])
+        if name.startswith('pow_'):
+            e = int(name[4:])
+            if self.d == 1:
+                return lambda ab: ab[0] if e else np.ones_like(ab[0])
+            return lambda ab: np.vectorize(
+                lambda x: self._hpow_int(int(x), e),
+                otypes=[np.uint32])(ab[0])
+        return None
 
     # -- kernels ------------------------------------------------------------
 

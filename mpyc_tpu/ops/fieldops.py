@@ -22,6 +22,12 @@ import jax.numpy as jnp
 from mpyc_tpu import gmpy
 from mpyc_tpu.ops import limb
 
+# Batches up to this size run on the host with Python ints: jax dispatch
+# costs ~1 ms per elementwise op on tiny arrays, host ints ~1 us/elt.
+# The two paths are bit-identical; set MPYC_TPU_NOHOSTOPS=1 to disable.
+import os as _os
+_HOST_N = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 64
+
 
 def _limbify(x: int, L: int):
     return tuple(np.uint32((x >> (32 * i)) & 0xFFFFFFFF) for i in range(L))
@@ -97,12 +103,20 @@ class PrimeFieldCtx:
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
         jf = self._jit_cache[name]
+        host_fn = None if _HOST_N == 0 else self._host_kernel(name)
 
         def call(*arrays):
             batch = arrays[0].shape[:arrays[0].ndim - in_elem[0]]
             n = 1
             for s in batch:
                 n *= int(s)
+            if host_fn is not None and 0 < n <= _HOST_N and \
+                    not any(isinstance(a, jax.core.Tracer) for a in arrays):
+                # latency fast path: tiny batches compute with Python ints
+                # on the host (one device_put instead of ~7 dispatches);
+                # never taken under an enclosing jit trace
+                out = host_fn([np.asarray(a) for a in arrays])
+                return out  # numpy result: stays on the host
             n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
             flat = []
             for a, ie in zip(arrays, in_elem):
@@ -119,6 +133,141 @@ class PrimeFieldCtx:
                              for o in out)
             return out[:n].reshape(batch + out.shape[1:])
         return call
+
+    # -- host fast path (small batches) --------------------------------------
+
+    def _mont_ints(self, a):
+        """(..., L) uint32 -> flat object array of Montgomery-domain ints."""
+        return limb.limbs_to_ints(a).reshape(-1)
+
+    def _mont_out(self, vals, shape):
+        """Iterable of Montgomery-domain ints -> (shape, L) uint32."""
+        arr = np.array(list(vals), dtype=object)
+        return limb.ints_to_limbs(arr, self.L).reshape(shape + (self.L,))
+
+    def _host_kernel(self, name):
+        """Python-int implementation of the elementwise kernel, or None.
+
+        Operates in the Montgomery domain like the device kernels, so the
+        two paths are bit-identical; selected only for tiny batches where
+        jax dispatch overhead dominates (see STATUS.md: scalar latency).
+        """
+        p, R, Rinv, R2 = self.p, self.R, self.Rinv, self.R2
+        mi, mo = self._mont_ints, self._mont_out
+
+        def shape_of(a, ie=1):
+            return a.shape[:a.ndim - ie]
+
+        if name in ('add', 'sub', 'neg', 'mul', 'div', 'inv', 'eq',
+                    'is_zero', 'legendre', 'to_std', 'from_std',
+                    'from_uint32'):
+            if name == 'add':
+                return lambda ab: mo(((int(x) + int(y)) % p for x, y in
+                                      zip(mi(ab[0]), mi(ab[1]))),
+                                     shape_of(ab[0]))
+            if name == 'sub':
+                return lambda ab: mo(((int(x) - int(y)) % p for x, y in
+                                      zip(mi(ab[0]), mi(ab[1]))),
+                                     shape_of(ab[0]))
+            if name == 'neg':
+                return lambda ab: mo(((-int(x)) % p for x in mi(ab[0])),
+                                     shape_of(ab[0]))
+            if name == 'mul':
+                return lambda ab: mo((int(x) * int(y) * Rinv % p
+                                      for x, y in zip(mi(ab[0]), mi(ab[1]))),
+                                     shape_of(ab[0]))
+            if name == 'div':
+                # z*R = (x^*R)(y^*R)^-1 R^2 * R^-1... simplified:
+                # z^ = x^ * (y^)^-1 * R  (0 divisor -> 0, like mont_inv)
+                return lambda ab: mo(
+                    (int(x) * (pow(int(y), -1, p) if int(y) else 0) * R % p
+                     for x, y in zip(mi(ab[0]), mi(ab[1]))),
+                    shape_of(ab[0]))
+            if name == 'inv':
+                # (x^)^-1 * R^2 = (x value)^-1 in Montgomery form
+                return lambda ab: mo(
+                    ((pow(int(x), -1, p) if int(x) else 0) * R2 % p
+                     for x in mi(ab[0])), shape_of(ab[0]))
+            if name == 'eq':
+                return lambda ab: np.array(
+                    [int(x) == int(y) for x, y in zip(mi(ab[0]), mi(ab[1]))],
+                    dtype=bool).reshape(shape_of(ab[0]))
+            if name == 'is_zero':
+                return lambda ab: np.array(
+                    [int(x) == 0 for x in mi(ab[0])],
+                    dtype=bool).reshape(shape_of(ab[0]))
+            if name == 'legendre':
+                def _leg(ab):
+                    out = []
+                    for x in mi(ab[0]):
+                        v = int(x) * Rinv % p
+                        ls = pow(v, (p - 1) >> 1, p)
+                        out.append(0 if v == 0 else (1 if ls == 1 else -1))
+                    return np.array(out, dtype=np.int32).reshape(
+                        shape_of(ab[0]))
+                return _leg
+            if name == 'to_std':
+                return lambda ab: mo((int(x) * Rinv % p for x in mi(ab[0])),
+                                     shape_of(ab[0]))
+            if name == 'from_std':
+                return lambda ab: mo((int(x) * R % p for x in mi(ab[0])),
+                                     shape_of(ab[0]))
+            if name == 'from_uint32':
+                return lambda ab: mo(
+                    (int(v) * R % p for v in
+                     np.asarray(ab[0], dtype=np.uint32).reshape(-1)),
+                    ab[0].shape)
+        if name.startswith('pow_'):
+            e = int(name[4:])
+            return lambda ab: mo((pow(int(x) * Rinv % p, e, p) * R % p
+                                  for x in mi(ab[0])), shape_of(ab[0]))
+        if name.startswith('mulc_'):
+            c = int(name[5:])
+            return lambda ab: mo((int(x) * c % p for x in mi(ab[0])),
+                                 shape_of(ab[0]))
+        if name.startswith('mod_pow2_'):
+            f = int(name[9:])
+            mask = (1 << f) - 1
+            return lambda ab: mo(((int(x) * Rinv % p & mask) * R % p
+                                  for x in mi(ab[0])), shape_of(ab[0]))
+        if name.startswith('to_bits_'):
+            l = int(name[8:])
+
+            def _tb(ab):
+                vals = [int(x) * Rinv % p for x in mi(ab[0])]
+                bits = np.array([[(v >> i) & 1 for i in range(l)]
+                                 for v in vals], dtype=np.uint32)
+                return bits.reshape(shape_of(ab[0]) + (l,))
+            return _tb
+        if name.startswith('from_bits_'):
+            l = int(name[10:])
+
+            def _fb(ab):
+                b = np.asarray(ab[0], dtype=np.uint32)
+                flat = b.reshape(-1, l)
+                vals = (sum(int(row[i]) << i for i in range(l)) * R % p
+                        for row in flat)
+                return mo(vals, b.shape[:-1])
+            return _fb
+        if name.startswith('reduce_chunks_'):
+            nc = int(name[14:])
+
+            def _rc(ab):
+                w = np.asarray(ab[0], dtype=np.uint32)
+                shape = w.shape[:-2]
+                flat = w.reshape(-1, nc, self.L)
+                out = []
+                for row in flat:
+                    v = 0
+                    for i in range(nc - 1, -1, -1):
+                        chunk = 0
+                        for j in range(self.L - 1, -1, -1):
+                            chunk = (chunk << 32) | int(row[i][j])
+                        v = (v << (32 * self.L)) | chunk
+                    out.append(v % p * R % p)
+                return mo(out, shape)
+            return _rc
+        return None
 
     # All kernels take/return stacked (..., L) uint32 arrays.
 

@@ -1603,9 +1603,13 @@ class Runtime:
                           integral=all(self._integral(x) for x in arrays))
 
     def np_stack(self, arrays, axis=0):
-        stype = self._sectype(*arrays)
+        sec = [x for x in arrays if isinstance(x, sectypes.SecureObject)]
+        stype = self._sectype(*sec)
         field = stype.field
-        shares = [self._share(x) for x in arrays]
+        shares = [self._share(x) if isinstance(x, sectypes.SecureObject)
+                  else self._share_like(self._encode_public(
+                      stype, np.asarray(x, dtype=object)))
+                  for x in arrays]
         nd = len(shares[0].shape) + 1  # logical ndim of the result (+party)
         nd_elem = field.array._elem_ndim
         ax = axis % (nd - self._pax) + self._pax if axis >= 0 else \
@@ -1786,12 +1790,24 @@ class Runtime:
         return self.reciprocal(a)
 
     def np_left_shift(self, a, b):
-        """Secure elementwise a * 2**b for public non-negative b."""
+        """Secure elementwise a * 2**b for public non-negative b.
+
+        Local field op; the result is integral when a is or when the
+        shift covers the fraction (reference runtime.py:1157-1168)."""
+        stype = self._sectype(a)
+        f = stype.frac_length
         if isinstance(b, (int, np.integer)):
-            return self.mul(a, 1 << int(b))
-        factors = np.array([1 << int(v) for v in np.asarray(b).reshape(-1)],
-                           dtype=object).reshape(np.asarray(b).shape)
-        return self.mul(a, factors)
+            res = self.mul(a, 1 << int(b))
+            min_b = int(b)
+        else:
+            factors = np.array([1 << int(v)
+                                for v in np.asarray(b).reshape(-1)],
+                               dtype=object).reshape(np.asarray(b).shape)
+            res = self.mul(a, factors)
+            min_b = min(int(v) for v in np.asarray(b).reshape(-1))
+        if f and hasattr(res, 'integral'):
+            res.integral = self._integral(a) or min_b >= f
+        return res
 
     def np_minimum(self, a, b):
         """Secure elementwise minimum."""
@@ -1999,7 +2015,10 @@ class Runtime:
         zeros = stype.array(np.zeros((n, n), dtype=object))
         idx = np.arange(a.shape[0])
         rows, cols = (idx, idx + k) if k >= 0 else (idx - k, idx)
-        return self.np_update(zeros, (rows, cols), a)
+        res = self.np_update(zeros, (rows, cols), a)
+        if hasattr(res, 'integral'):
+            res.integral = self._integral(a)
+        return res
 
     def np_trace(self, a, offset=0, axis1=0, axis2=1):
         return self.np_sum(self.np_diagonal(a, offset, axis1, axis2),
@@ -2828,7 +2847,7 @@ class Runtime:
 
     def _at_set_logical(self, arr, i, piece):
         idx = (slice(None),) * self._pax + (i,)
-        return arr.from_data(arr.data.at[idx].set(piece.data))
+        return arr.from_data(finfields._data_at_set(arr.data, idx, piece.data))
 
     def _bits_lt_public(self, bits, b: int):
         """Secure test [bits] < b for public b, bits LSB-first (n, lb)."""
@@ -3031,7 +3050,8 @@ class Runtime:
             idx = (slice(None), idx)
         out = s.at_set(idx, v)
         return self._wrap(stype, out, array=True,
-                          integral=self._integral(a))
+                          integral=self._integral(a) and
+                          self._integral(value))
 
     def _share_like(self, field_arr):
         """Broadcast a logical field array to a share (sim adds party axis)."""

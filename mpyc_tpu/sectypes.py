@@ -1041,6 +1041,10 @@ class SecureArray(SecureObject):
         return runtime.div(other, self)
 
     def __pow__(self, other):
+        if isinstance(other, float):
+            # fractional public exponent (reference sectypes.py:1164-1171
+            # via np_pow: requires positive base)
+            return runtime.np_pow(self, other)
         if not isinstance(other, int):
             return NotImplemented
         return runtime.pow(self, other)
@@ -1063,9 +1067,9 @@ class SecureArray(SecureObject):
         return runtime.np_matmul(other, self)
 
     def __lshift__(self, other):
-        if not isinstance(other, int):
+        if not isinstance(other, (int, np.integer)):
             return NotImplemented
-        return runtime.mul(self, 1 << other)
+        return runtime.np_left_shift(self, other)
 
     def __rshift__(self, other):
         if not isinstance(other, int):

@@ -29,7 +29,8 @@ def alias_mpyc():
              if k == 'mpyc' or k.startswith('mpyc.')}
     sys.modules['mpyc'] = mpyc_tpu
     for sub in ['finfields', 'gfpx', 'gmpy', 'thresha', 'fingroups',
-                'sectypes', 'mpctools', 'numpy']:
+                'sectypes', 'mpctools', 'numpy', 'runtime', 'asyncoro',
+                'seclists', 'secpols', 'secgroups', 'random', 'statistics']:
         sys.modules[f'mpyc.{sub}'] = __import__(f'mpyc_tpu.{sub}',
                                                 fromlist=[sub])
     sys.path.insert(0, REFERENCE_TESTS)
@@ -55,6 +56,21 @@ def _run(name):
 
 @pytest.mark.slow
 @pytest.mark.parametrize('name', ['test_gmpy', 'test_gfpx', 'test_thresha',
-                                  'test_fingroups', 'test_mpctools'])
+                                  'test_fingroups', 'test_mpctools',
+                                  'test_sectypes', 'test_asyncoro',
+                                  'test_numpy'])
 def test_reference_suite(alias_mpyc, name):
+    _run(name)
+
+
+# The reference's full runtime/extension suites also pass, but take tens of
+# minutes in total; they run when explicitly requested.
+@pytest.mark.slow
+@pytest.mark.skipif(not os.getenv('MPYC_TPU_FULL_ORACLE'),
+                    reason='set MPYC_TPU_FULL_ORACLE=1 for the full '
+                           'reference oracle (tens of minutes)')
+@pytest.mark.parametrize('name', ['test_runtime', 'test_seclists',
+                                  'test_secpols', 'test_random',
+                                  'test_statistics', 'test_secgroups'])
+def test_reference_suite_full(alias_mpyc, name):
     _run(name)
