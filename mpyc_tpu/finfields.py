@@ -104,6 +104,15 @@ def _unpickle_field_array(elt, values):
 # ===========================================================================
 
 
+
+def _pair_broadcast(ad, bd):
+    """Broadcast two data arrays to a common shape, staying in numpy when
+    both operands are host-side (so the kernels' host fast path applies)."""
+    shape = np.broadcast_shapes(ad.shape, bd.shape)
+    if isinstance(ad, np.ndarray) and isinstance(bd, np.ndarray):
+        return (np.broadcast_to(ad, shape), np.broadcast_to(bd, shape))
+    return (jnp.broadcast_to(ad, shape), jnp.broadcast_to(bd, shape))
+
 def _data_at_set(data, idx, value):
     """Functional indexed update working for both jax and numpy data."""
     if isinstance(data, np.ndarray):
@@ -609,7 +618,7 @@ class FiniteFieldArray:
 
     def __init__(self, value, _internal=False, check=True):
         if _internal:
-            self._data = value if isinstance(value, jax.Array) \
+            self._data = value if isinstance(value, (jax.Array, np.ndarray)) \
                 else jnp.asarray(value)
             return
         if not check and isinstance(value, np.ndarray) and \
@@ -618,7 +627,12 @@ class FiniteFieldArray:
             # arbitrary-content array to be filled by item assignment
             # (reference finfields.py); start from zeros
             value = np.zeros(value.shape, dtype=object)
-        self._data = jnp.asarray(self._encode(value))
+        enc = self._encode(value)
+        # tiny arrays stay host-side (numpy): the elementwise kernels have a
+        # bit-identical host fast path, so no device_put is needed until a
+        # genuinely large op lifts the data
+        self._data = enc if isinstance(enc, np.ndarray) and enc.size <= 256 \
+            else jnp.asarray(enc)
 
     # -- construction ----------------------------------------------------
 
@@ -1085,8 +1099,7 @@ class PrimeFieldArray(FiniteFieldArray):
         if o is NotImplemented:
             return NotImplemented
         a, b = (o, self) if reflected else (self, o)
-        ad = jnp.broadcast_to(a._data, jnp.broadcast_shapes(a._data.shape, b._data.shape))
-        bd = jnp.broadcast_to(b._data, ad.shape)
+        ad, bd = _pair_broadcast(a._data, b._data)
         out = getattr(self.ctx, opname)(ad, bd)
         return type(self).from_data(out)
 
@@ -1174,6 +1187,16 @@ class PrimeFieldArray(FiniteFieldArray):
 
     def sum(self, axis=None):
         d = self._data
+        if isinstance(d, np.ndarray) and d.size <= 4096:
+            # host fast path: Montgomery sums are plain modular sums
+            ctx = self.ctx
+            vals = limb.limbs_to_ints(d)  # object ints, Montgomery domain
+            s = vals.sum() if axis is None else vals.sum(axis % self.ndim)
+            out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(
+                np.asarray(s, dtype=object))
+            return type(self).from_data(
+                limb.ints_to_limbs(out.reshape(-1), ctx.L).reshape(
+                    out.shape + (ctx.L,)))
         if axis is None:
             d = d.reshape(-1, self.ctx.L)
             axis = 0
@@ -1181,6 +1204,33 @@ class PrimeFieldArray(FiniteFieldArray):
             axis = axis % self.ndim
             d = jnp.moveaxis(d, axis, 0)
         return type(self).from_data(self.ctx.sum(d))
+
+    def cumsum(self, axis=-1):
+        """Inclusive prefix sums along a logical axis."""
+        ctx = self.ctx
+        ax = axis % self.ndim
+        d = self._data
+        if isinstance(d, np.ndarray) and d.size <= 4096:
+            vals = limb.limbs_to_ints(d)  # Montgomery ints (linear in sums)
+            cs = np.cumsum(vals, axis=ax)
+            out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(
+                np.asarray(cs, dtype=object))
+            return type(self).from_data(
+                limb.ints_to_limbs(out.reshape(-1), ctx.L).reshape(
+                    out.shape + (ctx.L,)))
+        # device: Hillis-Steele doubling (log n modular adds)
+        cur = self
+        n = self.shape[ax]
+        zeros_block = type(self)(np.zeros(1, dtype=object))
+        dstep = 1
+        while dstep < n:
+            rolled = type(cur).from_data(jnp.roll(cur._data, dstep, axis=ax))
+            idx = tuple(slice(None) if i != ax else slice(0, dstep)
+                        for i in range(self.ndim))
+            rolled = rolled.at_set(idx, zeros_block)
+            cur = cur + rolled
+            dstep *= 2
+        return cur
 
     def _matmul(self, other, reflected=False):
         o = self._coerce(other)
@@ -1242,8 +1292,7 @@ class BinaryFieldArray(FiniteFieldArray):
             return NotImplemented
         a, b = (o, self) if reflected else (self, o)
         shape = jnp.broadcast_shapes(a._data.shape, b._data.shape)
-        ad = jnp.broadcast_to(a._data, shape)
-        bd = jnp.broadcast_to(b._data, shape)
+        ad, bd = _pair_broadcast(a._data, b._data)
         out = getattr(self.ctx, opname)(ad, bd)
         return type(self).from_data(out)
 
@@ -1344,9 +1393,7 @@ class ExtensionFieldArray(FiniteFieldArray):
         if o is NotImplemented:
             return NotImplemented
         a, b = (o, self) if reflected else (self, o)
-        ad = jnp.broadcast_to(a._data,
-                              jnp.broadcast_shapes(a._data.shape, b._data.shape))
-        bd = jnp.broadcast_to(b._data, ad.shape)
+        ad, bd = _pair_broadcast(a._data, b._data)
         out = getattr(self.ctx, opname)(ad, bd)
         return type(self).from_data(out)
 

@@ -284,6 +284,9 @@ def shake128_ctr_blocks(prefix: bytes, n_instances: int):
     if _pallas_available() and n_pad >= 1024:
         return _squeeze_ctr_pallas(jnp.asarray(state), int(n_instances))
     out = _squeeze_ctr(jnp.asarray(state), n_pad)
+    if n_pad <= 64:
+        # small draws feed host-resident protocol data: pull to numpy once
+        return np.asarray(out)[:n_instances]
     return out[:n_instances]
 
 

@@ -53,6 +53,13 @@ def limbs_to_int(v) -> int:
 def ints_to_limbs(xs, L: int) -> np.ndarray:
     """Vector/array of nonneg ints (object ndarray or list) -> (..., L) uint32."""
     arr = np.asarray(xs, dtype=object)
+    if L == 1:
+        return arr.astype(np.uint32).reshape(arr.shape + (1,))
+    if L == 2:
+        # vectorized object arithmetic beats a per-element Python loop
+        lo = (arr & 0xFFFFFFFF).astype(np.uint32)
+        hi = (arr >> 32).astype(np.uint32)
+        return np.stack([lo, hi], axis=-1)
     out = np.empty(arr.shape + (L,), dtype=np.uint32)
     flat = arr.reshape(-1)
     oflat = out.reshape(-1, L)
@@ -67,6 +74,11 @@ def limbs_to_ints(v) -> np.ndarray:
     """(..., L) uint32 -> object ndarray of ints (host-side)."""
     v = np.asarray(v)
     L = v.shape[-1]
+    if L == 1:
+        return v[..., 0].astype(object)
+    if L == 2:
+        return np.asarray(v[..., 0].astype(object) |
+                          (v[..., 1].astype(object) << 32), dtype=object)
     flat = v.reshape(-1, L)
     out = np.empty(flat.shape[0], dtype=object)
     for idx in range(flat.shape[0]):

@@ -2433,11 +2433,7 @@ class Runtime:
             s_sign = self._logical_flat(rb_all)[..., l * n:] * 2 - 1  # (P?, n)
         rb = self._logical_reshape(self._logical_flat(rb_all)[..., :l * n],
                                    (n, l))
-        # r_modl = sum_j rb[..., j] 2^j
-        r_modl = None
-        for j in range(l):
-            term = rb[..., j] << j
-            r_modl = term if r_modl is None else r_modl + term
+        r_modl = self._dot_pow2_last(rb)  # sum_j rb[..., j] 2^j
         r_divl = self._np_randoms(Zp, n, 1 << k)
         a_sh = self._logical_reshape(self._share(a), (n,))
         a_r = a_sh + ((1 << l) + r_modl)
@@ -2448,23 +2444,16 @@ class Runtime:
         c_bits = Zp.array.from_uint32(c_bits_u)      # public field (n, l)
         xor = c_bits + rb - (c_bits * rb) * 2        # secure (P?, n, l)
 
-        if not EQ:  # Toft trick
-            # suffix sums of xor over bit positions (descending)
-            sum_acc = None
-            sums = [None] * l
-            for i in range(l - 1, -1, -1):
-                sums[i] = sum_acc
-                x_i = xor[..., i]
-                sum_acc = x_i if sum_acc is None else sum_acc + x_i
-            e_list = []
-            for i in range(l):
-                e_i = s_sign + (rb[..., i] - c_bits[..., i])
-                if sums[i] is not None:
-                    e_i = e_i + sums[i] * 3
-                e_list.append(e_i)
-            e_list.append(s_sign - 1 + sum_acc * 3)
-            E = _concat_axis(Zp, [self._logical_reshape(x, (n, 1))
-                                  for x in e_list], -1)  # (P?, n, l+1)
+        if not EQ:  # Toft trick, fully vectorized over the bit axis
+            last_ax = len(xor.shape) - 1
+            incl = xor.cumsum(axis=last_ax)                  # (P?, n, l)
+            total = incl[..., l - 1]                         # (P?, n)
+            total_col = self._logical_reshape(total, (n, 1))
+            suffix = total_col - incl          # sums[i] = sum_{j>i} xor_j
+            s_col = self._logical_reshape(s_sign, (n, 1))
+            e_bits = s_col + (rb - c_bits) + suffix * 3      # (P?, n, l)
+            e_last = self._logical_reshape(s_sign - 1 + total * 3, (n, 1))
+            E = _concat_axis(Zp, [e_bits, e_last], -1)       # (P?, n, l+1)
             prod_e = self._prod_last_axis(E)
             g = self._is_zero_public_dev(prod_e)     # bool device (n,)
             g_pm = Zp.array.from_uint32(
@@ -4107,10 +4096,11 @@ def _field_det_public(field, arr):
 
 
 def _concat_field(field, arrays):
-    """Concatenate 1-D field arrays."""
+    """Concatenate 1-D field arrays (numpy-aware: host data stays host)."""
     import jax.numpy as jnp
     datas = [a.data for a in arrays]
-    return field.array.from_data(jnp.concatenate(datas, axis=0))
+    xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp
+    return field.array.from_data(xp.concatenate(datas, axis=0))
 
 
 def _concat_axis(field, arrays, axis):
@@ -4119,7 +4109,8 @@ def _concat_axis(field, arrays, axis):
     datas = [a.data for a in arrays]
     nd_elem = field.array._elem_ndim
     ax = axis if axis >= 0 else axis - nd_elem
-    return field.array.from_data(jnp.concatenate(datas, axis=ax))
+    xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp
+    return field.array.from_data(xp.concatenate(datas, axis=ax))
 
 
 # ===========================================================================
