@@ -42,6 +42,10 @@ def alias_mpyc():
 
 
 def _run(name):
+    # Our own tests/ may contain a same-named pytest module already loaded
+    # by collection (e.g. tests/test_gmpy.py); evict it so the reference
+    # suite is imported from REFERENCE_TESTS, then restore it afterwards.
+    shadowed = sys.modules.pop(name, None)
     mod = __import__(name)
     try:
         suite = unittest.defaultTestLoader.loadTestsFromModule(mod)
@@ -52,6 +56,8 @@ def _run(name):
         assert result.testsRun > 0
     finally:
         sys.modules.pop(name, None)
+        if shadowed is not None:
+            sys.modules[name] = shadowed
 
 
 @pytest.mark.slow
