@@ -270,6 +270,33 @@ class FiniteFieldElement:
         return _unpickle_xgf_elt, (cls.characteristic, int(cls.modulus),
                                    int(self.value))
 
+    def __array_function__(self, func, types, args, kwargs):
+        # delegate to the field's array class (reference finfields.py:83-85)
+        return type(self).array.__array_function__(
+            self, func, types, args, kwargs)
+
+    # --- array duck-typing -------------------------------------------------
+    # Scalar indexing / scalar reductions of field arrays return elements
+    # (reference semantics, finfields.py:1004-1009); protocol code treats
+    # shares uniformly as shaped values, so elements expose the minimal
+    # 0-d array surface (shape/ndim/size/flatten/reshape).
+    shape = ()
+    ndim = 0
+    size = 1
+
+    @property
+    def field(self):
+        # the element class IS the field (arrays carry it as `.field` too)
+        return type(self)
+
+    def flatten(self):
+        return type(self).array(np.array([self.value], dtype=object))
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return self.flatten().reshape(shape)
+
 
 @functools.cache
 def pGF(p, n, w):
@@ -717,10 +744,23 @@ class FiniteFieldArray:
         return type(self).from_data(jnp.swapaxes(self._data, a % nd, b % nd))
 
     def __getitem__(self, idx):
-        # NB: scalar indexing returns a shape-() *array*, not a field
-        # element (design delta vs reference finfields.py:1004-1009: device
-        # data stays on device; 0-d arrays coerce wherever elements do)
-        return type(self).from_data(self._data[idx])
+        # full-scalar indexing returns a field element, like the reference
+        # (finfields.py:1004-1009); partial indexing returns an array view
+        d = self._data[self._expand_idx(idx)]
+        if d.ndim == self._elem_ndim:
+            v = type(self).from_data(d)._decode()[()]
+            return self.field(v)
+        return type(self).from_data(d)
+
+    def __contains__(self, value):
+        # reference finfields.py:992-1002
+        cls = type(self)
+        if not isinstance(value, (cls, cls.field)):
+            value = cls(value)
+            if value.ndim == 0:
+                value = value[()]
+        value = value.value
+        return self.value.__contains__(value)
 
     def _expand_idx(self, idx):
         """Translate logical indexing (incl. Ellipsis/newaxis) to data axes.
@@ -929,11 +969,146 @@ class FiniteFieldArray:
                 D = D @ D
         return C
 
+    @classmethod
+    def _sqrt(cls, a, INV=False):
+        """Classmethod sqrt, reference API (finfields.py:1424-1458)."""
+        if not isinstance(a, FiniteFieldArray):
+            a = cls(a)
+        return a.sqrt(INV=INV)
+
+    def _value_objs(self):
+        """Decoded values in the reference's object representation
+        (ints for GF(p); gfpx polynomials for GF(p^d)/GF(2^d))."""
+        return self._decode()
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """numpy ufunc protocol, mirroring the reference's semantics
+        (finfields.py:727-764).  Field arithmetic routes to the device
+        kernels; anything else computes host-side on the decoded values.
+        """
+        cls = type(self)
+        name = ufunc.__name__
+        if any(isinstance(a, np.ndarray) and a.dtype != object
+               and not issubclass(a.dtype.type, (np.integer, np.bool_))
+               for a in inputs):
+            return NotImplemented
+
+        if name == 'equal':
+            return inputs[1].__eq__(inputs[0])
+
+        if name == 'not_equal':
+            return inputs[1].__ne__(inputs[0])
+
+        if name == 'left_shift':
+            return inputs[0] << inputs[1]
+
+        if name == 'right_shift':
+            return inputs[0] >> inputs[1]
+
+        if name == 'power' and isinstance(inputs[1], cls):
+            return NotImplemented
+
+        if name == 'reciprocal':
+            return cls.reciprocal(inputs[0])
+
+        if name == 'sqrt':
+            return cls.sqrt(inputs[0])
+
+        if method == '__call__' and 'out' not in kwargs:
+            # device fast paths for field arithmetic
+            if name == 'add':
+                return cls.__add__(self, inputs[0] if inputs[1] is self
+                                   else inputs[1])
+            if name == 'subtract':
+                a, b = inputs
+                return a - b if isinstance(a, cls) else cls.__rsub__(b, a)
+            if name == 'multiply':
+                return cls.__mul__(self, inputs[0] if inputs[1] is self
+                                   else inputs[1])
+            if name in ('divide', 'true_divide'):
+                a, b = inputs
+                return a / b if isinstance(a, cls) else cls.__rtruediv__(b, a)
+            if name == 'matmul':
+                a, b = inputs
+                return a @ b if isinstance(a, cls) else cls.__rmatmul__(b, a)
+            if name == 'negative':
+                return cls.__neg__(inputs[0])
+            if name == 'positive':
+                return cls.__pos__(inputs[0])
+
+        # generic host fallback on object values (reference
+        # finfields.py:757-764)
+        inputs = tuple(
+            a._value_objs() if isinstance(a, FiniteFieldArray) else
+            a.value if isinstance(a, cls.field) else a for a in inputs)
+        a = getattr(ufunc, method)(*inputs, **kwargs)
+        if method != 'at':
+            if isinstance(a, np.ndarray):
+                a = cls(a)
+            else:
+                a = cls.field(int(a) if isinstance(a, (int, np.integer))
+                              else a)
+        return a
+
     def __array_function__(self, func, types, args, kwargs):
         h = _FF_ARRAY_FUNCTIONS.get(func)
-        if h is None:
-            return NotImplemented
-        return h(*args, **kwargs)
+        if h is not None:
+            return h(*args, **kwargs)
+        # NB: unbound call — `self` may be a FiniteFieldElement delegating
+        # through its field's array class (reference finfields.py:83-85)
+        return FiniteFieldArray._array_function_fallback(
+            self, func, args, kwargs)
+
+    def _array_function_fallback(self, func, args, kwargs):
+        """Generic numpy-function dispatch: apply `func` to the decoded
+        object-value arrays and wrap the result, mirroring the reference's
+        __array_function__ fallback (finfields.py:766-819).  These entry
+        points are API-compat glue, not hot paths — heavy ops (matmul,
+        elementwise arithmetic) have dedicated device kernels.
+        """
+        if isinstance(self, FiniteFieldArray):
+            cls = type(self)
+        else:
+            cls = type(self).array
+        args = list(args)
+        for i, arg in enumerate(args):
+            if isinstance(arg, (cls, cls.field)):
+                args[i] = arg.value
+            elif isinstance(arg, tuple):
+                arg = list(arg)
+                for j, a in enumerate(arg):
+                    if isinstance(a, (cls, cls.field)):
+                        a = a.value
+                    elif not isinstance(a, (int, np.ndarray)):
+                        return NotImplemented
+                    arg[j] = a
+                args[i] = tuple(arg)
+            elif isinstance(arg, list):
+                args[i] = [a.value if isinstance(a, (cls, cls.field)) else a
+                           for a in arg]
+            elif func.__name__ == 'convolve':
+                pass
+            elif not isinstance(arg, (int, np.ndarray)):
+                return NotImplemented
+
+        a = func(*args, **kwargs)
+
+        if isinstance(a, np.ndarray):
+            if func.__name__ != 'flatnonzero':
+                a = cls(a)
+        elif isinstance(a, list):
+            a = list(map(cls, a))
+        elif isinstance(a, bool) or a is np.True_ or a is np.False_:
+            pass
+        elif func.__name__.startswith('atleast_'):
+            a = tuple(map(cls, a))
+        elif isinstance(a, tuple):
+            pass
+        else:
+            if isinstance(a, (int, np.integer)):
+                a = int(a)
+            a = cls.field(a)
+        return a
 
     def __setitem__(self, idx, value):
         value = self._coerce(value)
@@ -1090,10 +1265,6 @@ class PrimeFieldArray(FiniteFieldArray):
                 otypes=[object])(vals)
         return vals
 
-    def __getitem__(self, idx):
-        # NB: scalar indexing returns a shape-() array (see base class note)
-        return type(self).from_data(self._data[self._expand_idx(idx)])
-
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)
         if o is NotImplemented:
@@ -1145,6 +1316,13 @@ class PrimeFieldArray(FiniteFieldArray):
         return type(self).from_data(self.ctx.inv(self._data))
 
     def sqrt(self, INV=False):
+        if INV and bool(np.any(np.asarray(self.ctx.is_zero(self._data)))):
+            raise ZeroDivisionError('no inverse sqrt of 0')
+        return self._sqrt_unchecked(INV=INV)
+
+    def _sqrt_unchecked(self, INV=False):
+        """sqrt without the INV zero-divisor readback — for protocol code
+        that has already rejected zeros (e.g. random_bits)."""
         ctx = self.ctx
         if ctx.p % 4 == 3:
             return type(self).from_data(ctx.sqrt(INV=INV)(self._data))
@@ -1186,6 +1364,15 @@ class PrimeFieldArray(FiniteFieldArray):
         return cls.from_data(cls.ctx.from_std(limbs))
 
     def sum(self, axis=None):
+        scalar_out = axis is None or (
+            isinstance(axis, tuple) and len(axis) == self.ndim) or \
+            self.ndim == 1
+        if isinstance(axis, tuple):
+            # tuple-axis: reduce highest-numbered axes first
+            res = self
+            for ax in sorted((a % self.ndim for a in axis), reverse=True):
+                res = res.sum(axis=ax) if res.ndim > 1 else res.sum()
+            return res
         d = self._data
         if isinstance(d, np.ndarray) and d.size <= 4096:
             # host fast path: Montgomery sums are plain modular sums
@@ -1194,16 +1381,22 @@ class PrimeFieldArray(FiniteFieldArray):
             s = vals.sum() if axis is None else vals.sum(axis % self.ndim)
             out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(
                 np.asarray(s, dtype=object))
-            return type(self).from_data(
+            res = type(self).from_data(
                 limb.ints_to_limbs(out.reshape(-1), ctx.L).reshape(
                     out.shape + (ctx.L,)))
-        if axis is None:
-            d = d.reshape(-1, self.ctx.L)
-            axis = 0
         else:
-            axis = axis % self.ndim
-            d = jnp.moveaxis(d, axis, 0)
-        return type(self).from_data(self.ctx.sum(d))
+            if axis is None:
+                d = d.reshape(-1, self.ctx.L)
+                axis = 0
+            else:
+                axis = axis % self.ndim
+                d = jnp.moveaxis(d, axis, 0)
+            res = type(self).from_data(self.ctx.sum(d))
+        if scalar_out and res.ndim == 0:
+            # scalar reduction yields a field element (reference
+            # finfields.py:1332-1335)
+            return self.field(res._decode()[()])
+        return res
 
     def cumsum(self, axis=-1):
         """Inclusive prefix sums along a logical axis."""
@@ -1282,10 +1475,6 @@ class BinaryFieldArray(FiniteFieldArray):
     def _decode(self):
         return self.ctx.decode_ints(np.asarray(self._data))
 
-    def __getitem__(self, idx):
-        # NB: scalar indexing returns a shape-() array (see base class note)
-        return type(self).from_data(self._data[self._expand_idx(idx)])
-
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)
         if o is NotImplemented:
@@ -1319,10 +1508,25 @@ class BinaryFieldArray(FiniteFieldArray):
     def __hash__(self):
         raise TypeError('field arrays are unhashable')
 
+    def _value_objs(self):
+        # reference binary arrays hold BinaryPolynomial values
+        poly = type(self.field.modulus)
+        return np.vectorize(lambda v: poly(int(v)), otypes=[object])(
+            self._decode()) if self.size else \
+            np.empty(self.shape, dtype=object)
+
+    @property
+    def value(self):
+        return self._value_objs()
+
     def reciprocal(self):
         return type(self).from_data(self.ctx.inv(self._data))
 
     def sqrt(self, INV=False):
+        if INV and bool(np.any(np.asarray(self._data) == 0)
+                        if isinstance(self._data, np.ndarray)
+                        else jnp.any(self._data == 0)):
+            raise ZeroDivisionError('no inverse sqrt of 0')
         out = self.ctx.sqrt(self._data)
         if INV:
             out = self.ctx.inv(out)
@@ -1332,13 +1536,33 @@ class BinaryFieldArray(FiniteFieldArray):
         return np.ones(self.shape, dtype=bool)
 
     def sum(self, axis=None):
+        # field (XOR) sum: the reference stores BinaryPolynomial values, so
+        # its object-sum (finfields.py:1332-1337) is polynomial addition
         d = self._data
         if axis is None:
             d = d.reshape(-1)
             axis = 0
-        red = jax.jit(lambda x: jax.lax.reduce(
-            x, jnp.uint32(0), lambda p, q: p ^ q, (axis % max(d.ndim, 1),)))
-        return type(self).from_data(red(d))
+        elif isinstance(axis, tuple):
+            res = self
+            for ax in sorted((a % self.ndim for a in axis), reverse=True):
+                res = res.sum(axis=ax)
+                if not isinstance(res, FiniteFieldArray):
+                    return res
+            return res
+        else:
+            axis = axis % max(d.ndim, 1)
+        if isinstance(d, np.ndarray):
+            red = np.bitwise_xor.reduce(d, axis=axis)
+            res = type(self).from_data(np.asarray(red, dtype=np.uint32))
+        else:
+            redf = jax.jit(lambda x: jax.lax.reduce(
+                x, jnp.uint32(0), lambda p, q: p ^ q, (axis,)))
+            res = type(self).from_data(redf(d))
+        if res.ndim == 0:
+            # scalar reduction yields a field element (reference
+            # finfields.py:1332-1335)
+            return self.field(int(res._decode()[()]))
+        return res
 
     def _matmul(self, other, reflected=False):
         o = self._coerce(other)
@@ -1384,10 +1608,6 @@ class ExtensionFieldArray(FiniteFieldArray):
     def _decode(self):
         return self.ctx.decode_ints(np.asarray(self._data))
 
-    def __getitem__(self, idx):
-        # NB: scalar indexing returns a shape-() array (see base class note)
-        return type(self).from_data(self._data[self._expand_idx(idx)])
-
     def _binop(self, other, opname, reflected=False):
         o = self._coerce(other)
         if o is NotImplemented:
@@ -1423,6 +1643,17 @@ class ExtensionFieldArray(FiniteFieldArray):
 
     def __hash__(self):
         raise TypeError('field arrays are unhashable')
+
+    def _value_objs(self):
+        # reference extension arrays hold gfpx Polynomial values
+        poly = type(self.field.modulus)
+        return np.vectorize(lambda v: poly(int(v)), otypes=[object])(
+            self._decode()) if self.size else \
+            np.empty(self.shape, dtype=object)
+
+    @property
+    def value(self):
+        return self._value_objs()
 
     def reciprocal(self):
         return type(self).from_data(self.ctx.inv(self._data))
@@ -1537,9 +1768,37 @@ def arrayGF(field, modulus=None):
     return field.array
 
 
+def _ff_block(arrays):
+    """np.block over nested lists of field arrays/elements (reference
+    finfields.py:837-862)."""
+    def extract_type(s):
+        if isinstance(s, list):
+            for a in s:
+                if (cls := extract_type(a)) is not None:
+                    return cls
+            return None
+        if isinstance(s, (FiniteFieldArray, FiniteFieldElement)):
+            return type(s)
+        return None
+
+    cls = extract_type(arrays)
+    if issubclass(cls, FiniteFieldElement):
+        cls = cls.array
+
+    def peel(s):
+        if isinstance(s, list):
+            return [peel(a) for a in s]
+        if isinstance(s, (cls, cls.field)):
+            return s.value
+        return s
+
+    return cls(np.block(peel(arrays)))
+
+
 # numpy __array_function__ dispatch for plain field arrays (reference
 # registers via @_implements, finfields.py:686-692)
 _FF_ARRAY_FUNCTIONS = {
+    np.block: _ff_block,
     np.linalg.solve: FiniteFieldArray.gauss_solve,
     np.linalg.inv: FiniteFieldArray.gauss_inv,
     np.linalg.det: FiniteFieldArray.gauss_det,

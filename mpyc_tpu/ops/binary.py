@@ -240,12 +240,17 @@ class BinaryFieldCtx:
         arr = np.asarray(xs, dtype=object)
         flat = arr.reshape(-1)
         out = np.empty(flat.shape[0], dtype=np.uint32)
+        d, m = self.d, self.modulus
         for i in range(flat.shape[0]):
             v = int(flat[i])
             if v < 0:
                 v = -v  # -f(x) == f(x) coefficientwise in char 2
-            out[i] = v & (self.order - 1) if self.d < 32 \
-                else v & 0xFFFFFFFF
+            while v.bit_length() > d:
+                # carry-less reduction mod the irreducible polynomial
+                # (reference reduces arrays `value %= modulus` with a
+                # Polynomial modulus, finfields.py:752-753)
+                v ^= m << (v.bit_length() - 1 - d)
+            out[i] = v
         return out.reshape(arr.shape)
 
     def decode_ints(self, vals) -> np.ndarray:

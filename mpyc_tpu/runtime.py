@@ -288,6 +288,24 @@ class Runtime:
         self.shutdown()
         return False
 
+    async def __aenter__(self):
+        """Start runtime when entering async with context (reference
+        runtime.py:328-332)."""
+        self.start()
+        return self
+
+    async def __aexit__(self, exc_type, exc, tb):
+        """Shutdown runtime when exiting async with context (reference
+        runtime.py:334-342): limited shutdown (close connections only,
+        no barrier) when exiting with an exception."""
+        if exc:
+            if self.exchange is not None:
+                self.exchange.stop()
+                self.exchange = None
+            return
+
+        self.shutdown()
+
     def barrier(self, name=None):
         """Synchronization barrier across all parties."""
         if len(self.parties) == 1:
@@ -1047,7 +1065,7 @@ class Runtime:
             r = _concat_field(field, parts_r) if len(parts_r) > 1 else parts_r[0]
             r2o = _concat_field(field, parts_r2) if len(parts_r2) > 1 \
                 else parts_r2[0]
-            bits_pm1 = r * r2o.sqrt(INV=True)  # in {-1, +1}
+            bits_pm1 = r * r2o._sqrt_unchecked(INV=True)  # in {-1, +1}
             if signed:
                 bits = bits_pm1
             else:

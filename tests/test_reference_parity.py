@@ -46,8 +46,8 @@ def _run(name):
     # by collection (e.g. tests/test_gmpy.py); evict it so the reference
     # suite is imported from REFERENCE_TESTS, then restore it afterwards.
     shadowed = sys.modules.pop(name, None)
-    mod = __import__(name)
     try:
+        mod = __import__(name)
         suite = unittest.defaultTestLoader.loadTestsFromModule(mod)
         result = unittest.TestResult()
         suite.run(result)
