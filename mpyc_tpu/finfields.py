@@ -105,6 +105,14 @@ def _unpickle_field_array(elt, values):
 
 
 
+def _xp(*arrays):
+    """Array namespace for shape plumbing: numpy while every operand is
+    host-resident (keeps tiny protocol data off the device so the kernels'
+    host fast paths stay applicable), jnp as soon as any operand lives on
+    the device."""
+    return np if all(isinstance(a, np.ndarray) for a in arrays) else jnp
+
+
 def _pair_broadcast(ad, bd):
     """Broadcast two data arrays to a common shape, staying in numpy when
     both operands are host-side (so the kernels' host fast path applies)."""
@@ -712,10 +720,10 @@ class FiniteFieldArray:
             # F-order = reverse logical axes, C-reshape reversed, reverse back
             nd = self.ndim
             perm = tuple(range(nd))[::-1] + tuple(range(nd, self._data.ndim))
-            rev = jnp.transpose(self._data, perm)
+            rev = _xp(self._data).transpose(self._data, perm)
             out = rev.reshape(tuple(reversed(shape)) + tail)
             k = len(shape)
-            out = jnp.transpose(
+            out = _xp(out).transpose(
                 out, tuple(range(k))[::-1] + tuple(range(k, out.ndim)))
             return type(self).from_data(out)
         return type(self).from_data(self._data.reshape(shape + tail))
@@ -737,11 +745,11 @@ class FiniteFieldArray:
         elif len(axes) == 1 and isinstance(axes[0], (tuple, list)):
             axes = tuple(axes[0])
         perm = tuple(a % nd for a in axes) + tuple(range(nd, self._data.ndim))
-        return type(self).from_data(jnp.transpose(self._data, perm))
+        return type(self).from_data(_xp(self._data).transpose(self._data, perm))
 
     def swapaxes(self, a, b):
         nd = self.ndim
-        return type(self).from_data(jnp.swapaxes(self._data, a % nd, b % nd))
+        return type(self).from_data(_xp(self._data).swapaxes(self._data, a % nd, b % nd))
 
     def __getitem__(self, idx):
         # full-scalar indexing returns a field element, like the reference
@@ -786,12 +794,14 @@ class FiniteFieldArray:
         idx = self._expand_idx(idx)
         target_shape = self._data[idx].shape
         return type(self).from_data(_data_at_set(
-            self._data, idx, jnp.broadcast_to(value._data, target_shape)))
+            self._data, idx,
+            _xp(self._data, value._data).broadcast_to(value._data,
+                                                       target_shape)))
 
     def roll(self, shift, axis):
         """Circular shift along a logical axis."""
         return type(self).from_data(
-            jnp.roll(self._data, shift, axis=axis % self.ndim))
+            _xp(self._data).roll(self._data, shift, axis=axis % self.ndim))
 
     # -- generic views / reductions (reference finfields.py:980-1375) ------
 
@@ -806,10 +816,11 @@ class FiniteFieldArray:
             n = a.shape[0]
             m = n + abs(k)
             tail = a._data.shape[1:]
-            z = jnp.zeros((m, m) + tail, dtype=a._data.dtype)
-            r = jnp.arange(n) + max(0, -k)
-            c = jnp.arange(n) + max(0, k)
-            z = z.at[r, c].set(a._data)
+            xp = _xp(a._data)
+            z = xp.zeros((m, m) + tail, dtype=a._data.dtype)
+            r = np.arange(n) + max(0, -k)
+            c = np.arange(n) + max(0, k)
+            z = _data_at_set(z, (r, c), a._data)
             return cls.from_data(z)
         if a.ndim == 2:
             return a.diagonal(offset=k)
@@ -817,10 +828,11 @@ class FiniteFieldArray:
 
     def diagonal(self, offset=0, axis1=0, axis2=1):
         nd = self.ndim
-        d = jnp.diagonal(self._data, offset, axis1 % nd, axis2 % nd)
-        # jnp.diagonal appends the diagonal axis last (after elem axes);
+        xp = _xp(self._data)
+        d = xp.diagonal(self._data, offset, axis1 % nd, axis2 % nd)
+        # diagonal appends the diagonal axis last (after elem axes);
         # move it to the last *logical* position
-        d = jnp.moveaxis(d, -1, d.ndim - 1 - self._elem_ndim)
+        d = xp.moveaxis(d, -1, d.ndim - 1 - self._elem_ndim)
         return type(self).from_data(d)
 
     def trace(self, offset=0, axis1=0, axis2=1):
@@ -831,18 +843,22 @@ class FiniteFieldArray:
         ax = (axis % a.ndim) if axis is not None else 0
         ax += 0 if ax >= 0 else 0
         return type(a).from_data(
-            jnp.take(a._data, jnp.asarray(indices), axis=ax))
+            _xp(a._data).take(a._data, np.asarray(indices), axis=ax))
 
     def compress(self, condition, axis=None):
         a = self if axis is not None else self.flatten()
         ax = (axis % a.ndim) if axis is not None else 0
         idx = np.nonzero(np.asarray(condition, dtype=bool))[0]
-        return type(a).from_data(jnp.take(a._data, idx, axis=ax))
+        return type(a).from_data(_xp(a._data).take(a._data, idx, axis=ax))
 
     def repeat(self, repeats, axis=None):
         a = self if axis is not None else self.flatten()
         ax = (axis % a.ndim) if axis is not None else 0
-        return type(a).from_data(jnp.repeat(a._data, repeats, axis=ax))
+        if isinstance(repeats, int):
+            return type(a).from_data(_xp(a._data).repeat(a._data, repeats, axis=ax))
+        # per-element repeat counts: host-computed gather plan (public shape)
+        idx = np.repeat(np.arange(a.shape[ax]), np.asarray(repeats))
+        return type(a).from_data(_xp(a._data).take(a._data, idx, axis=ax))
 
     def nonzero(self):
         vals = np.asarray(self._decode())
@@ -861,7 +877,7 @@ class FiniteFieldArray:
         if axis is None:
             d = self.flatten()._data
         else:
-            d = jnp.moveaxis(self._data, axis % self.ndim, 0)
+            d = _xp(self._data).moveaxis(self._data, axis % self.ndim, 0)
         cur = type(self).from_data(d)
         if cur.shape and cur.shape[0] == 0:
             ones = np.ones(cur.shape[1:], dtype=object)
@@ -871,8 +887,9 @@ class FiniteFieldArray:
             h = n // 2
             head = cur[:h] * cur[h:2 * h]
             if n % 2:
-                head = type(self).from_data(jnp.concatenate(
-                    [head._data, cur._data[2 * h:]], axis=0))
+                head = type(self).from_data(
+                    _xp(head._data, cur._data).concatenate(
+                        [head._data, cur._data[2 * h:]], axis=0))
             cur = head
         return cur[0] if cur.shape else cur
 
@@ -1053,6 +1070,11 @@ class FiniteFieldArray:
     def __array_function__(self, func, types, args, kwargs):
         h = _FF_ARRAY_FUNCTIONS.get(func)
         if h is not None:
+            # registered handlers expect arrays; lift bare field elements
+            # (delegated here per reference finfields.py:83-85) to 0-d arrays
+            args = tuple(
+                a.array(np.array(a.value, dtype=object))
+                if isinstance(a, FiniteFieldElement) else a for a in args)
             return h(*args, **kwargs)
         # NB: unbound call — `self` may be a FiniteFieldElement delegating
         # through its field's array class (reference finfields.py:83-85)
@@ -1116,7 +1138,8 @@ class FiniteFieldArray:
             raise TypeError('cannot assign this type into field array')
         self._data = _data_at_set(
             self._data, idx,
-            jnp.broadcast_to(value._data, self._data[idx].shape))
+            _xp(self._data, value._data).broadcast_to(
+                value._data, self._data[idx].shape))
 
     def __iter__(self):
         for i in range(len(self)):
@@ -1300,9 +1323,10 @@ class PrimeFieldArray(FiniteFieldArray):
         o = self._coerce(other)
         if o is NotImplemented:
             return NotImplemented
-        ad = jnp.broadcast_to(self._data,
-                              jnp.broadcast_shapes(self._data.shape, o._data.shape))
-        bd = jnp.broadcast_to(o._data, ad.shape)
+        xp = _xp(self._data, o._data)
+        ad = xp.broadcast_to(
+            self._data, np.broadcast_shapes(self._data.shape, o._data.shape))
+        bd = xp.broadcast_to(o._data, ad.shape)
         return np.asarray(self.ctx.eq(ad, bd))
 
     def __ne__(self, other):
@@ -1417,7 +1441,8 @@ class PrimeFieldArray(FiniteFieldArray):
         zeros_block = type(self)(np.zeros(1, dtype=object))
         dstep = 1
         while dstep < n:
-            rolled = type(cur).from_data(jnp.roll(cur._data, dstep, axis=ax))
+            rolled = type(cur).from_data(
+                _xp(cur._data).roll(cur._data, dstep, axis=ax))
             idx = tuple(slice(None) if i != ax else slice(0, dstep)
                         for i in range(self.ndim))
             rolled = rolled.at_set(idx, zeros_block)
@@ -1632,9 +1657,10 @@ class ExtensionFieldArray(FiniteFieldArray):
         o = self._coerce(other)
         if o is NotImplemented:
             return NotImplemented
-        ad = jnp.broadcast_to(self._data,
-                              jnp.broadcast_shapes(self._data.shape, o._data.shape))
-        bd = jnp.broadcast_to(o._data, ad.shape)
+        xp = _xp(self._data, o._data)
+        ad = xp.broadcast_to(
+            self._data, np.broadcast_shapes(self._data.shape, o._data.shape))
+        bd = xp.broadcast_to(o._data, ad.shape)
         return np.asarray(self.ctx.eq(ad, bd))
 
     def __ne__(self, other):
@@ -1697,14 +1723,15 @@ class ExtensionFieldArray(FiniteFieldArray):
             cur = self.flatten()
         else:
             cur = type(self).from_data(
-                jnp.moveaxis(self._data, axis % self.ndim, 0))
+                _xp(self._data).moveaxis(self._data, axis % self.ndim, 0))
         while cur.shape and cur.shape[0] > 1:
             n = cur.shape[0]
             h = n // 2
             head = cur[:h] + cur[h:2 * h]
             if n % 2:
-                head = type(self).from_data(jnp.concatenate(
-                    [head._data, cur._data[2 * h:]], axis=0))
+                head = type(self).from_data(
+                    _xp(head._data, cur._data).concatenate(
+                        [head._data, cur._data[2 * h:]], axis=0))
             cur = head
         return cur[0] if cur.shape else cur
 
@@ -1812,7 +1839,7 @@ _FF_ARRAY_FUNCTIONS = {
     np.prod: lambda a, **kw: a.prod(**kw),
     np.sum: lambda a, **kw: a.sum(**kw),
     np.transpose: lambda a, *args, **kw: a.transpose(*args, **kw),
-    np.reshape: lambda a, shape, **kw: a.reshape(shape),
+    np.reshape: lambda a, shape, **kw: a.reshape(shape, **kw),
     np.ravel: lambda a, **kw: a.ravel(),
     np.array_equal: lambda a, b, **kw: bool(
         isinstance(b, FiniteFieldArray) and a.shape == b.shape and

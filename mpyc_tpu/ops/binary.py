@@ -67,10 +67,13 @@ class BinaryFieldCtx:
             self._jit_cache[name] = jax.jit(fn)
         jf = self._jit_cache[name]
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
-        # xor/and-style ops vectorize on the host; raise the cutoff so
-        # e.g. the 1600-bit GF(2) Keccak state stays off the dispatch path
-        host_lim = _HOST_N_VEC if (self.d == 1 or name in ('add', 'neg')) \
-            else _HOST_N
+        # all binary host kernels are numpy-vectorized (no per-element
+        # Python), so the large cutoff applies across the board; only the
+        # long pow chains keep the small one (e-fold mul cost per element)
+        host_lim = _HOST_N if (name.startswith('pow_')
+                               and self.d > 1
+                               and int(name[4:]).bit_length() > 4) \
+            else _HOST_N_VEC
 
         def call(*arrays):
             batch = arrays[0].shape
@@ -120,8 +123,36 @@ class BinaryFieldCtx:
                 res = self._hmul_int(res, x)
         return res
 
+    def _hmul_vec(self, a, b):
+        """Vectorized host carry-less mul mod f: np uint32 -> np uint32.
+
+        d vector MACs + (d-1) vector reduction steps; products fit uint64
+        since d <= 32."""
+        d = self.d
+        a64 = a.astype(np.uint64)
+        b64 = b.astype(np.uint64)
+        r = np.zeros_like(a64)
+        for i in range(d):
+            r ^= (a64 << np.uint64(i)) * ((b64 >> np.uint64(i))
+                                          & np.uint64(1))
+        m = np.uint64(self.modulus)
+        for i in range(2 * d - 2, d - 1, -1):
+            bit = (r >> np.uint64(i)) & np.uint64(1)
+            r ^= (m << np.uint64(i - d)) * bit
+        return r.astype(np.uint32)
+
+    def _hpow_vec(self, a, e: int):
+        if e == 0:
+            return np.ones_like(a)
+        res = a
+        for bchr in bin(e)[3:]:
+            res = self._hmul_vec(res, res)
+            if bchr == '1':
+                res = self._hmul_vec(res, a)
+        return res
+
     def _host_kernel(self, name):
-        """Host (numpy / Python int) twin of the elementwise kernel."""
+        """Host (vectorized numpy) twin of the elementwise kernel."""
         if name == 'add':
             return lambda ab: ab[0] ^ ab[1]
         if name == 'neg':
@@ -129,23 +160,18 @@ class BinaryFieldCtx:
         if name == 'mul':
             if self.d == 1:
                 return lambda ab: ab[0] & ab[1]
-            return lambda ab: np.vectorize(
-                self._hmul_int, otypes=[np.uint32])(ab[0], ab[1])
+            return lambda ab: self._hmul_vec(ab[0], ab[1])
         if name == 'div':
             q2 = self.order - 2
             if self.d == 1:
                 return lambda ab: ab[0] & ab[1]  # 1/b == b in GF(2)
-            return lambda ab: np.vectorize(
-                lambda x, y: self._hmul_int(
-                    int(x), self._hpow_int(int(y), q2)),
-                otypes=[np.uint32])(ab[0], ab[1])
+            return lambda ab: self._hmul_vec(ab[0],
+                                             self._hpow_vec(ab[1], q2))
         if name.startswith('pow_'):
             e = int(name[4:])
             if self.d == 1:
                 return lambda ab: ab[0] if e else np.ones_like(ab[0])
-            return lambda ab: np.vectorize(
-                lambda x: self._hpow_int(int(x), e),
-                otypes=[np.uint32])(ab[0])
+            return lambda ab: self._hpow_vec(ab[0], e)
         return None
 
     # -- kernels ------------------------------------------------------------
@@ -232,7 +258,41 @@ class BinaryFieldCtx:
                                           b[..., k, :][..., None, :])
                 acc = term if acc is None else acc ^ term
             return acc
-        return self._jit('matmul', _matmul)
+        jf = self._jit('matmul', _matmul)
+
+        def call(a, b):
+            work = 1
+            for s in a.shape[:-1]:
+                work *= int(s)
+            work *= int(b.shape[-1]) if b.ndim else 1
+            tracers = any(isinstance(x, jax.core.Tracer) for x in (a, b))
+            if _HOST_N and not tracers and self.d == 1 and \
+                    work * a.shape[-1] <= 1 << 22:
+                # GF(2) matmul == parity of the integer matmul
+                an = np.asarray(a, dtype=np.int64)
+                bn = np.asarray(b, dtype=np.int64)
+                return ((an @ bn) & 1).astype(np.uint32)
+            if _HOST_N and not tracers and 0 < work <= _HOST_N:
+                # tiny GF(2^d) matmuls: Python-int clmul accumulation
+                an = np.asarray(a, dtype=np.uint32)
+                bn = np.asarray(b, dtype=np.uint32)
+                bshape = np.broadcast_shapes(an.shape[:-2], bn.shape[:-2])
+                M, K, N = an.shape[-2], an.shape[-1], bn.shape[-1]
+                an = np.broadcast_to(an, bshape + (M, K)).reshape(-1, M, K)
+                bn = np.broadcast_to(bn, bshape + (K, N)).reshape(-1, K, N)
+                out = np.zeros((an.shape[0], M, N), np.uint32)
+                hm = self._hmul_int
+                for t in range(an.shape[0]):
+                    for i in range(M):
+                        arow = an[t, i]
+                        for j in range(N):
+                            acc = 0
+                            for k in range(K):
+                                acc ^= hm(int(arow[k]), int(bn[t, k, j]))
+                            out[t, i, j] = acc
+                return out.reshape(bshape + (M, N))
+            return jf(a, b)
+        return call
 
     # -- host encode/decode (trivial: value == representation) --------------
 

@@ -52,6 +52,10 @@ class ExtFieldCtx:
         # encode residues in Montgomery form for constant mults
         self._red_mont = [[self.base.encode_const(c) for c in row]
                           for row in red]
+        # (d-1, d, L) uint32 residue tensor for the batched reduction
+        self._red_mont_arr = np.array(
+            [[list(c) for c in row] for row in self._red_mont],
+            dtype=np.uint32).reshape((max(d - 1, 0), d, self.base.L))
         self._jit_cache = {}
 
     def _jit(self, name, fn):
@@ -84,33 +88,57 @@ class ExtFieldCtx:
                 limb.unstack(a, self.base.L), self.base.p_limbs))
         return self._jit('neg', _neg)
 
+    def _modsum_axis(self, x, axis):
+        """Modular sum of stacked (..., L) limb values along a batch axis
+        (pairwise-halving tree: O(log n) add_mod calls, vectorized)."""
+        L = self.base.L
+        x = jnp.moveaxis(x, axis, 0)
+        while x.shape[0] > 1:
+            n = x.shape[0]
+            half = n // 2
+            s = limb.stack(limb.add_mod(limb.unstack(x[:half], L),
+                                        limb.unstack(x[half:2 * half], L),
+                                        self.base.p_limbs))
+            if n % 2:
+                s = jnp.concatenate([s, x[2 * half:]], axis=0)
+            x = s
+        return x[0]
+
     def _mul_impl(self, a, b):
+        """Coefficient convolution + residue reduction, fully vectorized.
+
+        All d^2 coefficient products run as ONE batched Montgomery mul over
+        a (..., d, d, L) broadcast (graph size O(L^2), independent of d —
+        the coefficient axis rides the batch dims, so the MXU/VPU sees one
+        big kernel instead of d^2 scalar chains). Anti-diagonal sums and the
+        residue-matrix reduction are log-depth trees of vectorized add_mod.
+        """
         ctx = self.base
         d, L = self.d, ctx.L
-        # coefficient lists of limb-lists
-        ai = [limb.unstack(a[..., i, :], L) for i in range(d)]
-        bi = [limb.unstack(b[..., i, :], L) for i in range(d)]
-        # schoolbook convolution: conv[k], k in [0, 2d-2]
-        conv = [None] * (2 * d - 1)
+        if d == 1:
+            return limb.stack(limb.mont_mul(limb.unstack(a, L),
+                                            limb.unstack(b, L),
+                                            ctx.p_limbs, ctx.n0inv))
+        batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+        A = jnp.broadcast_to(a[..., :, None, :], batch + (d, d, L))
+        B = jnp.broadcast_to(b[..., None, :, :], batch + (d, d, L))
+        P = limb.stack(limb.mont_mul(limb.unstack(A, L), limb.unstack(B, L),
+                                     ctx.p_limbs, ctx.n0inv))  # (...,d,d,L)
+        # shift row i by i so column k collects the anti-diagonal i+j == k
+        S = jnp.zeros(batch + (d, 2 * d - 1, L), P.dtype)
         for i in range(d):
-            for j in range(d):
-                t = limb.mont_mul(ai[i], bi[j], ctx.p_limbs, ctx.n0inv)
-                k = i + j
-                conv[k] = t if conv[k] is None else \
-                    limb.add_mod(conv[k], t, ctx.p_limbs)
-        # reduce high terms: conv[d+j] * (x^(d+j) mod f)
-        out = conv[:d]
-        for j in range(d - 1):
-            hi = conv[d + j]
-            row = self._red_mont[j]
-            for i in range(d):
-                c = row[i]
-                if all(int(x) == 0 for x in c):
-                    continue
-                t = limb.mont_mul(hi, [jnp.asarray(x) for x in c],
-                                  ctx.p_limbs, ctx.n0inv)
-                out[i] = limb.add_mod(out[i], t, ctx.p_limbs)
-        return jnp.stack([limb.stack(o) for o in out], axis=-2)
+            S = S.at[..., i, i:i + d, :].set(P[..., i, :, :])
+        conv = self._modsum_axis(S, -3)                        # (...,2d-1,L)
+        lo, hi = conv[..., :d, :], conv[..., d:, :]            # (...,d-1,L)
+        # reduce high terms: out += conv[d+j] * (x^(d+j) mod f), batched
+        R = jnp.asarray(self._red_mont_arr)                    # (d-1,d,L)
+        Hb = jnp.broadcast_to(hi[..., :, None, :], batch + (d - 1, d, L))
+        Rb = jnp.broadcast_to(R, batch + (d - 1, d, L))
+        Pr = limb.stack(limb.mont_mul(limb.unstack(Hb, L), limb.unstack(Rb, L),
+                                      ctx.p_limbs, ctx.n0inv))
+        red = self._modsum_axis(Pr, -3)                        # (...,d,L)
+        return limb.stack(limb.add_mod(limb.unstack(lo, L),
+                                       limb.unstack(red, L), ctx.p_limbs))
 
     @property
     def mul(self):
@@ -135,11 +163,26 @@ class ExtFieldCtx:
         def _pow(a):
             if e == 0:
                 return self._one_arr(a)
-            res = a
-            for bchr in bin(e)[3:]:
+            bits = bin(e)[3:]
+            if len(bits) <= 16:
+                # short exponents: exact unrolled square-and-multiply
+                res = a
+                for bchr in bits:
+                    res = self._mul_impl(res, res)
+                    if bchr == '1':
+                        res = self._mul_impl(res, a)
+                return res
+            # long exponents: lax.scan over the bit string (trace size O(1))
+            bit_arr = jnp.asarray(np.array([int(c) for c in bits],
+                                           dtype=np.uint32))
+
+            def body(res, bit):
                 res = self._mul_impl(res, res)
-                if bchr == '1':
-                    res = self._mul_impl(res, a)
+                mul = self._mul_impl(res, a)
+                res = jnp.where((bit == 1)[..., None, None], mul, res)
+                return res, None
+
+            res, _ = jax.lax.scan(body, a, bit_arr)
             return res
         return self._jit(name, _pow)
 

@@ -251,6 +251,76 @@ def _squeeze_ctr_pallas(state_words, n_instances: int):
     return out[:n_instances]
 
 
+# host-permutation constant tables (lane index x + 5y), all (25,) vectors:
+#   _NP_PI_SRC[k]  source lane for rho+pi destination k
+#   _NP_ROTL/_NP_ROTR  rho rotation shift pairs for destination k
+#   _NP_CHI1/_NP_CHI2  chi neighbor lanes
+#   _NP_TH1/_NP_TH4    theta column neighbors per lane
+def _np_tables():
+    pi_src = np.empty(25, np.intp)
+    rotl = np.empty(25, np.uint64)
+    for x in range(5):
+        for y in range(5):
+            dst = y + 5 * ((2 * x + 3 * y) % 5)
+            pi_src[dst] = x + 5 * y
+            rotl[dst] = _ROT[x][y] % 64
+    rotr = (np.uint64(64) - rotl) % np.uint64(64)
+    chi1 = np.array([(k % 5 + 1) % 5 + 5 * (k // 5) for k in range(25)],
+                    np.intp)
+    chi2 = np.array([(k % 5 + 2) % 5 + 5 * (k // 5) for k in range(25)],
+                    np.intp)
+    th1 = np.array([(k % 5 + 1) % 5 for k in range(25)], np.intp)
+    th4 = np.array([(k % 5 + 4) % 5 for k in range(25)], np.intp)
+    return pi_src, rotl, rotr, chi1, chi2, th1, th4
+
+
+_NP_PI_SRC, _NP_ROTL, _NP_ROTR, _NP_CHI1, _NP_CHI2, _NP_TH1, _NP_TH4 = \
+    _np_tables()
+_NP_ROT_NZ = _NP_ROTL != 0
+
+
+def _keccak_f_np(A):
+    """Vectorized host Keccak-f[1600]: (n, 25) uint64 lanes, index x + 5y.
+
+    Bit-exact with the device kernel; used for small counter-mode batches
+    where XLA dispatch/compile latency dwarfs the permutation cost.
+    All lane loops are table-driven gathers (~15 numpy ops per round)."""
+    one, s63 = np.uint64(1), np.uint64(63)
+    for rc in _RC:
+        # theta
+        B = A.reshape(-1, 5, 5)                     # [n, y, x]
+        C = B[:, 0] ^ B[:, 1] ^ B[:, 2] ^ B[:, 3] ^ B[:, 4]
+        t = C[:, _NP_TH1]                           # C[(x+1)%5] per lane
+        D = C[:, _NP_TH4] ^ ((t << one) | (t >> s63))
+        A = A ^ D
+        # rho + pi (gather + vector shifts; shift-by-64 lanes masked off)
+        v = A[:, _NP_PI_SRC]
+        Bst = np.where(_NP_ROT_NZ,
+                       (v << _NP_ROTL) | (v >> _NP_ROTR), v)
+        # chi
+        A = Bst ^ (~Bst[:, _NP_CHI1] & Bst[:, _NP_CHI2])
+        # iota
+        A[:, 0] ^= np.uint64(rc)
+    return A
+
+
+def _squeeze_ctr_host(state, n_instances: int):
+    """Host counter-mode squeeze, bit-exact with _squeeze_ctr.
+
+    state: (2, 25) uint32 np array. Returns (n_instances, 42) uint32."""
+    lanes = ((state[0].astype(np.uint64) << np.uint64(32))
+             | state[1].astype(np.uint64))          # (25,)
+    st = np.repeat(lanes[None, :], n_instances, axis=0)
+    st[:, 19] ^= np.arange(n_instances, dtype=np.uint64)
+    st = _keccak_f_np(st)
+    out = np.empty((n_instances, 42), np.uint32)
+    out[:, 0::2] = (st[:, :21] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 1::2] = (st[:, :21] >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+_HOST_SHAKE_N = 0 if __import__('os').getenv('MPYC_TPU_NOHOSTOPS') else 512
+
 _PALLAS_OK = None
 
 
@@ -280,6 +350,9 @@ def shake128_ctr_blocks(prefix: bytes, n_instances: int):
     assert len(prefix) <= 144, 'prefix must leave room for the counter lane'
     hi, lo = _absorb_host(prefix)
     state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
+    if 0 < n_instances <= _HOST_SHAKE_N:
+        # small draws: vectorized numpy permutation beats device dispatch
+        return _squeeze_ctr_host(state, int(n_instances))
     n_pad = max(8, 1 << (int(n_instances) - 1).bit_length())
     if _pallas_available() and n_pad >= 1024:
         return _squeeze_ctr_pallas(jnp.asarray(state), int(n_instances))

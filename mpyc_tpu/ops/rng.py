@@ -45,6 +45,7 @@ def words_to_elements(blocks, n: int, l: int, L: int):
     """
     W = -(-l // 4)                  # uint32 words per element
     n_chunks = -(-W // L)
+    xp = np if isinstance(blocks, np.ndarray) else jnp
     if l > keccak.RATE:
         # multi-block elements: bpe whole blocks per element, flattened
         bpe = -(-l // keccak.RATE)
@@ -52,13 +53,13 @@ def words_to_elements(blocks, n: int, l: int, L: int):
         if l % 4 == 0:
             usable = words[:, :W]
         else:
-            b = jnp.stack([(words >> (8 * j)) & 0xFF for j in range(4)],
+            b = xp.stack([(words >> (8 * j)) & 0xFF for j in range(4)],
                           axis=-1).reshape(n, -1)[:, :l]
             pad = W * 4 - l
             if pad:
-                b = jnp.pad(b, ((0, 0), (0, pad)))
+                b = xp.pad(b, ((0, 0), (0, pad)))
             usable = sum((b[:, j::4][:, :W] << (8 * j))
-                         for j in range(4)).astype(jnp.uint32)
+                         for j in range(4)).astype(np.uint32)
     elif l % 4 == 0:
         k = keccak.RATE // l        # elements per block
         w_per = l // 4
@@ -66,16 +67,16 @@ def words_to_elements(blocks, n: int, l: int, L: int):
     else:
         # byte-granular path
         k = keccak.RATE // l
-        b = jnp.stack([(blocks >> (8 * j)) & 0xFF for j in range(4)],
+        b = xp.stack([(blocks >> (8 * j)) & 0xFF for j in range(4)],
                       axis=-1).reshape(blocks.shape[0], keccak.RATE)
         b = b[:, :k * l].reshape(-1, l)[:n]
         pad = W * 4 - l
         if pad:
-            b = jnp.pad(b, ((0, 0), (0, pad)))
-        usable = sum((b[:, j::4][:, :W] << (8 * j)) for j in range(4)).astype(jnp.uint32)
+            b = xp.pad(b, ((0, 0), (0, pad)))
+        usable = sum((b[:, j::4][:, :W] << (8 * j)) for j in range(4)).astype(np.uint32)
     pad_w = n_chunks * L - W
     if pad_w:
-        usable = jnp.pad(usable, ((0, 0), (0, pad_w)))
+        usable = xp.pad(usable, ((0, 0), (0, pad_w)))
     return usable.reshape(n, n_chunks, L)
 
 
@@ -140,11 +141,18 @@ class KeccakRNG:
         # mask top word bits beyond k
         rem = k % 32
         top = (k - 1) // 32
-        if rem:
-            m = np.uint32((1 << rem) - 1)
-            vals = vals.at[:, top].set(vals[:, top] & m)
-        if top + 1 < L:
-            vals = vals.at[:, top + 1:].set(0)
+        if isinstance(vals, np.ndarray):
+            vals = np.array(vals, copy=True)
+            if rem:
+                vals[:, top] &= np.uint32((1 << rem) - 1)
+            if top + 1 < L:
+                vals[:, top + 1:] = 0
+        else:
+            if rem:
+                m = np.uint32((1 << rem) - 1)
+                vals = vals.at[:, top].set(vals[:, top] & m)
+            if top + 1 < L:
+                vals = vals.at[:, top + 1:].set(0)
         return vals.reshape(tuple(shape) + (L,))
 
 

@@ -1578,7 +1578,7 @@ class Runtime:
             axes = tuple(ax % nd for ax in axis)
         data = s.data
         for ax in axes:
-            data = jnp.flip(data, axis=ax + self._pax)
+            data = finfields._xp(data).flip(data, axis=ax + self._pax)
         out = s.from_data(data)
         return self._wrap(stype, out, array=True,
                           integral=self._integral(a))
@@ -1616,7 +1616,8 @@ class Runtime:
         nd = len(shares[0].shape) - self._pax  # logical ndim
         ax = (axis % nd) + self._pax if axis >= 0 else axis - nd_elem
         out = field.array.from_data(
-            jnp.concatenate([s.data for s in shares], axis=ax))
+            finfields._xp(*[s.data for s in shares]).concatenate(
+                [s.data for s in shares], axis=ax))
         return self._wrap(stype, out, array=True,
                           integral=all(self._integral(x) for x in arrays))
 
@@ -1633,7 +1634,8 @@ class Runtime:
         ax = axis % (nd - self._pax) + self._pax if axis >= 0 else \
             axis - nd_elem
         out = field.array.from_data(
-            jnp.stack([s.data for s in shares], axis=ax))
+            finfields._xp(*[s.data for s in shares]).stack(
+                [s.data for s in shares], axis=ax))
         return self._wrap(stype, out, array=True,
                           integral=all(self._integral(x) for x in arrays))
 
@@ -2103,18 +2105,20 @@ class Runtime:
             ax = (axis % nd_log) + self._pax
         moved = ax != len(s.shape) - 1
         if moved:
-            s = s.from_data(jnp.moveaxis(s.data, ax, len(s.shape) - 1))
+            s = s.from_data(
+                finfields._xp(s.data).moveaxis(s.data, ax, len(s.shape) - 1))
         nd = len(s.shape)
         n = s.shape[-1]
         zeros = stype.field.array(np.zeros(1, dtype=object))
         d = 1
         while d < n:
-            shifted = s.from_data(jnp.roll(s.data, d, axis=nd - 1))
+            shifted = s.roll(d, axis=-1)
             shifted = shifted.at_set((..., slice(0, d)), zeros)
             s = s + shifted
             d *= 2
         if moved:
-            s = s.from_data(jnp.moveaxis(s.data, len(s.shape) - 1, ax))
+            s = s.from_data(
+                finfields._xp(s.data).moveaxis(s.data, len(s.shape) - 1, ax))
         return self._wrap(stype, s, array=True, integral=self._integral(a))
 
     def np_convolve(self, a, b, mode='full'):
@@ -3766,7 +3770,7 @@ class Runtime:
         d = 1
         ones_block = s.field.array(np.ones(1, dtype=object))
         while d < n:
-            shifted = s.from_data(jnp.roll(s.data, d, axis=len(s.shape) - 1))
+            shifted = s.roll(d, axis=-1)
             shifted = shifted.at_set((..., slice(0, d)), ones_block)
             s = self._reshare(s * shifted)
             d *= 2
@@ -3792,13 +3796,14 @@ class Runtime:
         one = stype.field.array(np.ones(1, dtype=object))  # for at_set blocks
         s_raw = 1 - sign                                # 1 iff a >= 0
         x = rb[..., :l - 1]
-        x = x.from_data(jnp.flip(x.data, axis=len(x.shape) - 1))  # MSB first
+        x = x.from_data(
+            finfields._xp(x.data).flip(x.data, axis=len(x.shape) - 1))  # MSB first
         # mismatch q_i = x_i XOR s  (one mul round)
         s_col = self._logical_reshape(s_raw, s_raw.shape[self._pax:] + (1,))
         xs = self._reshare(x * s_col)
         q = x + s_col - xs * 2
         P = self._prefix_mul_raw(q)                     # 1 until first match
-        prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
+        prev = P.roll(1, axis=-1)
         prev = prev.at_set((..., slice(0, 1)), one)
         u = prev - P                                    # first-match one-hot
         nf = self._dot_pow2_last(u)                     # sum_i u_i 2^i
@@ -3840,12 +3845,13 @@ class Runtime:
         sign = rb[..., l - 1]
         s_raw = 1 - sign
         x = rb[..., :l - 1]
-        x = x.from_data(jnp.flip(x.data, axis=len(x.shape) - 1))
+        x = x.from_data(
+            finfields._xp(x.data).flip(x.data, axis=len(x.shape) - 1))
         s_col = self._logical_reshape(s_raw, s_raw.shape[self._pax:] + (1,))
         xs = self._reshare(x * s_col)
         q = x + s_col - xs * 2
         P = self._prefix_mul_raw(q)
-        prev = P.from_data(jnp.roll(P.data, 1, axis=len(P.shape) - 1))
+        prev = P.roll(1, axis=-1)
         prev = prev.at_set((..., slice(0, 1)), one)
         u = prev - P
         nf = self._dot_pow2_last(u)

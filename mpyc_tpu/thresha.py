@@ -195,7 +195,10 @@ def np_random_split(field, s, t, m, rng=None):
     if not isinstance(s, acls):
         s = acls(s)
     if t == 0:
-        data = jnp.broadcast_to(s.data[None], (m,) + s.data.shape)
+        xp = np if isinstance(s.data, np.ndarray) else jnp
+        data = xp.broadcast_to(s.data[None], (m,) + s.data.shape)
+        if xp is np:
+            data = np.array(data)  # writable, contiguous host copy
         return acls.from_data(data)
     shape = s.shape if s.shape else (1,)
     coefs = rng.field_uniform(field, (t,) + shape)
@@ -207,7 +210,9 @@ def np_random_split(field, s, t, m, rng=None):
             y = c_j if y is None else (y + c_j)
             y = y * i  # Horner step: (y + c_j) * i
         rows.append(y + s)
-    return acls.from_data(jnp.stack([r.data for r in rows], axis=0))
+    datas = [r.data for r in rows]
+    xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp
+    return acls.from_data(xp.stack(datas, axis=0))
 
 
 def np_recombine(field, points, x_rs=0):

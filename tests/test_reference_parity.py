@@ -2,12 +2,11 @@
 mpyc_tpu via module aliasing (no code copied — the reference tests load
 from /root/reference and drive our implementation through the mpyc API).
 
-Covered suites: test_gmpy, test_gfpx, test_thresha, test_fingroups,
-test_mpctools — the pure-math layers where the reference's behavior is the
-bit-exact contract (SURVEY.md §4).  The finfields/sectypes/runtime suites
-are not included: they pin numpy object-dtype internals (element-returning
-scalar indexing, in-place views) that the TPU build deliberately replaces
-with device arrays (docs/design.md).
+Covered suites: test_gmpy, test_gfpx, test_thresha, test_finfields,
+test_fingroups, test_mpctools, test_sectypes, test_asyncoro, test_numpy —
+the pure-math layers where the reference's behavior is the bit-exact
+contract (SURVEY.md §4) — plus the full runtime/extension suites behind
+MPYC_TPU_FULL_ORACLE (tens of minutes).
 """
 import os
 import sys
@@ -64,7 +63,7 @@ def _run(name):
 @pytest.mark.parametrize('name', ['test_gmpy', 'test_gfpx', 'test_thresha',
                                   'test_fingroups', 'test_mpctools',
                                   'test_sectypes', 'test_asyncoro',
-                                  'test_numpy'])
+                                  'test_numpy', 'test_finfields'])
 def test_reference_suite(alias_mpyc, name):
     _run(name)
 
