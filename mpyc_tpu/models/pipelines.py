@@ -146,3 +146,117 @@ def coef_randomness(rng, p: int, shape):
                          max(rng_mod.blocks_needed(n, l), 1))
     wide = rng_mod.words_to_elements(blocks, n, l, ctx.L)
     return wide.reshape(tuple(shape) + (n_chunks, ctx.L))
+
+
+def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
+    """Single-Pallas-kernel Shamir round: RNG + split + recombine fused.
+
+    TPU-first layout: one SHAKE128 sponge instance per (sublane, lane) cell
+    of an (R, 128) tile; each instance's 168-byte rate block supplies the
+    degree-t coefficient randomness for `epb` elements (reference widening
+    convention: l = byte_length(p-1) + 16 bytes per coefficient,
+    thresha.py:226-236). The whole round — Keccak-f[1600] squeeze, wide
+    reduction into Montgomery form, Horner share evaluation at x = 1..m,
+    and Lagrange recombination at 0 — runs in VMEM/registers, so HBM
+    traffic is exactly one read of the secrets and one write of the result.
+
+    Returns (step, layout) where step maps
+      secrets (grid, epb, L, R, 128) uint32 Montgomery -> same-shape
+      recombined output; layout = (grid_elems, epb) for host-side packing.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    field = finfields.GF((p, 2, p - 1)) if p > 2 else finfields.GF(p)
+    ctx = prime_field_ctx(p)
+    L = ctx.L
+    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
+    W = -(-l_bytes // 4)            # words per coefficient value
+    nc = -(-W // L)                 # chunks per coefficient
+    vals_per_block = (keccak.RATE // 4) // (nc * L)
+    epb = vals_per_block // t       # elements per sponge instance
+    assert epb >= 1, 'field too wide for single-block coefficients'
+    lag = [ctx.encode_const(int(c))
+           for c in thresha._recombination_vector(field, tuple(range(1, t + 2)),
+                                                  0)]
+    xs_mont = [ctx.encode_const(i) for i in range(1, m + 1)]
+    # radix constants: chunk_c * 2^(32 L c) * R mod p via one Montgomery mul
+    radix = [limb.int_to_limbs(((1 << (32 * L * c)) * ctx.R * ctx.R) % p, L)
+             for c in range(nc)]
+    rc = keccak._RC_ARR
+
+    def kernel(state_ref, sec_ref, out_ref):
+        g = pl.program_id(0)
+        base = (jnp.uint32(g * (R * 128))
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 0)
+                * jnp.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1))
+        hi = [jnp.full((R, 128), state_ref[0, k]) for k in range(25)]
+        lo = [jnp.full((R, 128), state_ref[1, k]) for k in range(25)]
+        lo[19] = lo[19] ^ base
+        for rnd in range(24):
+            hi, lo = keccak._keccak_round(hi, lo, jnp.uint32(int(rc[rnd, 0])),
+                                          jnp.uint32(int(rc[rnd, 1])))
+        # rate words in byte order: W[2i] = lo[i], W[2i+1] = hi[i]
+        words = []
+        for i in range(keccak.RATE // 8):
+            words.append(lo[i])
+            words.append(hi[i])
+
+        def const(v):
+            return [jnp.uint32(int(x)) for x in v]
+
+        for e in range(epb):
+            # degree-t coefficients for this element slot
+            coefs = []
+            for j in range(t):
+                off = (e * t + j) * nc * L
+                acc = None
+                for c in range(nc):
+                    chunk = [words[off + c * L + i] for i in range(L)]
+                    term = limb.mont_mul(chunk, const(radix[c]),
+                                         ctx.p_limbs, ctx.n0inv)
+                    acc = term if acc is None else \
+                        limb.add_mod(acc, term, ctx.p_limbs)
+                coefs.append(acc)
+            s = [sec_ref[0, e, i] for i in range(L)]
+            # split at x = 1..m (Horner), keep only shares 1..t+1 (the ones
+            # recombination consumes; all m are materialized for parity of
+            # cost with the reference's m-row split)
+            shares = []
+            for i in range(m):
+                y = None
+                for j in range(t):
+                    y = coefs[j] if y is None else \
+                        limb.add_mod(y, coefs[j], ctx.p_limbs)
+                    y = limb.mont_mul(y, const(xs_mont[i]),
+                                      ctx.p_limbs, ctx.n0inv)
+                shares.append(limb.add_mod(y, s, ctx.p_limbs))
+            # recombine from shares at x = 1..t+1
+            acc = None
+            for i in range(t + 1):
+                term = limb.mont_mul(shares[i], const(lag[i]),
+                                     ctx.p_limbs, ctx.n0inv)
+                acc = term if acc is None else \
+                    limb.add_mod(acc, term, ctx.p_limbs)
+            for i in range(L):
+                out_ref[0, e, i] = acc[i]
+
+    def step(secrets, state_words):
+        grid = secrets.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((grid, epb, L, R, 128),
+                                           jnp.uint32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, epb, L, R, 128), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, epb, L, R, 128),
+                                   lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(state_words, secrets)
+
+    return jax.jit(step), (R * 128, epb)
