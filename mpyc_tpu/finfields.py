@@ -1347,14 +1347,9 @@ class PrimeFieldArray(FiniteFieldArray):
     def _sqrt_unchecked(self, INV=False):
         """sqrt without the INV zero-divisor readback — for protocol code
         that has already rejected zeros (e.g. random_bits)."""
-        ctx = self.ctx
-        if ctx.p % 4 == 3:
-            return type(self).from_data(ctx.sqrt(INV=INV)(self._data))
-        # host fallback for p % 4 == 1 (Cipolla per element)
-        vals = self._decode()
-        f = self.field
-        out = np.vectorize(lambda v: f._sqrt(int(v), INV=INV), otypes=[object])(vals)
-        return type(self)(out)
+        # device/host twin kernels for both p % 4 cases: Blum exponent for
+        # p % 4 == 3, constant-iteration Tonelli-Shanks for p % 4 == 1
+        return type(self).from_data(self.ctx.sqrt(INV=INV)(self._data))
 
     def is_sqr(self):
         leg = np.asarray(self.ctx.legendre(self._data))

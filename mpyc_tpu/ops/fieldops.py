@@ -221,6 +221,33 @@ class PrimeFieldCtx:
             e = int(name[4:])
             return lambda ab: mo((pow(int(x) * Rinv % p, e, p) * R % p
                                   for x in mi(ab[0])), shape_of(ab[0]))
+        if name.startswith('sqrt_ts_'):
+            inv = bool(int(name[8:]))
+            q, s, z0 = self._ts_params()
+
+            def _ts(ab):
+                out = []
+                for xm in mi(ab[0]):
+                    a = int(xm) * Rinv % p
+                    # identical ladder to the device kernel (same root)
+                    w = pow(a, (q - 1) >> 1, p)
+                    x = a * w % p
+                    t = x * w % p
+                    z = z0
+                    for i in range(s, 1, -1):
+                        y = t
+                        for _ in range(i - 2):
+                            y = y * y % p
+                        z2 = z * z % p
+                        if y != 1:
+                            x = x * z % p
+                            t = t * z2 % p
+                        z = z2
+                    if inv:
+                        x = pow(x, -1, p) if x else 0
+                    out.append(x * R % p)
+                return mo(out, shape_of(ab[0]))
+            return _ts
         if name.startswith('mulc_'):
             c = int(name[5:])
             return lambda ab: mo((int(x) * c % p for x in mi(ab[0])),
@@ -371,18 +398,82 @@ class PrimeFieldCtx:
             return jnp.where(is_zero, 0, jnp.where(is_one, 1, -1)).astype(jnp.int32)
         return self._ew('legendre', _leg, (1,))
 
-    def sqrt(self, INV=False):
-        """Elementwise sqrt (or 1/sqrt) kernel; fast path for p % 4 == 3.
+    def _ts_params(self):
+        """(q, s, z) with p-1 = q*2^s (q odd) and z = b^q for the smallest
+        quadratic non-residue b (host-precomputed, deterministic)."""
+        p = self.p
+        q, s = p - 1, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        b = 2
+        from mpyc_tpu import gmpy as gmpy2
+        while gmpy2.legendre(b, p) != -1:
+            b += 1
+        return q, s, pow(b, q, p)
 
-        Matches the reference convention (finfields.py:440-477): the root
-        returned is a**((p+1)/4) for Blum primes. For p % 4 == 1 no device
-        kernel is provided here (host fallback in finfields).
+    def sqrt(self, INV=False):
+        """Elementwise sqrt (or 1/sqrt) kernel.
+
+        p % 4 == 3: a**((p+1)/4) (reference convention, finfields.py:440-457).
+        p % 4 == 1: constant-iteration Tonelli-Shanks — the reference's
+        data-dependent loop (Cipolla at finfields.py:459-477 serves the same
+        role) becomes a fixed s-1 round ladder of square/select steps, so
+        the whole batch runs branch-free on the VPU. sqrt(0) == 0; non-QR
+        inputs produce garbage (callers test is_sqr first, as the reference
+        does).
         """
         p = self.p
-        if p % 4 != 3:
-            raise NotImplementedError('device sqrt requires p % 4 == 3')
-        e = (p * 3 - 5) >> 2 if INV else (p + 1) >> 2
-        return self.pow_const(e)
+        if p % 4 == 3:
+            e = (p * 3 - 5) >> 2 if INV else (p + 1) >> 2
+            return self.pow_const(e)
+        q, s, z0 = self._ts_params()
+        # z^(2^k) table in Montgomery form (host constants)
+        zpows = np.stack([_limbify(pow(z0, 1 << k, p) * self.R % p, self.L)
+                          for k in range(s)]).astype(np.uint32)   # (s, L)
+        name = f'sqrt_ts_{int(INV)}'
+        pl_, n0 = self.p_limbs, self.n0inv
+
+        def _sqrt(arr):
+            import jax as _jax
+            L = self.L
+            a = limb.unstack(arr, L)
+            shape = a[0].shape
+            w = limb.mont_pow_const(a, (q - 1) >> 1, pl_, n0, self.one_mont)
+            x = limb.mont_mul(a, w, pl_, n0)                    # a^((q+1)/2)
+            t = limb.mont_mul(x, w, pl_, n0)                    # a^q
+            if s >= 2:
+                zp = jnp.asarray(zpows)
+                one = [jnp.broadcast_to(jnp.uint32(int(v)), shape)
+                       for v in self.one_mont]
+
+                def body(k, carry):
+                    x_st, t_st = carry
+                    x_ = limb.unstack(x_st, L)
+                    t_ = limb.unstack(t_st, L)
+                    # y = t^(2^(s-k-2))
+                    y_st = _jax.lax.fori_loop(
+                        0, s - k - 2,
+                        lambda _, v: limb.stack(limb.mont_sqr(
+                            limb.unstack(v, L), pl_, n0)), t_st)
+                    flip = ~limb.eq_ll(limb.unstack(y_st, L), one)
+                    zk = [jnp.broadcast_to(zp[k, i], shape)
+                          for i in range(L)]
+                    zk1 = [jnp.broadcast_to(zp[jnp.minimum(k + 1, s - 1), i],
+                                            shape) for i in range(L)]
+                    x_ = limb.select_ll(flip, limb.mont_mul(x_, zk, pl_, n0),
+                                        x_)
+                    t_ = limb.select_ll(flip, limb.mont_mul(t_, zk1, pl_, n0),
+                                        t_)
+                    return (limb.stack(x_), limb.stack(t_))
+
+                x_st, _ = _jax.lax.fori_loop(
+                    0, s - 1, body, (limb.stack(x), limb.stack(t)))
+                x = limb.unstack(x_st, L)
+            if INV:
+                x = limb.mont_inv(x, p, pl_, n0, self.one_mont)
+            return limb.stack(x)
+        return self._ew(name, _sqrt, (1,))
 
     @property
     def sum(self):

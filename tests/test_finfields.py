@@ -299,3 +299,26 @@ def test_array_signed_unsigned():
     A = F.array(np.array([1, 95, 3], dtype=object))
     assert list(A.signed_()) == [1, -2, 3]
     assert list(A.unsigned_()) == [1, 95, 3]
+
+
+def test_tonelli_shanks_sqrt_p1mod4():
+    # device/host twin constant-iteration Tonelli-Shanks (p % 4 == 1),
+    # including a large-s prime (Goldilocks, s = 32)
+    rng = np.random.default_rng(5)
+    for p in [13, 17, 101, 2**64 - 2**32 + 1]:
+        F = finfields.GF(p)
+        n = 200
+        vals = rng.integers(1, min(p, 1 << 62), n).astype(object) % p
+        sq = F.array(vals) ** 2
+        r = sq.sqrt()
+        assert ((r * r)._decode() == sq._decode()).all()
+        ri = sq.sqrt(INV=True)
+        assert ((ri * ri * sq)._decode() == np.ones(n, dtype=object)).all()
+        z = F.array(np.zeros(3, dtype=object))
+        assert (z.sqrt()._decode() == 0).all()
+        import pytest as _pytest
+        with _pytest.raises(ZeroDivisionError):
+            z.sqrt(INV=True)
+        # host fast path (tiny batch) and device path agree on root choice
+        small = F.array(vals[:4] * vals[:4] % p)   # n=4 -> host kernel
+        assert (small.sqrt()._decode() == r._decode()[:4]).all()
