@@ -506,6 +506,9 @@ class PrimeFieldCtx:
 
         def _matmul(a, b):
             K = a.shape[-2]
+            if 32 <= K <= 70000:
+                # MXU path: the contraction runs as integer matmuls
+                return self._matmul_mxu(a, b)
             if K <= 8:  # unroll small contractions (protocol-sized)
                 acc = None
                 for k in range(K):
@@ -528,6 +531,80 @@ class PrimeFieldCtx:
             acc, _ = jax.lax.scan(body, acc0, (a_k[1:], b_k[1:]))
             return acc
         return self._jit('matmul', _matmul)
+
+    def _matmul_mxu(self, a, b):
+        """Modular matmul with the K-contraction on the MXU.
+
+        TPU-first design (replaces the reference's numpy object matmul of
+        Python bigints, demos/np_bnnmnist.py:12-16): Montgomery operands are
+        sliced into 4-bit nibble planes (values 0..15, exact in int8 *and*
+        f32), all plane-pair contractions run as integer matmuls with int32
+        accumulation, the nibble-weighted partial sums are assembled into a
+        wide integer with explicit carry chains, and the wide value folds
+        back mod p via Montgomery radix constants — which also eats the R^2
+        factor, so the output is again Montgomery form. Exact for
+        K <= 70000 (dot <= K*16*225 < 2^31; f32 lowering exact for
+        K*225 < 2^24).
+        """
+        L = self.L
+        P = 8 * L                               # nibble planes per operand
+        K = a.shape[-2]
+        au = limb.unstack(a, L)                 # L x (..., M, K)
+        bu = limb.unstack(b, L)                 # L x (..., K, N)
+
+        def nibbles(xs):
+            out = []
+            for i in range(L):
+                for s in range(8):
+                    out.append(((xs[i] >> jnp.uint32(4 * s))
+                                & jnp.uint32(0xF)).astype(jnp.int8))
+            return out
+
+        pa, pb = nibbles(au), nibbles(bu)
+        nb = 2 * P - 1
+        # bucket sums S_e = sum_{d1+d2=e} pa[d1] @ pb[d2]  (int32-exact)
+        S = []
+        for e in range(nb):
+            acc = None
+            for d1 in range(max(0, e - P + 1), min(P, e + 1)):
+                t = jnp.matmul(pa[d1], pb[e - d1],
+                               preferred_element_type=jnp.int32)
+                acc = t if acc is None else acc + t
+            S.append(acc.astype(jnp.uint32))
+        # byte-position values B_k = S_{2k} + 16*S_{2k+1}  (< 2^31)
+        B = [S[2 * k] + (S[2 * k + 1] << jnp.uint32(4))
+             if 2 * k + 1 < nb else S[2 * k]
+             for k in range((nb + 1) // 2)]
+        # assemble wide limbs with carry chains: V = sum_k B_k * 2^(8k)
+        n_limbs = -(- (8 * (len(B) - 1) + 31) // 32) + 1
+        zero = jnp.zeros_like(B[0])
+        W = [zero] * n_limbs
+        for k, Bk in enumerate(B):
+            j, off = divmod(8 * k, 32)
+            if off == 0:
+                lo, hi = Bk, zero
+            else:
+                lo = (Bk & jnp.uint32((1 << (32 - off)) - 1)) \
+                    << jnp.uint32(off)
+                hi = Bk >> jnp.uint32(32 - off)
+            W[j], c = limb.addc2(W[j], lo)
+            add = hi + c                         # < 2^32 (hi <= 2^23)
+            for jj in range(j + 1, n_limbs):
+                W[jj], cc = limb.addc2(W[jj], add)
+                add = cc
+        # fold mod p: chunks of L limbs times 2^(32 L i) via Montgomery mul,
+        # which also removes one R factor (mont*mont inputs carry R^2)
+        nc = -(-n_limbs // L)
+        W += [zero] * (nc * L - n_limbs)
+        acc = None
+        for i in range(nc):
+            chunk = W[i * L:(i + 1) * L]
+            cst = _limbify(pow(2, 32 * L * i, self.p), L)
+            term = limb.mont_mul(chunk, [jnp.asarray(x) for x in cst],
+                                 self.p_limbs, self.n0inv)
+            acc = term if acc is None else \
+                limb.add_mod(acc, term, self.p_limbs)
+        return limb.stack(acc)
 
     @property
     def to_std(self):

@@ -194,3 +194,17 @@ def test_reduce_wide():
         for i in range(n):
             # result is in Montgomery form
             assert int(red[i]) == (vals[i] % p) * R % p
+
+
+def test_matmul_mxu_exact():
+    # MXU nibble-plane modular matmul (K >= 32 path) vs object math
+    import numpy as np
+    from mpyc_tpu import finfields
+    rng = np.random.default_rng(7)
+    for p in [finfields.find_prime_root(64)[0], (1 << 127) - 1]:
+        F = finfields.GF(p)
+        for (M, K, N) in [(5, 64, 7), (3, 100, 3), (2, 257, 2)]:
+            a = rng.integers(0, 1 << 62, (M, K)).astype(object) % p
+            b = rng.integers(0, 1 << 62, (K, N)).astype(object) % p
+            C = (F.array(a) @ F.array(b))._decode()
+            assert (C == (a @ b) % p).all(), (p, M, K, N)
