@@ -1024,19 +1024,34 @@ class SecureArray(SecureObject):
 
     __rmul__ = __mul__
 
+    def _div_operand_ok(self, other):
+        """Divisor/dividend type gate for truediv (reference coercion
+        rejects complex and cross-sectype operands with TypeError)."""
+        if isinstance(other, SecureArray):
+            return other.sectype == self.sectype
+        if isinstance(other, SecureObject):
+            return isinstance(other, self.sectype)
+        if isinstance(other, (bool, int, float, np.integer, np.floating)):
+            return True
+        if isinstance(other, np.ndarray):
+            return other.dtype == object or \
+                issubclass(other.dtype.type, (np.integer, np.floating,
+                                              np.bool_))
+        return isinstance(other, (list, tuple,
+                                  finfields.FiniteFieldArray,
+                                  finfields.FiniteFieldElement))
+
     def __truediv__(self, other):
-        if isinstance(other, (SecureObject,)) and \
-                not isinstance(other, (SecureArray, self.sectype)):
-            return NotImplemented
         # public divisors (ints/floats/arrays/raw field values) pass
         # through uncoerced: runtime.div computes the exact public
         # reciprocal instead of a secure Newton iteration (reference
         # np_divide: runtime.py:1183-1196)
+        if not self._div_operand_ok(other):
+            return NotImplemented
         return runtime.div(self, other)
 
     def __rtruediv__(self, other):
-        if isinstance(other, (SecureObject,)) and \
-                not isinstance(other, (SecureArray, self.sectype)):
+        if not self._div_operand_ok(other):
             return NotImplemented
         return runtime.div(other, self)
 
