@@ -1254,12 +1254,58 @@ class PrimeFieldArray(FiniteFieldArray):
         if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
             # raw limbs passed explicitly; must already be Montgomery form
             return value
+        if isinstance(value, np.ndarray) and value.dtype != object and \
+                issubclass(value.dtype.type, (np.integer, np.bool_)):
+            enc = cls._encode_i64(value.astype(np.int64))
+            if enc is not None:
+                return enc
+            return ctx.encode_ints(value)      # rare fallback (INT64_MIN)
         arr = np.asarray(value, dtype=object)
+        if arr.size and isinstance(arr.reshape(-1)[0], (int, np.integer)):
+            # common case: plain-int object array — int64-cast when it fits
+            # (kernel-side Montgomery encode beats host bigint arithmetic)
+            try:
+                v64 = arr.astype(np.int64)
+            except (TypeError, OverflowError, ValueError):
+                v64 = None
+            if v64 is not None:
+                enc = cls._encode_i64(v64)
+                if enc is not None:
+                    return enc
+            # mixed element/int or wide-int arrays: host object path
+            try:
+                return ctx.encode_ints(arr)
+            except (TypeError, AttributeError, OverflowError):
+                pass
         conv = np.vectorize(
             lambda v: int(v.value) if isinstance(v, PrimeFieldElement) else int(v),
             otypes=[object])
         arr = conv(arr) if arr.size else arr
         return ctx.encode_ints(arr)
+
+    @classmethod
+    def _encode_i64(cls, v):
+        """int64 ndarray -> Montgomery limb data via the from_std kernel
+        (device for large batches, bit-identical host twin for tiny ones) —
+        no per-element host bigint arithmetic. Returns None on the one
+        unrepresentable value (INT64_MIN, |v| overflows)."""
+        ctx = cls.ctx
+        L = ctx.L
+        if (v == np.iinfo(np.int64).min).any():
+            return None
+        if L == 1:
+            u = (v % np.int64(ctx.p)).astype(np.uint32)[..., None]
+            return ctx.from_std(u)
+        neg = v < 0
+        av = np.where(neg, -v, v).astype(np.uint64)
+        limbs = np.zeros(v.shape + (L,), np.uint32)
+        limbs[..., 0] = (av & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        limbs[..., 1] = (av >> np.uint64(32)).astype(np.uint32)
+        data = ctx.from_std(limbs)
+        if neg.any():
+            negd = ctx.neg(data)
+            data = _xp(data, negd).where(neg[..., None], negd, data)
+        return data
 
     def _decode(self):
         return self.ctx.decode_ints(np.asarray(self._data))

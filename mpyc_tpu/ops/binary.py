@@ -297,6 +297,12 @@ class BinaryFieldCtx:
     # -- host encode/decode (trivial: value == representation) --------------
 
     def encode_ints(self, xs) -> np.ndarray:
+        if isinstance(xs, np.ndarray) and xs.dtype != object and \
+                issubclass(xs.dtype.type, (np.integer, np.bool_)):
+            v = xs.astype(np.int64)
+            if (v >= 0).all() and (v < self.order).all():
+                # in-range numeric fast path (no per-element reduction)
+                return v.astype(np.uint32)
         arr = np.asarray(xs, dtype=object)
         flat = arr.reshape(-1)
         out = np.empty(flat.shape[0], dtype=np.uint32)

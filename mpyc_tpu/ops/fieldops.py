@@ -63,12 +63,21 @@ class PrimeFieldCtx:
 
     def encode_ints(self, xs) -> np.ndarray:
         """Object/int ndarray or nested list of ints -> (..., L) uint32 Mont."""
-        arr = np.asarray(xs, dtype=object)
+        if isinstance(xs, np.ndarray) and xs.dtype != object and \
+                issubclass(xs.dtype.type, (np.integer, np.bool_)):
+            # numeric input: boxing to object yields Python ints
+            arr = xs.astype(object)
+        else:
+            arr = np.asarray(xs, dtype=object)
         p, R = self.p, self.R
         flat = arr.reshape(-1)
-        enc = np.empty(flat.shape[0], dtype=object)
-        for i in range(flat.shape[0]):
-            enc[i] = (int(flat[i]) % p) * R % p
+        try:
+            # vectorized object-int arithmetic (no per-element Python loop)
+            enc = flat % p * R % p
+        except (TypeError, OverflowError):
+            enc = np.empty(flat.shape[0], dtype=object)
+            for i in range(flat.shape[0]):
+                enc[i] = (int(flat[i]) % p) * R % p
         return limb.ints_to_limbs(enc, self.L).reshape(arr.shape + (self.L,))
 
     def decode_ints(self, mont) -> np.ndarray:
@@ -76,9 +85,7 @@ class PrimeFieldCtx:
         vals = limb.limbs_to_ints(np.asarray(mont))
         p, Rinv = self.p, self.Rinv
         flat = vals.reshape(-1)
-        for i in range(flat.shape[0]):
-            flat[i] = int(flat[i]) * Rinv % p
-        return flat.reshape(vals.shape)
+        return (flat * Rinv % p).reshape(vals.shape)
 
     def encode_const(self, x: int):
         """Single int -> Montgomery limb tuple (for baking into traces)."""

@@ -929,8 +929,28 @@ class SecureArray(SecureObject):
     @classmethod
     def _encode_public(cls, value):
         """Encode a public numpy/list of numbers into a field array share."""
-        arr = np.asarray(value, dtype=object)
         f = cls.frac_length
+        if isinstance(value, np.ndarray) and value.dtype != object:
+            # numeric fast path: vectorized scaling, no per-element Python
+            if issubclass(value.dtype.type, (np.integer, np.bool_)):
+                arr = value.astype(object)          # boxes to Python ints
+                if f:
+                    arr = arr << f
+                return cls.sectype.field.array(arr)
+            if f and issubclass(value.dtype.type, np.floating):
+                scaled = np.round(value * (1 << f))
+                return cls.sectype.field.array(scaled.astype(np.int64)
+                                               .astype(object))
+        arr = np.asarray(value, dtype=object)
+        if arr.size == 0:
+            return cls.sectype.field.array(arr)
+        if isinstance(arr.reshape(-1)[0], (int, np.integer)):
+            # plain-int object array: shift vectorized, let the field's
+            # encode take its kernel fast path (mixed arrays fall through)
+            try:
+                return cls.sectype.field.array(arr << f if f else arr)
+            except (TypeError, AttributeError, OverflowError):
+                pass
 
         def enc(v):
             if isinstance(v, SecureObject):
