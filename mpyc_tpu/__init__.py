@@ -21,3 +21,29 @@ Typical use::
 __version__ = '0.1.0'
 
 runtime = None  # the singleton Runtime, set by mpyc_tpu.runtime.setup()
+
+
+def _enable_tpu_compile_cache():
+    """Persistent XLA compilation cache on TPU backends (opt-in).
+
+    Set MPYC_TPU_CACHE=1 to enable. Off by default: on remote-attached
+    (tunnelled) TPUs the per-compilation cache round trips can cost far
+    more than they save, and this container's CPU cache entries are
+    known-bad (mismatched CPU features)."""
+    import os
+    if not os.getenv('MPYC_TPU_CACHE'):
+        return
+    try:
+        import jax
+        if jax.default_backend() == 'cpu':
+            return
+        cache_dir = os.path.join(
+            os.path.expanduser('~'), '.cache', 'mpyc_tpu', 'xla')
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:   # never block import on cache setup
+        pass
+
+
+_enable_tpu_compile_cache()
