@@ -1,44 +1,98 @@
 #!/usr/bin/env python
-"""Headline benchmark: Shamir split+recombine throughput on one chip.
+"""Headline benchmark: end-to-end secure multiplication throughput.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Baseline target (BASELINE.md): >= 1e8 split+recombine ops/s per chip over a
-64-bit prime field, coefficient randomness included (counter-mode SHAKE128).
-Correctness is asserted in-run: recombined values must equal the inputs
-bit-exactly.
+Primary metric (BASELINE.md measurement point): `secure_mul_m3_t1` —
+secure multiplications per second driven END-TO-END through
+``mpc.np_multiply`` on the co-located simulator plane at m=3, t=1 over the
+64-bit prime field of SecInt(32).  Each round is the full BGW88+GRR98
+protocol (local degree-2t product, fresh SHAKE128 coefficient randomness,
+degree reduction with Lagrange recombination), compiled as ONE device
+program (mpyc_tpu/models/pipelines.py make_reshare_step(fuse_mul=True),
+wired in via mpyc_tpu/parallel/simulator.py SimRuntime.mul).  Reference hot
+path: /root/reference/mpyc/runtime.py:1060-1094 + 603-689.
 
-The measured step is the fused Pallas kernel (mpyc_tpu/models/pipelines.py
-make_split_recombine_fused): Keccak-f[1600] coefficient stream + degree-t
-Horner split at x=1..m + Lagrange recombination, one HBM read + one write.
-Timing methodology: iterations are data-chained (out feeds the next input —
-valid because recombine(split(s)) == s bit-exactly), finished by a tiny
-device-sliced fetch, so async-dispatch/tunnel semantics cannot hide work;
-median of 5 runs. On CPU-only hosts the XLA (non-Pallas) pipeline is used.
+Baseline target (BASELINE.md): >= 1e8 ops/s per chip.  vs_baseline is
+measured ops / 1e8.
+
+Timing methodology: rounds are data-chained (X = X*B feeds the next round)
+and finished with a tiny device-slice fetch, so async dispatch / tunnel
+semantics cannot hide device work; median of 5 trials.  Correctness is
+asserted in-run: a small secure product is opened and compared with the
+plaintext product before timing.
+
+A secondary key `split_recombine_ops_s` reports the fused single-kernel
+Shamir split+recombine round (the round-2 headline, kept for continuity).
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, '.')
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# The simulator plane is the batched TPU plane: pin it to the TPU before
+# any mpyc_tpu import (import-time setup() would otherwise default the
+# eager plane to CPU under the axon tunnel).
+os.environ.setdefault('MPYC_TPU_PARTY_DEVICE', 'tpu')
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from mpyc_tpu import finfields  # noqa: E402
-from mpyc_tpu.models import pipelines  # noqa: E402
-from mpyc_tpu.ops import keccak, limb  # noqa: E402
-from mpyc_tpu.ops.fieldops import prime_field_ctx  # noqa: E402
+
+def bench_secure_mul():
+    """End-to-end mpc.np_multiply ops/s at m=3, t=1 (64-bit field)."""
+    from mpyc_tpu.runtime import _Options
+    from mpyc_tpu.parallel.simulator import SimRuntime
+
+    rt = SimRuntime(3, _Options())
+    rt._wire_modules()
+    rt.start()
+    secint = rt.SecInt(32)
+
+    # in-run correctness: open a small secure product
+    a = np.arange(4096, dtype=object)
+    b = (a * 7 + 1) % 9999
+    A = rt.input(secint.array(a))[0]
+    B = rt.input(secint.array(b))[0]
+    got = rt.output(rt.np_multiply(A, B))
+    if not (np.asarray(got) == a * b).all():
+        return None, 'secure_mul mismatch'
+
+    on_tpu = jax.default_backend() not in ('cpu',)
+    n = 1 << 22 if on_tpu else 1 << 16
+    vals = np.arange(n, dtype=np.int64).astype(object)
+    A = rt.input(secint.array(vals))[0]
+    B = rt.input(secint.array((vals + 1) % 1000))[0]
+    X = rt.np_multiply(A, B)
+    X = rt.np_multiply(X, B)
+    np.asarray(X.share.data[:1, :1, :1])   # sync: warm compile done
+
+    k = 10 if on_tpu else 3
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            X = rt.np_multiply(X, B)
+        np.asarray(X.share.data[:1, :1, :1])
+        trials.append((time.perf_counter() - t0) / k)
+    dt = sorted(trials)[2]
+    return n / dt, None
 
 
-def main():
+def bench_split_recombine():
+    """Fused single-kernel Shamir split+recombine round (ops/s)."""
+    from mpyc_tpu import finfields
+    from mpyc_tpu.models import pipelines
+    from mpyc_tpu.ops import keccak, limb
+    from mpyc_tpu.ops.fieldops import prime_field_ctx
+
     m, t = 3, 1
     p, _, _ = finfields.find_prime_root(64)
     ctx = prime_field_ctx(p)
     L = ctx.L
-
     hi, lo_ = keccak._absorb_host(b'\x42' * 32 + b'bench-coef-stream')
     state = jnp.asarray(np.stack([np.array(hi, np.uint32),
                                   np.array(lo_, np.uint32)]))
@@ -56,13 +110,10 @@ def main():
         secrets = jnp.asarray(sec_np)
         out = np.asarray(step(secrets, state))
         if not (out == sec_np).all():
-            print(json.dumps({"metric": "shamir_split_recombine",
-                              "value": 0, "unit": "ops/s",
-                              "vs_baseline": 0, "error": "mismatch"}))
-            return
+            return None, 'split_recombine mismatch'
         sync = lambda cur: np.asarray(cur[0, 0, 0, 0, :1])  # noqa: E731
+        iters = 100
     else:
-        # CPU fallback: XLA pipeline, small batch
         n = 1 << 16
         step = pipelines.make_split_recombine(p, t, m)
         vals = rnd.integers(0, 1 << 62, n, dtype=np.uint64).astype(object)
@@ -70,11 +121,9 @@ def main():
         secrets = jnp.asarray(limb.ints_to_limbs(mont, L))
         out = np.asarray(step(secrets, state))
         if not (out == np.asarray(secrets)).all():
-            print(json.dumps({"metric": "shamir_split_recombine",
-                              "value": 0, "unit": "ops/s",
-                              "vs_baseline": 0, "error": "mismatch"}))
-            return
+            return None, 'split_recombine mismatch'
         sync = lambda cur: np.asarray(cur[0, :1])  # noqa: E731
+        iters = 10
 
     def run(k):
         cur = secrets
@@ -85,15 +134,32 @@ def main():
         return time.perf_counter() - t0
 
     run(3)  # warm
-    iters = 200 if keccak._pallas_available() else 20
-    dt = sorted(run(iters) for _ in range(5))[2] / iters
-    ops = n / dt
-    print(json.dumps({
-        "metric": "shamir_split_recombine_64bit_m3_t1",
-        "value": round(ops),
+    dt = sorted(run(iters) for _ in range(3))[1] / iters
+    return n / dt, None
+
+
+def main():
+    mul_ops, err = bench_secure_mul()
+    sr_ops, err2 = (None, None)
+    try:
+        sr_ops, err2 = bench_split_recombine()
+    except Exception as e:  # secondary metric must not sink the bench
+        err2 = str(e)
+    if mul_ops is None:
+        print(json.dumps({"metric": "secure_mul_m3_t1", "value": 0,
+                          "unit": "ops/s", "vs_baseline": 0, "error": err}))
+        return
+    out = {
+        "metric": "secure_mul_m3_t1",
+        "value": round(mul_ops),
         "unit": "ops/s",
-        "vs_baseline": round(ops / 1e8, 3),
-    }))
+        "vs_baseline": round(mul_ops / 1e8, 3),
+    }
+    if sr_ops is not None:
+        out["split_recombine_ops_s"] = round(sr_ops)
+    elif err2:
+        out["split_recombine_error"] = err2
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -83,6 +83,245 @@ def make_split_recombine(p: int, t: int, m: int):
     return jax.jit(step)
 
 
+def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
+    """Single-program GRR98 degree-reduction round on party-stacked shares.
+
+    step(shares, state_words, ctr) -> (out, ctr')
+      shares: (m, ..., L) uint32 Montgomery, degree-2t shares
+      state_words: (2, 25) absorbed SHAKE128 prefix (key || 8-byte zero
+        nonce slot), device-resident
+      ctr: (2,) uint32 device-resident call counter (lo, hi)
+
+    With fuse_mul=True the signature becomes step(a, b, state_words, ctr)
+    and the degree-2t product shares are computed IN the kernel
+    (s_i = a_i * b_i), so a whole secure multiplication
+    (reference runtime.py:1060-1094) is one device program — the separate
+    elementwise product pass (one extra HBM read+write plus an
+    XLA-emulated u32 Montgomery multiply, measured ~21 ms per 1M-element
+    round) disappears into the VMEM-resident round.
+
+    The whole round — per-call nonce injection into the sponge, the
+    counter-mode Keccak-f[1600] coefficient stream, wide reduction into
+    Montgomery form, Lagrange aggregation, and Horner re-evaluation at
+    x = 1..m — is ONE XLA program: zero eager primitives and zero
+    host<->device transfers per call.  This is the compiled twin of the
+    runtime reshare (reference hot path /root/reference/mpyc/runtime.py:603-689
+    built on thresha.py:47-132), replacing the eager per-primitive dispatch
+    that dominated protocol rounds (measured: 471 eager dispatches and
+    ~4 s per 1M-element round through the TPU tunnel).
+
+    Protocol algebra: the output for receiver j is
+      out_j = sum_{i<=2t} lag_i * poly_i(x_j),
+      poly_i(x) = (sum_k c_{i,k} x^{t-k}) + s_i  (sender i's re-split).
+    By linearity this equals Horner(C, x_j) + S with
+      C_k = sum_i lag_i c_{i,k}   and   S = sum_i lag_i s_i,
+    bit-identical to exchanging all m x m rows for the same coefficient
+    draws, at ~1/m the multiplies.  The per-call nonce lands in lane 4
+    (bytes 32..39 of the absorbed block, the zeroed nonce slot), the
+    per-instance counter in lane 19 (inside _squeeze_ctr*), so every block
+    across calls/fields is a distinct single-block sponge input.
+    """
+    field = finfields.GF((p, 2, p - 1)) if p > 2 else finfields.GF(p)
+    ctx = prime_field_ctx(p)
+    L = ctx.L
+    n_send = 2 * t + 1
+    assert n_send <= m, 'GRR98 needs 2t+1 <= m'
+    lag = _lagrange_consts_mont(field, range(1, n_send + 1))
+    xs_mont = [ctx.encode_const(i) for i in range(1, m + 1)]
+    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
+    W = -(-l_bytes // 4)            # uint32 words per coefficient value
+    nc = -(-W // L)                 # Montgomery chunks per coefficient
+    wpe = t * n_send * nc * L       # sponge words consumed per element
+    S_epb = (keccak.RATE // 4) // wpe if wpe else 0   # elements per sponge
+
+    def cl(v):
+        return [jnp.uint32(int(x)) for x in v]
+
+    def step_xla(flat, st, n, flat_b=None):
+        if flat_b is not None:
+            flat = limb.stack(limb.mont_mul(
+                limb.unstack(flat, L), limb.unstack(flat_b, L),
+                ctx.p_limbs, ctx.n0inv))
+        n_vals = t * n_send * n
+        n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
+        if keccak._pallas_available() and n_blocks >= 1024:
+            blocks = keccak._squeeze_ctr_pallas(st, n_blocks)
+        else:
+            n_pad = max(8, 1 << (n_blocks - 1).bit_length())
+            blocks = keccak._squeeze_ctr(st, n_pad)[:n_blocks]
+        wide = rng_mod.words_to_elements(blocks, n_vals, l_bytes, L)
+        coefs = ctx.reduce_chunks(wide.shape[-2])(wide)
+        coefs = coefs.reshape(t, n_send, n, L)
+        S = None
+        for i in range(n_send):
+            term = limb.mont_mul(limb.unstack(flat[i], L), cl(lag[i]),
+                                 ctx.p_limbs, ctx.n0inv)
+            S = term if S is None else limb.add_mod(S, term, ctx.p_limbs)
+        C = []
+        for k in range(t):
+            acc = None
+            for i in range(n_send):
+                term = limb.mont_mul(limb.unstack(coefs[k, i], L),
+                                     cl(lag[i]), ctx.p_limbs, ctx.n0inv)
+                acc = term if acc is None else \
+                    limb.add_mod(acc, term, ctx.p_limbs)
+            C.append(acc)
+        rows = []
+        for j in range(m):
+            y = None
+            for k in range(t):
+                y = C[k] if y is None else limb.add_mod(y, C[k], ctx.p_limbs)
+                y = limb.mont_mul(y, cl(xs_mont[j]), ctx.p_limbs, ctx.n0inv)
+            rows.append(limb.stack(limb.add_mod(y, S, ctx.p_limbs)))
+        return jnp.stack(rows, axis=0)
+
+    # -- whole-round Pallas kernel (VMEM-resident sponge + field math) ------
+    # Lagrange weights folded into the chunk radix constants: the chunk c of
+    # sender i's coefficient contributes v_c * 2^(32 L c) * lag_i in
+    # Montgomery form via ONE mont_mul with K_{i,c} = 2^(32Lc) * lag_i * R^2.
+    radix_lag = [[limb.int_to_limbs(
+        (pow(2, 32 * L * c, p) * int(thresha._recombination_vector(
+            field, tuple(range(1, n_send + 1)), 0)[i]) % p) * ctx.R2 % p, L)
+        for c in range(nc)] for i in range(n_send)]
+    R2T = 8                         # sublanes per sponge tile
+
+    def make_pallas(S):
+        rc = keccak._RC_ARR
+
+        def kernel(state_ref, ctr_ref, sec_ref, *rest):
+            if fuse_mul:
+                b_ref, out_ref = rest
+            else:
+                out_ref, = rest
+            g = pl.program_id(0)
+            base = (jnp.uint32(g * (R2T * 128))
+                    + jax.lax.broadcasted_iota(jnp.uint32, (R2T, 128), 0)
+                    * jnp.uint32(128)
+                    + jax.lax.broadcasted_iota(jnp.uint32, (R2T, 128), 1))
+            hi = [jnp.full((R2T, 128), state_ref[0, k]) for k in range(25)]
+            lo = [jnp.full((R2T, 128), state_ref[1, k]) for k in range(25)]
+            lo[4] = lo[4] ^ ctr_ref[0]      # per-call nonce (lane 4)
+            hi[4] = hi[4] ^ ctr_ref[1]
+            lo[19] = lo[19] ^ base          # per-instance counter (lane 19)
+            for rnd in range(24):
+                hi, lo = keccak._keccak_round(
+                    hi, lo, jnp.uint32(int(rc[rnd, 0])),
+                    jnp.uint32(int(rc[rnd, 1])))
+            words = []
+            for i in range(keccak.RATE // 8):
+                words.append(lo[i])
+                words.append(hi[i])
+
+            def const(v):
+                return [jnp.uint32(int(x)) for x in v]
+
+            for e in range(S):
+                C = []
+                for k in range(t):
+                    acc = None
+                    for i in range(n_send):
+                        off = ((e * t + k) * n_send + i) * nc * L
+                        for c in range(nc):
+                            chunk = [words[off + c * L + q]
+                                     for q in range(L)]
+                            term = limb.mont_mul(chunk,
+                                                 const(radix_lag[i][c]),
+                                                 ctx.p_limbs, ctx.n0inv)
+                            acc = term if acc is None else \
+                                limb.add_mod(acc, term, ctx.p_limbs)
+                    C.append(acc)
+                Sagg = None
+                for i in range(n_send):
+                    s_i = [sec_ref[0, i, e, q] for q in range(L)]
+                    if fuse_mul:
+                        b_i = [b_ref[0, i, e, q] for q in range(L)]
+                        s_i = limb.mont_mul(s_i, b_i, ctx.p_limbs,
+                                            ctx.n0inv)
+                    term = limb.mont_mul(s_i, const(lag[i]),
+                                         ctx.p_limbs, ctx.n0inv)
+                    Sagg = term if Sagg is None else \
+                        limb.add_mod(Sagg, term, ctx.p_limbs)
+                for j in range(m):
+                    y = None
+                    for k in range(t):
+                        y = C[k] if y is None else \
+                            limb.add_mod(y, C[k], ctx.p_limbs)
+                        y = limb.mont_mul(y, const(xs_mont[j]),
+                                          ctx.p_limbs, ctx.n0inv)
+                    o = limb.add_mod(y, Sagg, ctx.p_limbs) \
+                        if y is not None else Sagg
+                    for q in range(L):
+                        out_ref[0, j, e, q] = o[q]
+
+        def run(state_words, ctr, *tiles):
+            G = tiles[0].shape[0]
+            tile_spec = pl.BlockSpec((1, m, S, L, R2T, 128),
+                                     lambda i: (i, 0, 0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(
+                    (G, m, S, L, R2T, 128), jnp.uint32),
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ] + [tile_spec] * len(tiles),
+                out_specs=tile_spec,
+            )(state_words, ctr, *tiles)
+        return run
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pallas_run = make_pallas(S_epb) if S_epb >= 1 else None
+
+    def _tileize(flat, G, n, n_pad):
+        if n_pad != n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((m, n_pad - n, L), jnp.uint32)], axis=1)
+        tiles = flat.reshape(m, G, S_epb, R2T, 128, L)
+        return jnp.transpose(tiles, (1, 0, 2, 5, 3, 4))
+
+    def _step(shares, state_words, ctr, shares_b=None):
+        orig_shape = shares.shape
+        n = 1
+        for s in orig_shape[1:-1]:
+            n *= int(s)
+        flat = shares.reshape(m, n, L)
+        flat_b = shares_b.reshape(m, n, L) if shares_b is not None else None
+        tile_n = S_epb * R2T * 128
+        if pallas_run is not None and keccak._pallas_available() and \
+                n >= tile_n:
+            # whole round in one Pallas program: sponge squeeze, reduction,
+            # Lagrange aggregation and Horner re-evaluation never leave
+            # VMEM/registers; HBM traffic = one read + one write of shares.
+            G = -(-n // tile_n)
+            n_pad = G * tile_n
+            tiles = [_tileize(flat, G, n, n_pad)]
+            if flat_b is not None:
+                tiles.append(_tileize(flat_b, G, n, n_pad))
+            out = pallas_run(state_words, ctr, *tiles)
+            out = jnp.transpose(out, (1, 0, 2, 4, 5, 3))
+            out = out.reshape(m, n_pad, L)[:, :n]
+        else:
+            st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
+            st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
+            out = step_xla(flat, st, n, flat_b)
+        out = out.reshape(orig_shape)
+        lo = ctr[0] + jnp.uint32(1)
+        hi = ctr[1] + jnp.where(lo == 0, jnp.uint32(1), jnp.uint32(0))
+        return out, jnp.stack([lo, hi])
+
+    if fuse_mul:
+        def step(a, b, state_words, ctr):
+            return _step(a, state_words, ctr, shares_b=b)
+    else:
+        def step(shares, state_words, ctr):
+            return _step(shares, state_words, ctr)
+
+    return jax.jit(step)
+
+
 def make_secure_matmul_step(p: int, t: int, m: int):
     """Jittable co-located secure matmul round: C = A @ B with resharing.
 

@@ -99,13 +99,17 @@ class PrimeFieldCtx:
         return self._jit_cache[name]
 
     def _ew(self, name, fn, in_elem, out_batchdims_like=0):
-        """Elementwise kernel with shape bucketing.
+        """Elementwise kernel dispatcher.
 
-        Batch dims are flattened and padded to a power of two (min 8) before
-        the jitted call, so one XLA compilation serves all batch shapes of
-        the same bucket — compile time no longer scales with the number of
-        distinct protocol shapes. in_elem: per-argument count of trailing
-        element axes (e.g. 1 for (..., L) Montgomery operands).
+        Tiny batches run on the host with Python ints (dispatch latency
+        dominates there); everything else goes through one jitted call on
+        the arrays' natural shapes — jax's jit cache keys on shapes, and no
+        eager primitive ever runs on the hot path (eager data-creating ops
+        cost tens of milliseconds of host time through the TPU tunnel,
+        measured round 3: an eager ``jnp.zeros`` pad on a 1M-element share
+        array was 1.7 s of the 3.9 s np_multiply round).
+        in_elem: per-argument count of trailing element axes (e.g. 1 for
+        (..., L) Montgomery operands).
         """
         if name not in self._jit_cache:
             self._jit_cache[name] = jax.jit(fn)
@@ -124,21 +128,7 @@ class PrimeFieldCtx:
                 # never taken under an enclosing jit trace
                 out = host_fn([np.asarray(a) for a in arrays])
                 return out  # numpy result: stays on the host
-            n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
-            flat = []
-            for a, ie in zip(arrays, in_elem):
-                elem = a.shape[a.ndim - ie:] if ie else ()
-                af = jnp.reshape(a, (n,) + elem)
-                if n_pad != n:
-                    af = jnp.concatenate(
-                        [af, jnp.zeros((n_pad - n,) + elem, af.dtype)],
-                        axis=0)
-                flat.append(af)
-            out = jf(*flat)
-            if isinstance(out, tuple):
-                return tuple(o[:n].reshape(batch + o.shape[1:])
-                             for o in out)
-            return out[:n].reshape(batch + out.shape[1:])
+            return jf(*arrays)
         return call
 
     # -- host fast path (small batches) --------------------------------------

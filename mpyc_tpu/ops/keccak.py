@@ -204,13 +204,16 @@ def _squeeze_ctr(state_words, n_instances: int):
     return jnp.stack(words, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def _squeeze_ctr_pallas(state_words, n_instances: int):
     """Counter-mode squeeze as a Pallas TPU kernel.
 
     The 50-word sponge state lives in registers/VMEM for all 24 unrolled
     rounds (the XLA fori_loop variant round-trips the state through HBM
     every round, ~5x slower). Grid tiles of R x 128 instances; output block
-    (R*128, 42) words.
+    (R*128, 42) words. jit-cached per instance count: tracing the unrolled
+    permutation costs seconds of host time, so it must happen once, not per
+    call.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

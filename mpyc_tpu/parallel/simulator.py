@@ -42,6 +42,13 @@ class SimRuntime(Runtime):
             S: _secrets.token_bytes(16)
             for S in itertools.combinations(range(m), m - t)}
         self.prfs.cache_clear()
+        # fused-round machinery: independent PRF key for the compiled
+        # reshare stream; the call counter lives ON DEVICE and is threaded
+        # through every fused call (no host<->device traffic per round)
+        self._fused_key = _secrets.token_bytes(32)
+        self._fused_steps = {}
+        self._fused_states = {}
+        self._fused_ctr = None
 
     is_simulator = True
     _pax = 1  # leading party axis in share arrays
@@ -211,6 +218,13 @@ class SimRuntime(Runtime):
         m = len(self.parties)
         ys = []
         for xi in xl:
+            if field.characteristic > 2 and field.ext_deg == 1 and \
+                    not isinstance(xi.data, np.ndarray):
+                # device-resident prime-field shares: one compiled program
+                # for the whole round (RNG + split + exchange + recombine)
+                ys.append(self._reshare_fused(xi))
+                continue
+            # host/extension-field fallback: eager round
             # xi: (m,) + logical shape; each party splits its share
             resplit = thresha.np_random_split(field, xi, t, m, self._rng)
             # resplit: (m_recv, m_sender) + logical; recombine over senders
@@ -223,6 +237,85 @@ class SimRuntime(Runtime):
                 acc = term if acc is None else acc + term
             ys.append(acc)
         return ys if x_is_list else ys[0]
+
+    def _fused_state(self):
+        import jax.numpy as _jnp
+        from mpyc_tpu.ops import keccak
+        state = self._fused_states.get('base')
+        if state is None:
+            hi, lo = keccak._absorb_host(self._fused_key + bytes(8))
+            state = _jnp.asarray(np.stack([np.array(hi, np.uint32),
+                                           np.array(lo, np.uint32)]))
+            self._fused_states['base'] = state
+        if self._fused_ctr is None:
+            self._fused_ctr = _jnp.zeros(2, _jnp.uint32)
+        return state
+
+    def _reshare_fused(self, xi):
+        """Compiled GRR98 round (pipelines.make_reshare_step), counter-mode
+        SHAKE randomness keyed independently of the eager-plane RNG."""
+        from mpyc_tpu.models import pipelines
+
+        field = xi.field
+        t = self.threshold
+        key = (field.modulus, t)
+        step = self._fused_steps.get(key)
+        if step is None:
+            step = pipelines.make_reshare_step(field.modulus, t,
+                                               len(self.parties))
+            self._fused_steps[key] = step
+        state = self._fused_state()
+        out, self._fused_ctr = step(xi.data, state, self._fused_ctr)
+        return field.array.from_data(out)
+
+    def _mul_reshare_fused(self, sa, sb):
+        """Whole secure multiplication (local product + GRR98 reshare) as
+        one compiled device program (pipelines.make_reshare_step with
+        fuse_mul) — the hot path of mul/np_multiply on this plane."""
+        import jax.numpy as _jnp
+        from mpyc_tpu.models import pipelines
+
+        field = sa.field
+        t = self.threshold
+        key = (field.modulus, t, 'mul')
+        step = self._fused_steps.get(key)
+        if step is None:
+            step = pipelines.make_reshare_step(field.modulus, t,
+                                               len(self.parties),
+                                               fuse_mul=True)
+            self._fused_steps[key] = step
+        state = self._fused_state()
+        da, db = sa.data, sb.data
+        if da.shape != db.shape:
+            shape = np.broadcast_shapes(da.shape, db.shape)
+            da = _jnp.broadcast_to(da, shape)
+            db = _jnp.broadcast_to(db, shape)
+        out, self._fused_ctr = step(da, db, state, self._fused_ctr)
+        return field.array.from_data(out)
+
+    def mul(self, a, b):
+        """Secure multiplication; both-secret products on device data run
+        as one fused program (product + degree reduction, see
+        _mul_reshare_fused). Public-operand, fxp >>-before-reshare, host
+        and extension-field cases fall back to the generic plane."""
+        stype = self._sectype(a)
+        f = stype.frac_length
+        if isinstance(b, sectypes.SecureObject) and self.threshold > 0:
+            field = stype.field
+            a_int, b_int = self._integral(a), self._integral(b)
+            if field.characteristic > 2 and field.ext_deg == 1 and \
+                    not (f and (a_int or b_int)):
+                sa, sb = self._share2(a, b)
+                if not isinstance(sa.data, np.ndarray) and \
+                        not isinstance(sb.data, np.ndarray):
+                    c = self._mul_reshare_fused(sa, sb)
+                    if f:
+                        c = self._trunc_field(c, f, stype.bit_length + f,
+                                              stype)
+                    return self._wrap(stype, c,
+                                      array=self._is_array_op(a, b),
+                                      integral=a_int and b_int)
+        return super().mul(a, b)
 
     def _convert(self, x, t_type):
         """Field conversion with party-stacked shares (PRSS correlated

@@ -4278,13 +4278,17 @@ def setup(argv=None):
         pid = args.index if args.index is not None else 0
 
     if os.getenv('MPYC_TPU_PARTY_DEVICE') is None and \
-            (m > 1 and not options.sim or os.getenv('PALLAS_AXON_POOL_IPS')):
+            not (options.sim and m > 1) and \
+            (m > 1 or os.getenv('PALLAS_AXON_POOL_IPS')):
         # Default the eager protocol runtime to CPU when (a) local
         # multi-process parties would contend for one TPU chip, or (b) the
         # TPU is only reachable through the axon tunnel, where per-op
         # dispatch is a network round trip that dwarfs eager scalar work.
-        # Fused batched pipelines (bench.py, models/pipelines.py) target the
-        # TPU directly; set MPYC_TPU_PARTY_DEVICE=tpu to override here.
+        # The co-located simulator plane (--sim) is exempt: it is the
+        # batched TPU plane, where whole protocol rounds compile into one
+        # program (models/pipelines.py make_reshare_step) and the tunnel
+        # round trip amortizes over the batch. Set MPYC_TPU_PARTY_DEVICE=tpu
+        # to override here.
         import jax
         try:
             jax.config.update('jax_platforms', 'cpu')
