@@ -993,6 +993,14 @@ class FiniteFieldArray:
             a = cls(a)
         return a.sqrt(INV=INV)
 
+    def _sqrt_unchecked(self, INV=False):
+        """sqrt without the INV zero-divisor readback — protocol code that
+        has already rejected zeros (random_bits over odd-characteristic
+        fields, reference runtime.py:4160-4174).  PrimeFieldArray overrides
+        with the branch-free device kernel; extension/binary arrays fall
+        back to the host sqrt."""
+        return self.sqrt(INV=INV)
+
     def _value_objs(self):
         """Decoded values in the reference's object representation
         (ints for GF(p); gfpx polynomials for GF(p^d)/GF(2^d))."""

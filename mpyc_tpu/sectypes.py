@@ -944,7 +944,14 @@ class SecureArray(SecureObject):
         arr = np.asarray(value, dtype=object)
         if arr.size == 0:
             return cls.sectype.field.array(arr)
-        if isinstance(arr.reshape(-1)[0], (int, np.integer)):
+        first = arr.reshape(-1)[0]
+        if isinstance(first, np.integer):
+            # numpy scalars inside object arrays keep their fixed width,
+            # so << frac_length would wrap (np.int8(2) << 16 == 0);
+            # unbox to exact Python ints first
+            arr = np.vectorize(int, otypes=[object])(arr)
+            first = arr.reshape(-1)[0]
+        if isinstance(first, int):
             # plain-int object array: shift vectorized, let the field's
             # encode take its kernel fast path (mixed arrays fall through)
             try:
@@ -995,8 +1002,13 @@ class SecureArray(SecureObject):
             if not isinstance(other, self.sectype):
                 return NotImplemented
             return other
-        if isinstance(other, (int, float, np.integer, np.floating)):
-            return type(self)(np.array(other, dtype=object))
+        if isinstance(other, (int, np.integer)):
+            # unbox numpy scalars: an object array holding np.int8(2)
+            # would wrap in the << frac_length scaling (np.int8(2) << 16
+            # == 0), flipping/zeroing the product — Python ints are exact
+            return type(self)(np.array(int(other), dtype=object))
+        if isinstance(other, (float, np.floating)):
+            return type(self)(np.array(float(other), dtype=object))
         if isinstance(other, (list, tuple, np.ndarray)):
             return type(self)(np.asarray(other, dtype=object))
         if isinstance(other, finfields.FiniteFieldArray):

@@ -63,18 +63,21 @@ def _run(name):
 @pytest.mark.parametrize('name', ['test_gmpy', 'test_gfpx', 'test_thresha',
                                   'test_fingroups', 'test_mpctools',
                                   'test_sectypes', 'test_asyncoro',
-                                  'test_numpy', 'test_finfields'])
+                                  'test_numpy', 'test_finfields',
+                                  'test_runtime'])
 def test_reference_suite(alias_mpyc, name):
+    # test_runtime is the strongest correctness oracle and runs by default
+    # (round-2 lesson: gating it shipped two silent regressions).
     _run(name)
 
 
-# The reference's full runtime/extension suites also pass, but take tens of
-# minutes in total; they run when explicitly requested.
+# The remaining extension suites take tens of minutes in total; they run
+# when explicitly requested (and before every snapshot).
 @pytest.mark.slow
 @pytest.mark.skipif(not os.getenv('MPYC_TPU_FULL_ORACLE'),
                     reason='set MPYC_TPU_FULL_ORACLE=1 for the full '
                            'reference oracle (tens of minutes)')
-@pytest.mark.parametrize('name', ['test_runtime', 'test_seclists',
+@pytest.mark.parametrize('name', ['test_seclists',
                                   'test_secpols', 'test_random',
                                   'test_statistics', 'test_secgroups'])
 def test_reference_suite_full(alias_mpyc, name):
