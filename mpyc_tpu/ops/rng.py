@@ -100,6 +100,10 @@ class KeccakRNG:
     (~0.8 ms per host batch) down to microseconds per protocol round.
     Every handed-out block is still a distinct (key, nonce, counter)
     single-block sponge instance — the PRF security argument is unchanged.
+
+    Not thread-safe: the pool offset and nonce updates are not atomic.
+    The runtime is single-threaded asyncio; concurrent draws from worker
+    threads would need external locking.
     """
 
     def __init__(self, key: bytes | None = None):
@@ -129,7 +133,10 @@ class KeccakRNG:
             self._pool_off = 0
         off = self._pool_off
         self._pool_off = off + n_blocks
-        return pool[off:off + n_blocks]
+        # copy: a view would alias pool memory (an in-place write by a
+        # caller would corrupt later draws, and a held slice would pin the
+        # whole ~86KB pool)
+        return pool[off:off + n_blocks].copy()
 
     def field_uniform(self, field, shape):
         """Uniform random field.array of given shape (prime or GF(2^d))."""

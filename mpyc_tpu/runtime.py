@@ -61,7 +61,10 @@ class _Options:
         self.bit_length = kw.get('bit_length', 32)
         self.sec_param = kw.get('sec_param', 30)
         self.threshold = kw.get('threshold', None)
-        self.no_prss = kw.get('no_prss', False)
+        # MPYC_TPU_NOPRSS mirrors the reference's MPYC_NOPRSS kill-switch
+        # (CI config matrix, reference .travis.yml / SURVEY §4)
+        self.no_prss = kw.get('no_prss',
+                              bool(os.getenv('MPYC_TPU_NOPRSS')))
         self.no_async = kw.get('no_async', True)   # eager rounds by default
         self.base_port = kw.get('base_port', 11365)
         self.ssl = kw.get('ssl', False)
