@@ -321,24 +321,32 @@ class SimRuntime(Runtime):
         """Field conversion with party-stacked shares (PRSS correlated
         masks drawn with one uci so both fields see the same integers;
         base-plane twin: runtime.py _convert, reference runtime.py:691-787).
+        Handles secure arrays too: all items flatten into one batch along
+        the logical axis, one mask/open round serves everything.
         """
         import math
 
         s_type = type(x[0])
-        if issubclass(s_type, sectypes.SecureArray):
-            raise NotImplementedError('convert of arrays: use np ops')
-        n = len(x)
+        is_arr = issubclass(s_type, sectypes.SecureArray)
+        s_ctype = s_type.sectype if is_arr else s_type
+        t_ctype = getattr(t_type, 'sectype', t_type)
+        s_field = s_ctype.field
+        t_field = t_ctype.field
+        s_is_ff = issubclass(s_ctype, sectypes.SecureFiniteField)
+        if is_arr and s_is_ff:
+            raise NotImplementedError(
+                'convert of finite-field arrays not supported')
+        sizes = [xi.size if is_arr else 1 for xi in x]
+        shapes = [xi.shape if is_arr else None for xi in x]
+        n = sum(sizes)
         m = len(self.parties)
         t = self.threshold
-        s_field = s_type.field
-        t_field = t_type.field
-        s_is_ff = issubclass(s_type, sectypes.SecureFiniteField)
         if s_is_ff:
             bound = s_field.order
             l = None
         else:
             k = self.options.sec_param
-            l = min(s_type.bit_length, t_type.bit_length)
+            l = min(s_ctype.bit_length, t_ctype.bit_length)
             d_senders = math.comb(m, t)
             bound = 1 << max(0, (k + l) - d_senders.bit_length() + 1)
         prfs_s = self.prfs(bound)
@@ -353,33 +361,57 @@ class SimRuntime(Runtime):
             s_r = self._stacked_prss(s_field, prfs_s, uci, n)  # (m, n)
             t_r = self._stacked_prss(t_field, prfs_s, uci, n)  # same ints
 
-        d = t_type.frac_length - s_type.frac_length
-        shares = [self._share(xi) for xi in x]  # each (m,)
-        stacked = s_field.array.from_data(
-            jnp.stack([s.data for s in shares], axis=1))  # (m, n)
+        d = t_ctype.frac_length - s_ctype.frac_length
+        shares = [self._share(xi) for xi in x]     # each (m,) + logical
+        if is_arr:
+            # prime-field share data: (m,) + logical + (L,)
+            datas = [jnp.reshape(s.data, (m, sz, s.data.shape[-1]))
+                     for s, sz in zip(shares, sizes)]
+            stacked = s_field.array.from_data(
+                jnp.concatenate(datas, axis=1))               # (m, n)
+        else:
+            stacked = s_field.array.from_data(
+                jnp.stack([s.data for s in shares], axis=1))  # (m, n)
         if d < 0:
-            stacked = self.np_trunc_field(stacked, -d, s_type.bit_length,
-                                          s_type)
+            stacked = self.np_trunc_field(stacked, -d, s_ctype.bit_length,
+                                          s_ctype)
         if s_field.is_signed:
             offset = s_field.order // 2 if s_is_ff else 1 << (l - 1)
         else:
             offset = 0
         masked = stacked + offset + s_r
         c = self.output(masked)  # public (n,) values in s_field
-        c_ints = [int(v) for v in np.asarray(c.value).reshape(-1)]
-        out = []
-        for i in range(n):
-            v = self._share_like(t_field.array(
-                np.array(c_ints[i], dtype=object))) - t_r[:, i]
-            if s_is_ff:
+        if s_is_ff:
+            c_ints = [int(v) for v in np.asarray(c.value).reshape(-1)]
+            out = []
+            for i in range(n):
+                v = self._share_like(t_field.array(
+                    np.array(c_ints[i], dtype=object))) - t_r[:, i]
                 v = self._share(self._mod(t_type(v),
                                           int(s_field.modulus)))
-            v = v - offset
-            if d > 0 and not s_is_ff:
-                v = v * (1 << d)
-            res = t_type(v)
-            if issubclass(t_type, sectypes.SecureFixedPoint):
-                res.integral = not s_type.frac_length
+                v = v - offset
+                res = t_type(v)
+                if issubclass(t_type, sectypes.SecureFixedPoint):
+                    res.integral = not s_ctype.frac_length
+                out.append(res)
+            return out
+        emb = self._embed_field_values(c, t_field)   # (n,) public
+        v = self._share_like(emb) - t_r - offset     # (m, n)
+        if d > 0:
+            v = v * (1 << d)
+        integral = not s_ctype.frac_length
+        out = []
+        off = 0
+        for size, shape in zip(sizes, shapes):
+            piece = v[:, off:off + size]
+            off += size
+            if shape is not None:
+                res = self._wrap(t_ctype, piece.reshape((m,) + shape),
+                                 array=True, integral=integral)
+            else:
+                res = t_ctype(piece.reshape((m,)))
+                if issubclass(t_ctype, sectypes.SecureFixedPoint):
+                    res.integral = integral
             out.append(res)
         return out
 

@@ -820,22 +820,58 @@ class Runtime:
             y = self._convert(xl, t_type)
         return y if x_is_list else y[0]
 
+    def _embed_field_values(self, c, t_field):
+        """Public opened s_field array -> t_field array holding the same
+        integer values (mod t_field.modulus).
+
+        Device path for prime->prime: de-Montgomery the source limbs and
+        radix-reduce the value limbs into the target Montgomery domain —
+        no host round trip, so array conversion stays on device. Host
+        fallback goes through object ints."""
+        s_field = c.field
+        if s_field.ext_deg == 1 and s_field.characteristic > 2 and \
+                t_field.ext_deg == 1 and t_field.characteristic > 2 and \
+                not isinstance(c.data, np.ndarray):
+            s_ctx = type(c).ctx
+            t_ctx = t_field.array.ctx
+            std = s_ctx.to_std(c.data)            # (..., Ls) value limbs
+            Ls, Lt = s_ctx.L, t_ctx.L
+            nc = -(-Ls // Lt)
+            if nc * Lt != Ls:
+                pad = jnp.zeros(std.shape[:-1] + (nc * Lt - Ls,), std.dtype)
+                std = jnp.concatenate([std, pad], axis=-1)
+            wide = std.reshape(std.shape[:-1] + (nc, Lt))
+            return t_field.array.from_data(t_ctx.reduce_chunks(nc)(wide))
+        vals = np.asarray(c.value, dtype=object)
+        return t_field.array(vals)
+
     def _convert(self, x, t_type):
+        """Masked-open field conversion (reference runtime.py:720-787),
+        generalized to secure ARRAYS as well (the reference leaves
+        np_convert as a TODO, runtime.py:4428): all items are flattened
+        into one batch, one mask/open round serves everything, and the
+        opened values embed into the target field on device."""
         s_type = type(x[0])
-        if issubclass(s_type, sectypes.SecureArray):
-            raise NotImplementedError('convert of arrays: use np ops')
-        n = len(x)
+        is_arr = issubclass(s_type, sectypes.SecureArray)
+        s_ctype = s_type.sectype if is_arr else s_type
+        t_ctype = getattr(t_type, 'sectype', t_type)
+        s_field = s_ctype.field
+        t_field = t_ctype.field
+        s_is_ff = issubclass(s_ctype, sectypes.SecureFiniteField)
+        if is_arr and s_is_ff:
+            raise NotImplementedError(
+                'convert of finite-field arrays not supported')
+        sizes = [xi.size if is_arr else 1 for xi in x]
+        shapes = [xi.shape if is_arr else None for xi in x]
+        n = sum(sizes)
         m = len(self.parties)
         t = self.threshold
-        s_field = s_type.field
-        t_field = t_type.field
-        s_is_ff = issubclass(s_type, sectypes.SecureFiniteField)
         if s_is_ff:
             bound = s_field.order
             l = None
         else:
             k = self.options.sec_param
-            l = min(s_type.bit_length, t_type.bit_length)
+            l = min(s_ctype.bit_length, t_ctype.bit_length)
             d_senders = t + 1 if self.options.no_prss else math.comb(m, t)
             # power-of-2 bound (reference uses exact bound; a power of two
             # embeds the identical integers into both fields on device)
@@ -861,40 +897,55 @@ class Runtime:
             s_r = prss(s_field, m, self.pid, prfs_s, uci, n)
             t_r = prss(t_field, m, self.pid, prfs_s, uci, n)
 
-        d = t_type.frac_length - s_type.frac_length
-        shares = [xi.share.reshape(1) if not xi.share.shape else xi.share
-                  for xi in x]
+        d = t_ctype.frac_length - s_ctype.frac_length
+        shares = [self._share(xi) if is_arr else xi.share for xi in x]
+        shares = [sh.flatten() if sh.shape else sh.reshape(1)
+                  for sh in shares]
         stacked = _concat_field(s_field, shares)
         if d < 0:
-            stacked = self.np_trunc_field(stacked, -d, s_type.bit_length,
-                                          s_type)
+            stacked = self.np_trunc_field(stacked, -d, s_ctype.bit_length,
+                                          s_ctype)
         if s_field.is_signed:
             offset = s_field.order // 2 if s_is_ff else 1 << (l - 1)
         else:
             offset = 0
         masked = stacked + offset + s_r
         c = self.output(masked)  # public field array in s_field
-        c_ints = [int(v) for v in c.value.reshape(-1)]
-        out = []
-        t_r_vals = t_r
-        for i in range(n):
-            v = t_field.array(np.array(c_ints[i], dtype=object)) - \
-                t_r_vals[i]
-            if s_is_ff:
-                # full public-modulus reduction: the mask is a sum of PRF/
-                # input values, so v mod q needs [GMS10], not a single
-                # conditional add (reference runtime.py:781)
+        if s_is_ff:
+            # scalar-only path with full public-modulus reduction [GMS10]
+            c_ints = [int(v) for v in c.value.reshape(-1)]
+            out = []
+            for i in range(n):
+                v = t_field.array(np.array(c_ints[i], dtype=object)) - \
+                    t_r[i]
                 v = self._share(self._mod(t_type(v.reshape(())),
                                           int(s_field.modulus))).reshape(())
-            v = v - offset
-            if d > 0:
-                # scale into the target fxp domain; for ff sources the
-                # reference gets this shift from _mod's final <<f
-                # (runtime.py:1880) — our _mod returns the raw domain
-                v = v * (1 << d)
-            res = t_type(v.reshape(()))
-            if issubclass(t_type, sectypes.SecureFixedPoint):
-                res.integral = not s_type.frac_length
+                v = v - offset
+                if d > 0:
+                    # scale into the target fxp domain; the reference gets
+                    # this shift from _mod's final <<f (runtime.py:1880)
+                    v = v * (1 << d)
+                res = t_type(v.reshape(()))
+                if issubclass(t_type, sectypes.SecureFixedPoint):
+                    res.integral = not s_ctype.frac_length
+                out.append(res)
+            return out
+        v = self._embed_field_values(c, t_field) - t_r - offset
+        if d > 0:
+            v = v * (1 << d)
+        integral = not s_ctype.frac_length
+        out = []
+        off = 0
+        for size, shape in zip(sizes, shapes):
+            piece = v[off:off + size]
+            off += size
+            if shape is not None:
+                res = self._wrap(t_ctype, piece.reshape(shape), array=True,
+                                 integral=integral)
+            else:
+                res = t_ctype(piece.reshape(()))
+                if issubclass(t_ctype, sectypes.SecureFixedPoint):
+                    res.integral = integral
             out.append(res)
         return out
 

@@ -160,6 +160,27 @@ def test_convert(mpc):
     assert int(mpc.run(mpc.output(mpc.convert(u, secint)))) == 200
 
 
+def test_convert_arrays(mpc):
+    # secure-ARRAY conversion (np_convert is a TODO in the reference,
+    # runtime.py:4428 — here one mask/open round serves the whole batch)
+    secint = mpc.SecInt(32)
+    secfxp = mpc.SecFxp(32)
+    a = np.array([[1, -2], [300, -4000]], dtype=object)
+    A = mpc.input(secint.array(a))[0]
+    F = mpc.convert(A, secfxp)
+    assert isinstance(F, mpc.SecureFixedPointArray)
+    assert (np.asarray(mpc.run(mpc.output(F))) == a.astype(float)).all()
+    G = mpc.convert(F, secint)
+    assert (np.asarray(mpc.run(mpc.output(G))) == a).all()
+    X = mpc.input(secfxp.array(np.array([1.5, -2.25])))[0]
+    Y = mpc.convert(X, mpc.SecFxp(16))
+    assert (np.asarray(mpc.run(mpc.output(Y))) == [1.5, -2.25]).all()
+    # list of arrays: one batch, shapes preserved
+    Z1, Z2 = mpc.convert([A, mpc.input(secint.array(a[0]))[0]], secfxp)
+    assert Z1.shape == (2, 2) and Z2.shape == (2,)
+    assert (np.asarray(mpc.run(mpc.output(Z2))) == [1.0, -2.0]).all()
+
+
 def test_transfer(mpc):
     m = len(mpc.parties)
     objs = mpc.transfer({'pid': mpc.pid, 'v': [1, 2]})
