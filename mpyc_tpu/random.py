@@ -14,14 +14,22 @@ runtime = None
 
 def getrandbits(sectype, k, bits=False):
     """Uniformly random nonnegative k-bit integer (or its bits)."""
-    x = runtime.random_bits(sectype, k)
-    if bits:
-        return x
-    return runtime.from_bits(x)
+    draws = runtime.random_bits(sectype, k)
+    return draws if bits else runtime.from_bits(draws)
 
 
 def _randbelow(sectype, n, bits=False):
-    """Uniformly random secret integer in range(n) (reference random.py:45)."""
+    """Uniformly random secret integer in range(n).
+
+    Rejection sampling with BATCHED tests (a TPU-first delta from the
+    reference's lazy per-bit loop, random.py:42-84): one draw of k bits,
+    then every "x exceeds b at zero-bit position z" indicator is computed
+    from log-depth partial products and opened in a single round.  An
+    indicator fires iff the draw matches b on all higher one-bits and is 1
+    at z, which happens iff x > b — so acceptance is exact and each
+    attempt costs log k + 1 rounds.  Opened values reveal only (the
+    position of) accept/reject, as in the reference.
+    """
     if issubclass(sectype, sectypes.SecureFiniteField) and \
             n == sectype.field.order:
         assert not bits, 'bits not available'
@@ -31,50 +39,56 @@ def _randbelow(sectype, n, bits=False):
     k = b.bit_length()
     if not n & b:  # power of 2
         return getrandbits(sectype, k, bits=bits)
-    x = runtime.random_bits(sectype, k)
-    h = 1
-    i = k
-    t = (n & -n).bit_length()
-    while i >= t:
-        i -= 1
-        if (b >> i) & 1:
-            h = h * x[i] if not isinstance(h, int) else x[i]
-        elif runtime.run(runtime.output(
-                x[i] if isinstance(h, int) else h * x[i])):
-            # reject: redraw the unused low bits
-            x[i:] = runtime.random_bits(sectype, k - i)
-            h = 1
-            i = k
+    t = (n & -n).bit_length() - 1   # low t bits of b are all ones
+    ones = [i for i in range(k) if i >= t and (b >> i) & 1]
+    zeros = [i for i in range(k) if i >= t and not (b >> i) & 1]
+    while True:
+        x = runtime.random_bits(sectype, k)
+        # partial products of the one-bit draws, scanned from the top
+        pp = {}
+        acc = None
+        for i in sorted(ones, reverse=True):
+            acc = x[i] if acc is None else acc * x[i]
+            pp[i] = acc
+        tests = []
+        for z in zeros:
+            higher = [i for i in ones if i > z]
+            h = pp[min(higher)] if higher else None
+            tests.append(h * x[z] if h is not None else x[z])
+        flags = runtime.run(runtime.output(tests))
+        if not any(int(f) for f in flags):
+            break
     if bits:
         return x
     return runtime.from_bits(x)
 
 
 def random_unit_vector(sectype, n):
-    """Uniformly random secret rotation of [1] + [0]*(n-1)."""
+    """Uniformly random secret rotation of [1] + [0]*(n-1).
+
+    Tensor-doubling construction: k secret bits select one of 2^k slots by
+    repeatedly splitting the indicator vector into a (1-bit)- and a
+    bit-weighted half (one batched multiplication round per bit).  When n
+    is not a power of two, the single opened value sum(u[n:]) — the
+    indicator that the slot index overflowed — decides accept/reject and
+    the draw restarts.  A different construction from the reference's
+    in-place grow-and-prune loop (random.py:87-118); leakage (one
+    accept/reject bit per attempt) and round count are the same, local
+    multiplication count is <= 2^ceil(log2 n) < 2n.
+    """
     if n == 1:
         return [sectype(1)]
-    b = n - 1
-    k = b.bit_length()
-    x = runtime.random_bits(sectype, k)
-    i = k - 1
-    u = [x[i], 1 - x[i]]
-    while i:
-        i -= 1
-        v = runtime.scalar_mul(x[i], u)
-        if (b >> i) & 1:
-            v.extend(runtime.vector_sub(u, v))
-            u = v
-        elif runtime.run(runtime.output(v[0])):
-            # restart, keeping unused secret random bits x[:i]
-            x[i:] = runtime.random_bits(sectype, k - i)
-            i = k - 1
-            u = [x[i], 1 - x[i]]
-        else:
-            v = v[1:]
-            v.extend(runtime.vector_sub(u[1:], v))
-            u[1:] = v
-    return u
+    k = (n - 1).bit_length()
+    while True:
+        x = runtime.random_bits(sectype, k)
+        u = [sectype(1)]
+        for x_i in x:
+            hi = runtime.scalar_mul(x_i, u)
+            u = runtime.vector_sub(u, hi) + hi
+        if n == 1 << k:
+            return u
+        if not runtime.run(runtime.output(runtime.sum(u[n:]))):
+            return u[:n]
 
 
 def np_random_unit_vector(sectype, n):
@@ -86,12 +100,11 @@ def np_random_unit_vector(sectype, n):
 def randrange(sectype, start, stop=None, step=1):
     """Uniformly random secret integer in range(start, stop[, step])."""
     if stop is None:
-        stop = start
-        start = 0
-    n = len(range(start, stop, step))
-    if not n:
+        start, stop = 0, start
+    span = range(start, stop, step)
+    if not span:
         raise ValueError('empty range for randrange()')
-    return _randbelow(sectype, n) * step + start
+    return _randbelow(sectype, len(span)) * step + start
 
 
 def randint(sectype, a, b):
@@ -103,11 +116,8 @@ def choice(sectype, seq):
     """Uniformly random secret element chosen from seq."""
     if not seq:
         raise IndexError('cannot choose from an empty sequence')
-    u = random_unit_vector(sectype, len(seq))
-    s = 0
-    for i, x_i in enumerate(seq):
-        s = s + u[i] * x_i
-    return s
+    sel = random_unit_vector(sectype, len(seq))
+    return sum((s * v for s, v in zip(sel, seq)), start=0)
 
 
 def choices(sectype, population, weights=None, *, cum_weights=None, k=1):
@@ -141,32 +151,35 @@ def choices(sectype, population, weights=None, *, cum_weights=None, k=1):
 
 
 def shuffle(sectype, x):
-    """Secretly shuffle list x in place (reference random.py:225)."""
-    n = len(x)
-    x_i_is_list = isinstance(x[0], list)
-    if not x_i_is_list:
-        for i in range(n):
-            if not isinstance(x[i], sectype):
-                x[i] = sectype(x[i])
-        for i in range(n - 1):
-            u = random_unit_vector(sectype, n - i)
-            x_u = runtime.in_prod(x[i:], u)
-            d = runtime.scalar_mul(x[i] - x_u, u)
-            x[i] = x_u
-            x[i:] = runtime.vector_add(x[i:], d)
-        return
+    """Secretly shuffle list x in place.
 
-    for j in range(len(x[0])):
-        for i in range(n):
-            if not isinstance(x[i][j], sectype):
-                x[i][j] = sectype(x[i][j])
-    for i in range(n - 1):
-        u = random_unit_vector(sectype, n - i)
-        x_u = runtime.matrix_prod([u], x[i:])[0]
-        d = runtime.matrix_prod([[a] for a in u],
-                                [runtime.vector_sub(x[i], x_u)])
-        x[i] = x_u
-        x[i:] = runtime.matrix_add(x[i:], d)
+    Downward oblivious Fisher-Yates: for i = n-1 .. 1, a secret unit
+    vector picks a uniform slot j <= i, slot i receives x[j], and the
+    displaced x[i] lands in slot j — both effected by adding the rank-1
+    update sel * (x[i] - x[j]) to the prefix.  Elements may be numbers or
+    equal-length lists of numbers (rows swap as wholes), as in the
+    reference (random.py:225-258); the iteration direction and the
+    prefix-update formulation are this implementation's own.
+    """
+    n = len(x)
+    rows = isinstance(x[0], list)
+    coerce = (lambda v: [vi if isinstance(vi, sectype) else sectype(vi)
+                         for vi in v]) if rows else \
+        (lambda v: v if isinstance(v, sectype) else sectype(v))
+    for i in range(n):
+        x[i] = coerce(x[i])
+    for i in range(n - 1, 0, -1):
+        sel = random_unit_vector(sectype, i + 1)
+        if rows:
+            chosen = runtime.matrix_prod([sel], x[:i + 1])[0]
+            delta = runtime.matrix_prod(
+                [[s] for s in sel], [runtime.vector_sub(x[i], chosen)])
+            x[:i + 1] = runtime.matrix_add(x[:i + 1], delta)
+        else:
+            chosen = runtime.in_prod(x[:i + 1], sel)
+            delta = runtime.scalar_mul(x[i] - chosen, sel)
+            x[:i + 1] = runtime.vector_add(x[:i + 1], delta)
+        x[i] = chosen
 
 
 def random_permutation(sectype, x):
@@ -224,21 +237,23 @@ def sample(sectype, population, k):
     return x[:k]
 
 
-def random(sectype):
-    """Uniformly random secret fixed-point number in [0.0, 1.0)."""
+def _frac_bits(sectype):
     f = sectype.frac_length
     if not f:
         raise TypeError('secure fixed-point type required')
-    x = runtime.random_bits(sectype, f)
-    return runtime.from_bits(x) * (2 ** -f)
+    return f
+
+
+def random(sectype):
+    """Uniformly random secret fixed-point number in [0.0, 1.0)."""
+    f = _frac_bits(sectype)
+    return getrandbits(sectype, f) * (2 ** -f)
 
 
 def uniform(sectype, a, b):
     """Uniformly random secret fixed-point number N with a <= N <= b
     (or b <= N <= a)."""
-    f = sectype.frac_length
-    if not f:
-        raise TypeError('secure fixed-point type required')
-    lo, hi = (a, b) if a <= b else (b, a)
-    n = round((hi - lo) * (1 << f))
-    return _randbelow(sectype, n + 1) * (2 ** -f) + lo
+    f = _frac_bits(sectype)
+    lo, hi = sorted((a, b))
+    steps = round((hi - lo) * (1 << f))
+    return _randbelow(sectype, steps + 1) * (2 ** -f) + lo
