@@ -15,6 +15,8 @@ Five group families are supported:
 Usage: python demos/elgamal.py [-M m] [-g G] [-b B] [-o O] [--no-public-output]
 """
 import argparse
+import functools
+import operator
 import os
 import random
 import sys
@@ -25,52 +27,57 @@ from mpyc_tpu.gmpy import is_prime, isqrt
 from mpyc_tpu.runtime import mpc
 
 
-def keygen(g):
-    """Threshold ElGamal key generation."""
-    group = type(g)
-    secgrp = mpc.SecGrp(group)
+def group_order_bound(group):
+    """The group order if known, else a public upper bound on it."""
+    if group.order is not None:
+        return group.order
+    if hasattr(group, 'discriminant'):
+        return isqrt(-group.discriminant)
+    return group.field.modulus ** group.genus
+
+
+def exponent_type(group):
+    """Secure number type for exponents of the given group."""
     n = group.order
     if n is not None and is_prime(n):
-        secnum = mpc.SecFld(n)
-    else:
-        if hasattr(group, 'discriminant'):
-            l = isqrt(-group.discriminant).bit_length()
-        else:
-            l = group.genus * group.field.modulus.bit_length()
-        secnum = mpc.SecInt(l)
+        return mpc.SecFld(n)
+    return mpc.SecInt(group_order_bound(group).bit_length())
 
-    while True:
+
+def keygen(g):
+    """Threshold ElGamal key generation: secret x, public h = g^x."""
+    group = type(g)
+    secgrp = mpc.SecGrp(group)
+    secnum = exponent_type(group)
+    h = group.identity
+    while h == group.identity:
         x = mpc._random(secnum)
-        h = secgrp.repeat_public(g, x)  # g^x
-        if h != group.identity:
-            return x, h
+        h = secgrp.repeat_public(g, x)
+    return x, h
 
 
 def encrypt(g, h, M):
     """ElGamal encryption of group element M under public key h."""
-    group = type(g)
-    n = group.order
-    if n is None:
-        if hasattr(group, 'discriminant'):
-            n = isqrt(-group.discriminant)
-        else:
-            n = group.field.modulus**group.genus
-    u = random.randrange(n)
-    return (g^u, (h^u) @ M)
+    u = random.randrange(group_order_bound(type(g)))
+    return g^u, (h^u) @ M
 
 
 def decrypt(C, x, public_out=True):
     """Threshold ElGamal decryption of ciphertext C = (A, B)."""
     A, B = C
-    group = type(A)
-    secgrp = mpc.SecGrp(group)
     if public_out:
-        A_x = secgrp.repeat_public(A, -x)  # A^-x opened
-        assert isinstance(A_x, group)
+        blind = mpc.SecGrp(type(A)).repeat_public(A, -x)  # A^-x opened
     else:
-        A_x = A^-x
-        assert isinstance(A_x, secgrp)
-    return A_x @ B
+        blind = A^-x                                      # stays secret
+    return blind @ B
+
+
+def discrete_log_small(g, M):
+    """Exhaustive discrete log of M base g (tally readout)."""
+    T, t = type(g).identity, 0
+    while T != M:
+        T, t = T @ g, t + 1
+    return t
 
 
 def election(secgrp):
@@ -79,74 +86,64 @@ def election(secgrp):
     g = group.generator
     x, h = keygen(g)
 
-    v = random.randint(0, 1)
-    print(f'''My vote: {v} (for {'"yes"' if v else '"no"'})''')
-    c = encrypt(g, h, g^v)  # additively homomorphic in the exponent
-    c = mpc.transfer(c)
+    vote = random.randint(0, 1)
+    print(f'''My vote: {vote} (for {'"yes"' if vote else '"no"'})''')
+    ballots = mpc.transfer(encrypt(g, h, g^vote))  # g^v: additive tally
 
-    C = list(c[0])
-    for c_i in c[1:]:
-        C[0] @= c_i[0]
-        C[1] @= c_i[1]
-
-    M = decrypt(C, x, public_out=True)
-    T, t = group.identity, 0  # T = g^t
-    while T != M:
-        T, t = T @ g, t+1
-    print(f'Referendum result: {t} "yes" / {len(c) - t} "no"')
-    assert (g^t) == M
+    tally = (functools.reduce(operator.matmul, (b[0] for b in ballots)),
+             functools.reduce(operator.matmul, (b[1] for b in ballots)))
+    M = decrypt(tally, x, public_out=True)
+    yes = discrete_log_small(g, M)
+    print(f'Referendum result: {yes} "yes" / {len(ballots) - yes} "no"')
+    assert (g^yes) == M
 
 
 def crypt_cycle(secgrp, m, public_out=True):
-    """Encrypt/decrypt cycle for small message m."""
+    """Encrypt/decrypt cycle for small message m (party 0 encrypts)."""
     group = secgrp.group
     g = group.generator
     x, h = keygen(g)
 
+    pair = None
     if mpc.pid == 0:
         M, Z = group.encode(m)
-        C = (encrypt(g, h, M), encrypt(g, h, Z))
-    else:
-        C = None
-    C = mpc.transfer(C, senders=0)
+        pair = (encrypt(g, h, M), encrypt(g, h, Z))
+    C_M, C_Z = mpc.transfer(pair, senders=0)
 
-    C_M, C_Z = C
     M = decrypt(C_M, x, public_out=public_out)
     Z = decrypt(C_Z, x, public_out=public_out)
-    if public_out:
-        return group.decode(M, Z)
+    codec = group if public_out else secgrp
+    return codec.decode(M, Z)
 
-    return secgrp.decode(M, Z)
+
+def select_group(args):
+    small = args.no_public_output
+    if args.group == 2 and small:
+        random.seed(a=1234, version=2)   # deterministic DGS curve search
+    makers = {
+        1: lambda: mpc.SecEllipticCurve('secp256k1', 'projective'),
+        2: lambda: mpc.SecHyperellipticCurve('DGS', l=32) if small
+        else mpc.SecHyperellipticCurve('kummer1271'),
+        3: lambda: mpc.SecSchnorrGroup(l=1024),
+        4: lambda: mpc.SecQuadraticResidues(l=2048),
+        5: lambda: mpc.SecClassGroup(l=32 if small else 1024),
+    }
+    return makers[args.group]()
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('-g', '--group', type=int, metavar='G', default=1,
                         help='1=EC (default), 2=HC, 3=SG, 4=QR, 5=Cl')
-    parser.add_argument('-b', '--batch-size', type=int, metavar='B', default=1)
+    parser.add_argument('-b', '--batch-size', type=int, metavar='B',
+                        default=1)
     parser.add_argument('-o', '--offset', type=int, metavar='O', default=0)
     parser.add_argument('--no-public-output', action='store_true',
                         help='secret-shared message upon decryption')
     args, _ = parser.parse_known_args()
 
     mpc.run(mpc.start())
-    if args.group == 1:
-        secgrp = mpc.SecEllipticCurve('secp256k1', 'projective')
-    elif args.group == 2:
-        if args.no_public_output:
-            random.seed(a=1234, version=2)
-            secgrp = mpc.SecHyperellipticCurve('DGS', l=32)
-        else:
-            secgrp = mpc.SecHyperellipticCurve('kummer1271')
-    elif args.group == 3:
-        secgrp = mpc.SecSchnorrGroup(l=1024)
-    elif args.group == 4:
-        secgrp = mpc.SecQuadraticResidues(l=2048)
-    elif args.group == 5:
-        if args.no_public_output:
-            secgrp = mpc.SecClassGroup(l=32)
-        else:
-            secgrp = mpc.SecClassGroup(l=1024)
+    secgrp = select_group(args)
     print(f'Using secure group: {secgrp.__name__}')
 
     print('Boardroom election')
@@ -156,8 +153,8 @@ def main():
 
     print('Encryption/decryption tests')
     print('---------------------------')
-    for m in range(args.batch_size):
-        m += 1 + args.offset
+    for i in range(args.batch_size):
+        m = 1 + args.offset + i
         print(f'Plaintext sent: {m}')
         p = crypt_cycle(secgrp, m, not args.no_public_output)
         if args.no_public_output:

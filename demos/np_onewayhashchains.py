@@ -8,120 +8,65 @@ secure 128-bit GF(2) vector, evaluated entirely on secret-shared bits (24
 batched 1600-bit secure multiplications per hash).
 
 The chain x0, f(x0), ..., f^(n-1)(x0) of length n = 2^k is generated
-forward and revealed in reverse with Jakobsson-style optimal binary
-pebbling (k/2 hashes per output round, k states stored); upcoming chain
-elements remain secret.
+forward and revealed in reverse with optimal binary pebbling (about k/2
+hashes per output round, O(k) states stored — demos/pebbling.py holds the
+scheduler shared with onewayhashchains.py).
 
-Usage: python demos/np_onewayhashchains.py [-M m] [-k K] [--recursive]
+Usage: python demos/np_onewayhashchains.py [-M m] [-k K] [--eager]
          [--sha3] [--no-one-way] [--no-random-seed]
 """
 import argparse
-import itertools
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-import numpy as np
-
 from mpyc_tpu.runtime import mpc
-import aes    # secure (4, 4) arrays over GF(2^8)
-import sha3   # secure bit arrays over GF(2)
-
-f = None  # the one-way function, set in main()
-
-
-def tS(k, r):
-    """Hash counts of the optimal binary pebbling schedule."""
-    if r < 2**(k-1):
-        return 0
-
-    return ((k + r) % 2 + k+1
-            - ((2*r) % (2**(2**k - r).bit_length())).bit_length()) // 2
+import aes       # secure (4, 4) arrays over GF(2^8)
+import sha3      # secure bit arrays over GF(2)
+import pebbling
 
 
-def P(k, x):
-    """Recursive optimal binary pebbler: yields f^i(x), i=n-1..0, n=2^k."""
-    y = [None]*k + [x]
-    i = k
-    g = 0
-    for r in range(1, 2**k):
-        for _ in range(tS(k, r)):
-            z = y[i]
-            if g == 0:
-                i -= 1
-                g = 2**i
-            y[i] = f(z)
-            g -= 1
-        yield None
-    yield y[0]
-    for v in itertools.zip_longest(*(P(i-1, y[i]) for i in range(1, k+1))):
-        yield next(filter(lambda a: a is not None, v))
-
-
-def p(k, x):
-    """Iterative optimal binary pebbler: yields f^i(x), i=n-1..0, n=2^k."""
-    z = []
-    y = x
-    for h in range(2**k, 1, -1):
-        if h & (h-1) == 0:
-            z.insert(0, y)
-        y = f(y)
-        yield None
-    yield y
-    a = [None] * (k >> 1)
-    v = 0
-    for r in range(2**k - 1, 0, -1):
-        yield z[0]
-        c = r
-        i = 0
-        while ~c & 1:
-            z[i] = z[i+1]
-            i += 1
-            c >>= 1
-        i += 1
-        c >>= 1
-        if c & 1:
-            a[v] = (i, 0)
-            v += 1
-        u = v
-        w = (r & 1) + i+1
-        while c:
-            while ~c & 1:
-                w += 1
-                c >>= 1
-            u -= 1
-            q, g = a[u]
-            for _ in range(w//2):
-                y = z[q]
-                if not g:
-                    q -= 1
-                    g = 2**q
-                z[q] = f(y)
-                g -= 1
-            if q:
-                a[u] = q, g
-            else:
-                v -= 1
-            w = w & 1
-            while c & 1:
-                w += 1
-                c >>= 1
-
-
-def xprint_aes(text, state):
+def open_hex_aes(label, state):
     """Open a secure AES state and print it as a hex string."""
     out = mpc.run(mpc.output(state, raw=True))
-    vals = [int(v) for v in out.value.T.reshape(-1)]
-    print(text, bytes(vals).hex())
+    print(label, bytes(int(v) for v in out.value.T.reshape(-1)).hex())
+
+
+def build_f(args):
+    """One-way function over the selected secure representation."""
+    if args.no_one_way:
+        if args.sha3:
+            import numpy as np
+            return lambda x: np.roll(x, 1)
+        return lambda x: mpc.np_roll(x * 3, 1, axis=0)
+    if args.sha3:
+        return lambda x: sha3.shake(x, 128)
+    iv = mpc.np_fromlist([aes.secfld(3)] * 16).reshape(4, 4)
+    round_keys = aes.key_expansion(iv)
+    return lambda x: aes.encrypt(round_keys, x) + x
+
+
+def build_seed(args, secfld):
+    """Fixed IV or 128 jointly random secret bits, in the chosen shape."""
+    if args.no_random_seed:
+        if args.sha3:
+            bits = sha3.bytes_to_bits(bytes([3] * 16))
+            return mpc.input(secfld.array(bits), senders=0)
+        return mpc.np_fromlist([secfld(3)] * 16).reshape(4, 4)
+    bits = mpc.np_random_bits(secfld, 128)
+    if args.sha3:
+        return bits
+    return mpc.np_from_bits(bits.reshape(4, 4, 8))
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('-k', '--order', type=int, metavar='K', default=1,
                         help='order K of hash chain, length n=2**K')
-    parser.add_argument('--recursive', action='store_true',
-                        help='use recursive pebbler')
+    parser.add_argument('--eager', '--recursive', action='store_true',
+                        dest='eager',
+                        help='use the simple speed-1 pebbling schedule')
     parser.add_argument('--sha3', action='store_true',
                         help='use SHAKE128 as one-way function')
     parser.add_argument('--no-one-way', action='store_true',
@@ -132,49 +77,26 @@ def main():
 
     mpc.run(mpc.start())
 
-    Pebbler = P if args.recursive else p
-
     secfld = sha3.secfld if args.sha3 else aes.secfld
-    IV = np.array([[3] * 4] * 4)  # IV as 4x4 array of bytes
-
-    global f
-    if args.no_one_way:
-        if args.sha3:
-            f = lambda x: np.roll(x, 1)
-        else:
-            f = lambda x: mpc.np_roll(x * 3, 1, axis=0)
-    elif args.sha3:
-        f = lambda x: sha3.shake(x, 128)
-    else:
-        K = aes.key_expansion(
-            mpc.np_fromlist([aes.secfld(3)] * 16).reshape(4, 4))
-        f = lambda x: aes.encrypt(K, x) + x
-
-    if args.no_random_seed:
-        if args.sha3:
-            # 4x4 array of bytes -> length-128 bit vector (LSB first)
-            bits = sha3.bytes_to_bits(bytes(int(b) for b in IV.flat))
-            x0 = mpc.input(secfld.array(bits), senders=0)
-        else:
-            x0 = mpc.np_fromlist([secfld(3)] * 16).reshape(4, 4)
-    else:
-        x0 = mpc.np_random_bits(secfld, 128)
-        if not args.sha3:
-            # length-128 bit vector -> 4x4 array of GF(2^8) bytes
-            x0 = mpc.np_from_bits(x0.reshape(4, 4, 8))
-
-    xprint = (lambda t, s: sha3.xprint(t, s)) if args.sha3 else xprint_aes
+    f = build_f(args)
+    x0 = build_seed(args, secfld)
+    open_hex = sha3.xprint if args.sha3 else open_hex_aes
 
     k = args.order
-    print(f'Hash chain of length {2**k}:')
-    r = 1
-    for v in Pebbler(k, x0):
-        if v is None:  # initial stage
-            print(f'{r:4}', '-')
-        else:          # output stage
-            xprint(f'{r:4} x{2**(k+1) - 1 - r:<4} =', v)
-        r += 1
-    print(f'Performed {k * 2**(k-1)} hashes in total.')
+    n = 1 << k
+    make = pebbling.reverse_chain_eager if args.eager \
+        else pebbling.reverse_chain
+
+    print(f'Hash chain of length {n}:')
+    reversal = make(k, x0, f)
+    for rnd, value in enumerate(reversal, start=1):
+        if value is None:
+            print(f'{rnd:4} -')                 # forward stage
+        else:
+            open_hex(f'{rnd:4} x{2 * n - 1 - rnd:<4} =', value)
+    stats = reversal.stats
+    print(f'Performed {stats.total} hashes in total '
+          f'(peak {stats.round_peak} in one round).')
 
     mpc.run(mpc.shutdown())
 
