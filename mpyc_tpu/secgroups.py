@@ -4,7 +4,8 @@ Capability parity target: /root/reference/mpyc/secgroups.py (945 LoC).
 Secure counterparts for every mpyc_tpu.fingroups family:
 
   * symmetric groups       — permutation tuples of secure field elements,
-    composed via oblivious secret-index reads (seclist)
+    composed through secret one-hot matrices (unit-vector rows), which
+    also makes inversion LOCAL once the rows exist
   * quadratic residues / Schnorr groups — one secure field element
   * elliptic curves        — coordinate tuples; the *same* exception-free
     curve formulas from fingroups run verbatim on secure coordinates
@@ -16,11 +17,18 @@ Secure counterparts for every mpyc_tpu.fingroups family:
   * class groups           — forms over secure integers with the
     Agarwal--Frandsen division-free reduction loop
 
-plus the three secure exponentiation protocols (secgroups.py:264-313):
-secret base/secret exponent (bit ladder), public base/secret exponent
-(Lagrange-local exponentiations combined with log-depth reduce), and
-public base/public output (multi-exponentiation over opened local
-exponents via transfer).
+plus the three secure exponentiation protocols (reference
+secgroups.py:264-313): secret base/secret exponent (MSB-first oblivious
+double-and-multiply ladder), public base/secret exponent (Lagrange-local
+exponentiations combined with a log-depth reduce), and public base/public
+output (multi-exponentiation over opened local exponents via transfer).
+
+Structural notes (deltas from the reference implementation): the share
+payload plumbing (construction, set_share, indexing, if_else, I/O hooks)
+lives ONCE in the base class, driven by a per-family `_slots_count`;
+operator overloading is grouped by trait guards; and the symmetric-group
+protocols are expressed through one-hot matrices instead of oblivious
+list writes.
 """
 
 import functools
@@ -32,14 +40,18 @@ from mpyc_tpu import fingroups as fg
 from mpyc_tpu.thresha import _recombination_vector
 from mpyc_tpu.sectypes import SecureObject, SecureFiniteField, SecureInteger
 from mpyc_tpu.secpols import secpoly
-from mpyc_tpu.seclists import seclist
 import mpyc_tpu.mpctools as mpctools
 
 runtime = None
 
 
 class SecureFiniteGroup(SecureObject):
-    """Abstract base class for secure finite group elements."""
+    """Abstract base class for secure finite group elements.
+
+    Subclasses set `group` (the plain fingroups class), `sectype` (the
+    secure number type of the share components) and `_slots_count`
+    (None for single-component shares, else the tuple width).
+    """
 
     __slots__ = ()
 
@@ -47,22 +59,85 @@ class SecureFiniteGroup(SecureObject):
     sectype: type
     identity = None
 
-    def __matmul__(self, other):
+    # -- share payload plumbing (shared by all families) -----------------
+
+    @classmethod
+    def _slots_count(cls):
+        """Number of share components; None means a single bare share."""
+        return None
+
+    @classmethod
+    def _as_component(cls, v):
+        return v if isinstance(v, cls.sectype) else cls.sectype(v)
+
+    def __init__(self, value=None):
         cls = type(self)
-        if self is other:
-            return cls.operation2(self)
+        if isinstance(value, cls.group):
+            value = value.value
+        width = cls._slots_count()
+        if width is None:
+            super().__init__(cls._as_component(value))
+            return
+        if value is None:
+            value = (None,) * width
+        elif not (isinstance(value, (tuple, list)) and len(value) == width):
+            raise ValueError(f'tuple/list of length {width} required')
+        super().__init__(tuple(cls._as_component(v) for v in value))
 
+    def set_share(self, value):
+        if isinstance(self.share, tuple):
+            for mine, new in zip(self.share, value):
+                mine.set_share(new.share)
+        else:
+            self.share.set_share(value.share)
+
+    def __getitem__(self, key):
+        if not isinstance(self.share, tuple):
+            raise TypeError('not an indexable secure group element')
+        return self.share[key]
+
+    @classmethod
+    def _components(cls, a):
+        """Secure components of a's share, as a flat list."""
+        if isinstance(a.share, tuple):
+            return list(a.share)
+        return [a.share]
+
+    @classmethod
+    def _rebuild(cls, parts):
+        """Inverse of _components for freshly produced shares."""
+        if cls._slots_count() is None:
+            return cls(parts[0])
+        return cls(tuple(parts))
+
+    # -- coercion and trait guards ---------------------------------------
+
+    def _lift(self, other):
+        cls = type(self)
         if isinstance(other, cls.group):
-            other = cls(other)
-        elif not isinstance(other, cls):
-            return NotImplemented
+            return cls(other)
+        if isinstance(other, cls):
+            return other
+        return None
 
-        return cls.operation(self, other)
+    def _trait(self, name):
+        if not getattr(self.group, name):
+            kind = name.split('_', 1)[1]
+            raise TypeError(f'group not {kind}')
+
+    # -- operator overloading --------------------------------------------
+
+    def __matmul__(self, other):
+        if other is self:
+            return type(self).operation2(self)
+        peer = self._lift(other)
+        if peer is None:
+            return NotImplemented
+        return type(self).operation(self, peer)
 
     def __rmatmul__(self, other):
         if not isinstance(other, self.group):
             return NotImplemented
-
         return type(self).operation(type(self)(other), self)
 
     def __invert__(self):
@@ -72,94 +147,66 @@ class SecureFiniteGroup(SecureObject):
         return type(self).repeat(self, other)
 
     def __add__(self, other):
-        if not self.group.is_additive:
-            raise TypeError('group not additive')
-
-        return type(self).__matmul__(self, other)
+        self._trait('is_additive')
+        return self.__matmul__(other)
 
     def __radd__(self, other):
-        if not self.group.is_additive:
-            raise TypeError('group not additive')
-
-        return type(self).__rmatmul__(self, other)
+        self._trait('is_additive')
+        return self.__rmatmul__(other)
 
     def __neg__(self):
-        if not self.group.is_additive:
-            raise TypeError('group not additive')
-
-        return type(self).__invert__(self)
+        self._trait('is_additive')
+        return self.__invert__()
 
     def __sub__(self, other):
-        if not self.group.is_additive:
-            raise TypeError('group not additive')
-
-        other = type(other).__invert__(other)
-        return type(self).__matmul__(self, other)
+        self._trait('is_additive')
+        return self.__matmul__(~other)
 
     def __rsub__(self, other):
-        if not self.group.is_additive:
-            raise TypeError('group not additive')
-
-        a = type(self).__invert__(self)
-        return type(self).__rmatmul__(a, other)
+        self._trait('is_additive')
+        return (~self).__rmatmul__(other)
 
     def __mul__(self, other):
-        if self.group.is_multiplicative:
-            return type(self).__matmul__(self, other)
-
         if self.group.is_additive:
             return NotImplemented
-
-        raise TypeError('* not defined for group')
+        self._trait('is_multiplicative')
+        return self.__matmul__(other)
 
     def __rmul__(self, other):
-        if self.group.is_multiplicative:
-            if self.group.is_abelian:
-                return type(self).__matmul__(self, other)
-
-            return type(self).__matmul__(type(self)(other), self)
-
         if self.group.is_additive:
-            return type(self).__xor__(self, other)
-
-        raise TypeError('* not defined for group')
+            return self.__xor__(other)
+        self._trait('is_multiplicative')
+        if self.group.is_abelian:
+            return self.__matmul__(other)
+        return type(self)(other).__matmul__(self)
 
     def __truediv__(self, other):
-        if not self.group.is_multiplicative:
-            raise TypeError('group not multiplicative')
-
-        other = type(other).__invert__(other)
-        return type(self).__matmul__(self, other)
+        self._trait('is_multiplicative')
+        return self.__matmul__(~other)
 
     def __rtruediv__(self, other):
-        if not self.group.is_multiplicative:
-            raise TypeError('group not multiplicative')
-
-        a = type(self).__invert__(self)
-        if isinstance(other, int) and other == 1:
-            return a
-
-        return type(self).__rmatmul__(a, other)
+        self._trait('is_multiplicative')
+        inv = ~self
+        if other == 1 and isinstance(other, int):
+            return inv
+        return inv.__rmatmul__(other)
 
     def __pow__(self, other):
-        if not self.group.is_multiplicative:
-            raise TypeError('group not multiplicative')
-
-        return type(self).__xor__(self, other)
+        self._trait('is_multiplicative')
+        return self.__xor__(other)
 
     def __eq__(self, other):
-        secgrp = type(self)
-        if isinstance(other, self.group):
-            other = secgrp(other)
-        elif not isinstance(other, secgrp):
+        peer = self._lift(other)
+        if peer is None:
             return NotImplemented
-
-        return secgrp.equality(self, other)
+        return type(self).equality(self, peer)
 
     def __ne__(self, other):
         return 1 - self.__eq__(other)
 
     __hash__ = None
+
+    # -- family-specific protocol surface --------------------------------
 
     @classmethod
     def operation(cls, a, b, /):
@@ -168,7 +215,7 @@ class SecureFiniteGroup(SecureObject):
 
     @classmethod
     def operation2(cls, a, /):
-        """Return a @ a."""
+        """Return a @ a (override when squaring has a faster formula)."""
         return cls.operation(a, a)
 
     @classmethod
@@ -185,84 +232,70 @@ class SecureFiniteGroup(SecureObject):
         """Inverse of self (convenience method)."""
         return self.inversion(self)
 
-    @classmethod
-    def _flat(cls, a):
-        """Elementary share list of one secure group element."""
-        if isinstance(a.share, tuple):
-            return list(a.share)
-
-        return [a.share]
+    # -- generic runtime hooks -------------------------------------------
 
     @classmethod
     def _input(cls, x, senders):
-        """Input hook: share the elementary values per sender."""
-        is_tuple = isinstance(x[0].share, tuple)
-        if is_tuple:
-            r = len(x[0].share)
-            flat = [c for a in x for c in a.share]
-        else:
-            flat = [a.share for a in x]
-        shares = runtime.input(flat, senders)
+        """Input hook: share all elementary components per sender."""
+        width = len(x[0].share) if isinstance(x[0].share, tuple) else None
+        flat = [c for a in x for c in cls._components(a)]
+        per_sender = runtime.input(flat, senders)
         out = []
-        for s in shares:
-            if is_tuple:
-                s = [tuple(s[i:i + r]) for i in range(0, len(s), r)]
-            out.append([cls(v) for v in s])
+        for shares in per_sender:
+            if width is None:
+                out.append([cls(s) for s in shares])
+            else:
+                grouped = (tuple(shares[i:i + width])
+                           for i in range(0, len(shares), width))
+                out.append([cls(g) for g in grouped])
         return out
 
     @classmethod
     def _output(cls, x, receivers, threshold):
-        """Output hook: open the elementary values, rebuild group elts."""
-        is_tuple = isinstance(x[0].share, tuple)
-        if is_tuple:
-            r = len(x[0].share)
-            flat = [c for a in x for c in a.share]
-        else:
-            flat = [a.share for a in x]
-        y = runtime.output(flat, receivers, threshold)
-        if y[0] is None:
+        """Output hook: open all components, rebuild plain group elts."""
+        width = len(x[0].share) if isinstance(x[0].share, tuple) else None
+        flat = [c for a in x for c in cls._components(a)]
+        opened = runtime.output(flat, receivers, threshold)
+        if opened[0] is None:
             return [None] * len(x)
-
         if issubclass(cls, SecureSymmetricGroupElement):
-            y = list(map(int, y))
-        if is_tuple:
-            y = [y[i:i + r] for i in range(0, len(y), r)]
-        return [cls.group(a, check=False) for a in y]
+            opened = [int(v) for v in opened]
+        if width is None:
+            vals = opened
+        else:
+            vals = [opened[i:i + width]
+                    for i in range(0, len(opened), width)]
+        return [cls.group(v, check=False) for v in vals]
 
     @classmethod
     def if_else(cls, c, a, b):
         """Secure selection between group elements a, b by condition c."""
         if not isinstance(c, cls.sectype):
             c = runtime.convert(c, cls.sectype)
-        if not isinstance(a, SecureObject):
-            a = cls(a)
-        if not isinstance(b, SecureObject):
-            b = cls(b)
+        a = a if isinstance(a, SecureObject) else cls(a)
+        b = b if isinstance(b, SecureObject) else cls(b)
         if isinstance(a.share, tuple):
-            a = [v.share for v in a.share]
-            b = [v.share for v in b.share]
-        else:
-            a = a.share
-            b = b.share
-        return cls(runtime.if_else(c, a, b))
+            picked = runtime.if_else(c, [p.share for p in a.share],
+                                     [p.share for p in b.share])
+            return cls(tuple(picked))
+        return cls(runtime.if_else(c, a.share, b.share))
+
+    # -- exponentiation dispatch -----------------------------------------
 
     @classmethod
     def repeat(cls, a, x):
-        """Return the x-th @-power of a: any mix of public/secret base a
-        and public/secret integral exponent x."""
-        if (isinstance(a, (SecureQuadraticResidue, SecureSchnorrGroupElement))
-                and isinstance(x, int)):
-            return type(a)(a.share**x)  # fast field exponentiation
-
+        """The x-th @-power of a: any mix of public/secret base a and
+        public/secret integral exponent x."""
+        if isinstance(x, int) and isinstance(a, _SecureFieldUnitGroup):
+            return type(a)(a.share ** x)    # fast field exponentiation
         if isinstance(x, (int, FiniteFieldElement)):
-            # public exponent: plain binary ladder over secure operations
+            # public exponent: the group's own binary ladder runs fine on
+            # secure operations
             return type(a).group.repeat(a, x)
-
-        if not isinstance(a, SecureObject):
-            assert isinstance(x, (SecureFiniteField, SecureInteger))
-            return repeat_public_base_secret_output(a, x, cls)
-
-        return repeat_secret_base_secret_output(a, x, cls)
+        if isinstance(a, SecureObject):
+            return _ladder_secret_base(a, x, cls)
+        assert isinstance(x, (SecureFiniteField, SecureInteger))
+        return repeat_public_base_secret_output(a, x, cls)
 
     @classmethod
     def repeat_public(cls, a, x):
@@ -270,18 +303,27 @@ class SecureFiniteGroup(SecureObject):
         return repeat_public_base_public_output(a, x)
 
 
-def repeat_secret_base_secret_output(a, x, secgrp):
-    """[a]^[x] -> [a^x]: oblivious square-and-multiply over the bits of x."""
-    x = runtime.to_bits(x)
-    b = a
-    c = secgrp.if_else(x[0], a, secgrp.identity)
-    for x_i in x[1:]:
-        b = b @ b
-        c = secgrp.if_else(x_i, c @ b, c)
-    return c
+def _ladder_secret_base(a, x, secgrp):
+    """[a]^[x] -> [a^x]: MSB-first oblivious double-and-multiply.
+
+    The accumulator squares every step and a conditional multiplication by
+    the (secret) base folds in each exponent bit — 2 group operations plus
+    one selection per bit, like the reference's LSB-first variant
+    (secgroups.py:264-272) with the roles of the two chains swapped.
+    """
+    bits = runtime.to_bits(x)
+    acc = secgrp.if_else(bits[-1], a, secgrp.identity)
+    for b in reversed(bits[:-1]):
+        acc = acc @ acc
+        acc = secgrp.if_else(b, acc @ a, acc)
+    return acc
 
 
-def _local_exponents(x, pid=None):
+# keep the reference-parity public name for the protocol
+repeat_secret_base_secret_output = _ladder_secret_base
+
+
+def _lagrange_exponents(x, pid=None):
     """Party pid's Lagrange-weighted share(s) of x as public integers
     (pid defaults to the own pid; on the co-located simulator plane any
     party's local exponent can be extracted from the stacked share)."""
@@ -291,115 +333,109 @@ def _local_exponents(x, pid=None):
     m = len(runtime.parties)
     if pid is None:
         pid = runtime.pid
-    if m == 1:
-        lambda_i = field(1)
-    else:
-        lambda_i = _recombination_vector(field, range(1, m+1), 0)[pid]
+    lam = field(1) if m == 1 else \
+        _recombination_vector(field, range(1, m + 1), 0)[pid]
     sim = getattr(runtime, 'is_simulator', False)
-    es = []
+    out = []
     for xi in x:
         sh = runtime._share(xi)
         if sim:
             v = field(int(_np.asarray(sh.value).reshape(-1)[pid]))
         else:
             v = field(int(sh.value[()]))
-        e_i = int(lambda_i * v)  # signed representative iff field.is_signed
+        e = int(lam * v)    # signed representative iff field.is_signed
         if isinstance(xi, SecureFiniteField) and xi.subfield is not None:
-            e_i %= field.characteristic
-        es.append(e_i)
-    return es
+            e %= field.characteristic
+        out.append(e)
+    return out
+
+
+_local_exponents = _lagrange_exponents  # parity alias
 
 
 def repeat_public_base_secret_output(a, x, secgrp):
     """a^[x] -> [a^x]: each party exponentiates by its Lagrange-local
     exponent and inputs the result; a log-depth reduce combines them
     (reference: secgroups.py:275-291)."""
+    group = secgrp.group
     if getattr(runtime, 'is_simulator', False):
-        m = len(runtime.parties)
-        c = [runtime.input(
-                secgrp(secgrp.group.repeat(a, _local_exponents([x], p)[0])),
-                senders=p) for p in range(m)]
-        return mpctools.reduce(secgrp.operation, c)
-    e_i = _local_exponents([x])[0]
-    c_i = secgrp.group.repeat(a, e_i)
-    c = runtime.input(secgrp(c_i))
-    return mpctools.reduce(secgrp.operation, c)
+        contribs = [
+            runtime.input(
+                secgrp(group.repeat(a, _lagrange_exponents([x], p)[0])),
+                senders=p)
+            for p in range(len(runtime.parties))]
+    else:
+        mine = group.repeat(a, _lagrange_exponents([x])[0])
+        contribs = runtime.input(secgrp(mine))
+    return mpctools.reduce(secgrp.operation, contribs)
 
 
 def repeat_public_base_public_output(a, x):
     """Multi-exponentiation prod a_j^x_j with public output
     (reference: secgroups.py:294-313)."""
-    if not isinstance(a, list):
-        a, x = [a], [x]
-    group = type(a[0])
+    bases = a if isinstance(a, list) else [a]
+    exps = x if isinstance(a, list) else [x]
+    group = type(bases[0])
+
+    def local(pid=None):
+        es = _lagrange_exponents(exps, pid)
+        return functools.reduce(group.operation,
+                                map(group.repeat, bases, es))
+
     if getattr(runtime, 'is_simulator', False):
-        m = len(runtime.parties)
-        cs = [functools.reduce(group.operation,
-                               map(group.repeat, a, _local_exponents(x, p)))
-              for p in range(m)]
-        return functools.reduce(group.operation, cs)
-    e_i = _local_exponents(x)
-    c_i = functools.reduce(group.operation, map(group.repeat, a, e_i))
-    c = runtime.transfer(c_i)
-    return functools.reduce(group.operation, c)
+        parts = [local(p) for p in range(len(runtime.parties))]
+    else:
+        parts = runtime.transfer(local())
+    return functools.reduce(group.operation, parts)
 
 
 class SecureSymmetricGroupElement(SecureFiniteGroup):
-    """Secure permutations: tuples of secure field elements."""
+    """Secure permutations: tuples of secure field elements.
+
+    Protocols run through secret ONE-HOT MATRICES: row i of hot(p) is the
+    unit vector at p[i].  Composition contracts q against the rows;
+    inversion weights the rows by their position (local once the rows
+    exist) — a different construction from the reference's oblivious
+    list reads/writes (secgroups.py:335-370)."""
 
     __slots__ = ()
 
-    def __init__(self, value=None):
-        n = self.group.degree
-        if value is None:
-            value = [None] * n
-        elif isinstance(value, self.group):
-            value = value.value
-        elif not (isinstance(value, (tuple, list)) and len(value) == n):
-            raise ValueError(f'tuple/list of length {n} required')
+    @classmethod
+    def _slots_count(cls):
+        return cls.group.degree
 
-        secfld = self.sectype
-        value = tuple(v if isinstance(v, secfld) else secfld(v) for v in value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        for a, b in zip(self.share, value):
-            a.set_share(b.share)
+    @classmethod
+    def _onehot_rows(cls, p):
+        n = cls.group.degree
+        return [runtime.unit_vector(entry, n) for entry in p.share]
 
     @classmethod
     def operation(cls, p, q, /):
-        """First p then q: oblivious reads q[p[i]]."""
-        q = seclist(q.share)
-        return cls(tuple(q[j] for j in p.share))
+        """First p then q: r[i] = q[p[i]] = <hot(p)[i], q>."""
+        rows = cls._onehot_rows(p)
+        qs = list(q.share)
+        return cls(tuple(runtime.in_prod(row, qs) for row in rows))
 
     @classmethod
     def inversion(cls, p, /):
-        n = len(p.share)
-        q = seclist(p.share)  # dummy of the right type
-        for i in range(n):
-            q[p.share[i]] = i
-        return cls(tuple(q))
+        """inverse[j] = sum_i i * hot(p)[i][j] — LOCAL given the rows
+        (the weights i are public)."""
+        rows = cls._onehot_rows(p)
+        acc = runtime.scalar_mul(len(rows) - 1, rows[-1])
+        for i, row in enumerate(rows[1:-1], start=1):
+            acc = runtime.vector_add(acc, runtime.scalar_mul(i, row))
+        return cls(tuple(acc))
 
     @classmethod
     def equality(cls, p, q, /):
-        return seclist(p.share) == seclist(q.share)
+        return runtime.all([u == v for u, v in zip(p.share, q.share)])
 
 
-class SecureQuadraticResidue(SecureFiniteGroup):
-    """Secure quadratic residues: one secure field element."""
+class _SecureFieldUnitGroup(SecureFiniteGroup):
+    """Shared machinery for groups living inside one prime field
+    (quadratic residues, Schnorr groups): one secure field element."""
 
     __slots__ = ()
-
-    def __init__(self, value=None):
-        if isinstance(value, self.group):
-            value = value.value
-        secfld = self.sectype
-        if not isinstance(value, secfld):
-            value = secfld(value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        self.share.set_share(value.share)
 
     @classmethod
     def operation(cls, a, b, /):
@@ -407,11 +443,17 @@ class SecureQuadraticResidue(SecureFiniteGroup):
 
     @classmethod
     def inversion(cls, a, /):
-        return cls(1/a.share)
+        return cls(1 / a.share)
 
     @classmethod
     def equality(cls, a, b, /):
         return a.share == b.share
+
+
+class SecureQuadraticResidue(_SecureFieldUnitGroup):
+    """Secure quadratic residues modulo a safe prime."""
+
+    __slots__ = ()
 
     @classmethod
     def decode(cls, M, Z, gap=128):
@@ -419,44 +461,19 @@ class SecureQuadraticResidue(SecureFiniteGroup):
         return (M.share - Z.share) / gap
 
 
-class SecureSchnorrGroupElement(SecureFiniteGroup):
-    """Secure Schnorr group elements: one secure field element."""
+class SecureSchnorrGroupElement(_SecureFieldUnitGroup):
+    """Secure Schnorr group elements."""
 
     __slots__ = ()
-
-    def __init__(self, value=None):
-        if isinstance(value, self.group):
-            value = value.value
-        secfld = self.sectype
-        if not isinstance(value, secfld):
-            value = secfld(value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        self.share.set_share(value.share)
-
-    @classmethod
-    def operation(cls, a, b, /):
-        return cls(a.share * b.share)
-
-    @classmethod
-    def inversion(cls, a, /):
-        return cls(1/a.share)
-
-    @classmethod
-    def equality(cls, a, b, /):
-        return a.share == b.share
 
     @classmethod
     def decode(cls, M, Z):
         """Decode message from M = g^m by bounded secure search."""
         g = cls.group.generator
-        h = cls.group.identity
-        x = [h]
-        for _ in range(15):
-            h = cls.group.operation(h, g)
-            x.append(h)
-        return runtime.find(x, M, bits=False)
+        powers = [cls.group.identity]
+        while len(powers) < 16:
+            powers.append(cls.group.operation(powers[-1], g))
+        return runtime.find(powers, M, bits=False)
 
 
 class SecureEllipticCurvePoint(SecureFiniteGroup):
@@ -465,59 +482,42 @@ class SecureEllipticCurvePoint(SecureFiniteGroup):
 
     __slots__ = ()
 
-    def __init__(self, value=None):
-        n = len(self.group.identity.value)
-        if value is None:
-            value = [None] * n
-        elif isinstance(value, self.group):
-            value = value.value
-        elif not (isinstance(value, (tuple, list)) and len(value) == n):
-            raise ValueError(f'tuple/list of length {n} required')
+    @classmethod
+    def _slots_count(cls):
+        return len(cls.group.identity.value)
 
-        secfld = self.sectype
-        value = tuple(v if isinstance(v, secfld) else secfld(v) for v in value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        for a, b in zip(self.share, value):
-            a.set_share(b.share)
-
-    def __getitem__(self, key):
-        return self.share[key]
+    @classmethod
+    def _via_group(cls, fn, *elts):
+        """Run a plain-group formula on secure coordinates."""
+        args = (cls.group(e.share, check=False) for e in elts)
+        return cls(fn(*args))
 
     @classmethod
     def operation(cls, a, b, /):
-        group = cls.group
-        c = group.operation(group(a.share, check=False),
-                            group(b.share, check=False))
-        return cls(c)
+        return cls._via_group(cls.group.operation, a, b)
 
     @classmethod
     def inversion(cls, a, /):
-        group = cls.group
-        c = group.inversion(group(a.share, check=False))
-        return cls(c)
+        return cls._via_group(cls.group.inversion, a)
 
     def normalize(self):
         """Convert to unique (affine) representation."""
         cls = type(self)
-        group = cls.group
-        if issubclass(group, fg.WeierstrassProjective):
+        if issubclass(cls.group, fg.WeierstrassProjective):
             secfld = cls.sectype
-            x, y, z = self
-            zis0 = z == 0
-            z_inv = 1 / (z + zis0)
-            c = runtime.if_else(zis0, [secfld(0), secfld(1)], [x, y])
-            c = runtime.scalar_mul(z_inv, c)
-            return cls(c + [1 - zis0])
-
-        c = group(self.share, check=False).normalize()
-        return cls(c)
+            x, y, z = self.share
+            at_infinity = z == 0
+            scale = 1 / (z + at_infinity)   # guard the 1/0
+            xy = runtime.scalar_mul(
+                scale, runtime.if_else(at_infinity,
+                                       [secfld(0), secfld(1)], [x, y]))
+            return cls(xy + [1 - at_infinity])
+        return cls._via_group(cls.group.normalize, self)
 
     @classmethod
     def equality(cls, a, b, /):
-        return runtime.all(u == v for u, v in
-                           zip(a.normalize().share, b.normalize().share))
+        pairs = zip(a.normalize().share, b.normalize().share)
+        return runtime.all(u == v for u, v in pairs)
 
     @classmethod
     def decode(cls, M, Z, gap=256):
@@ -531,26 +531,30 @@ class SecureHyperellipticCurveDivisor(SecureFiniteGroup):
 
     __slots__ = ()
 
-    def __init__(self, value=None):
-        if value is None:
-            pass
-        elif isinstance(value, self.group):
-            value = value.value
-        elif not (isinstance(value, (tuple, list)) and len(value) == 2):
-            raise ValueError('tuple/list of length 2 required')
+    @classmethod
+    def _slots_count(cls):
+        return 2
 
-        secfld = runtime.SecFld(self.group.field.modulus)
+    def __init__(self, value=None):
+        cls = type(self)
+        if isinstance(value, cls.group):
+            value = value.value
+        elif value is not None and not (isinstance(value, (tuple, list))
+                                        and len(value) == 2):
+            raise ValueError('tuple/list of length 2 required')
+        secfld = runtime.SecFld(cls.group.field.modulus)
+        genus = cls.group.genus
         if value is None:
-            value = (secpoly(None, sectype=secfld, shape=(self.group.genus+1,)),
-                     secpoly(None, sectype=secfld, shape=(self.group.genus,)))
+            value = (secpoly(None, sectype=secfld, shape=(genus + 1,)),
+                     secpoly(None, sectype=secfld, shape=(genus,)))
         else:
-            value = tuple(a if isinstance(a, secpoly) else secpoly(a, secfld)
-                          for a in value)
-        super().__init__(value)
+            value = tuple(v if isinstance(v, secpoly)
+                          else secpoly(v, secfld) for v in value)
+        SecureObject.__init__(self, value)
 
     def set_share(self, value):
-        for a, b in zip(self.share, value):
-            a.set_share(b.share)
+        for mine, new in zip(self.share, value):
+            mine.set_share(new.share)
 
     def __getitem__(self, key):
         return self.share[key]
@@ -561,42 +565,36 @@ class SecureHyperellipticCurveDivisor(SecureFiniteGroup):
         u, v = D
         poly = GFpX(cls.sectype.field.modulus)
         genus = cls.group.genus
-        steps = 1 if genus <= 2 else 2
-        for _ in range(steps):
-            c = u >> genus+1 == poly(0)
-            _u, _v = u, v
-            u_ = (cls.group.f - v**2) // u
-            z = u_ == poly(0)
-            u_ = secpoly.if_else(z, u_ + poly(1), u_)  # avoid division by 0
-            u, v = u_, (-v) % u_
-            c = c + z - c*z
-            u = secpoly.if_else(c, _u, u)
-            v = secpoly.if_else(c, _v, v)
-            u = u.truncate(genus + 3)
-            v = v.truncate(genus + 2)
-
-        u = u.truncate(genus + 1)
-        v = v.truncate(genus)
-        u = u.monic()
-        return u, v
+        for _ in range(1 if genus <= 2 else 2):
+            done = u >> genus + 1 == poly(0)
+            keep_u, keep_v = u, v
+            nxt = (cls.group.f - v ** 2) // u
+            vanished = nxt == poly(0)
+            nxt = secpoly.if_else(vanished, nxt + poly(1), nxt)  # no 1/0
+            u, v = nxt, (-v) % nxt
+            done = done + vanished - done * vanished
+            u = secpoly.if_else(done, keep_u, u).truncate(genus + 3)
+            v = secpoly.if_else(done, keep_v, v).truncate(genus + 2)
+        return u.truncate(genus + 1).monic(), v.truncate(genus)
 
     @classmethod
     def operation(cls, D1, D2, /):
+        """Cantor composition (general case) on secure polynomials."""
         u1, v1 = D1
         u2, v2 = D2
-        d, _, h2 = secpoly.gcdext(u1, u2)
-        d, h, h3 = secpoly.gcdext(d, v1 + v2)
-        h2 *= h
-        u = u1 * u2 // d**2
-        v = (v2 + (h2 * u2 * (v1 - v2) + h3 * (cls.group.f - v2**2)) // d) % u
+        g1, _, s2 = secpoly.gcdext(u1, u2)
+        d, t, s3 = secpoly.gcdext(g1, v1 + v2)
+        u = u1 * u2 // d ** 2
+        cross = (t * s2) * u2 * (v1 - v2) + s3 * (cls.group.f - v2 ** 2)
+        v = (v2 + cross // d) % u
         return cls(cls._reduce((u, v)))
 
     @classmethod
     def operation2(cls, D, /):
         u, v = D
-        d, _, h3 = secpoly.gcdext(u, v + v)
-        u = (u // d)**2
-        v = (v + h3 * ((cls.group.f - v**2) // d)) % u
+        d, _, s3 = secpoly.gcdext(u, v + v)
+        u = (u // d) ** 2
+        v = (v + s3 * ((cls.group.f - v ** 2) // d)) % u
         return cls(cls._reduce((u, v)))
 
     @classmethod
@@ -606,9 +604,8 @@ class SecureHyperellipticCurveDivisor(SecureFiniteGroup):
 
     @classmethod
     def equality(cls, D1, D2, /):
-        e0 = D1.share[0] == D2.share[0]
-        e1 = D1.share[1] == D2.share[1]
-        return e0 * e1
+        same = [D1.share[k] == D2.share[k] for k in (0, 1)]
+        return same[0] * same[1]
 
     @classmethod
     def decode(cls, M, Z):
@@ -623,24 +620,9 @@ class SecureHCDivisorCL(SecureFiniteGroup):
 
     __slots__ = ()
 
-    def __init__(self, value=None):
-        if value is None:
-            value = (None,) * 6
-        elif isinstance(value, self.group):
-            value = value.value
-        elif not (isinstance(value, (tuple, list)) and len(value) == 6):
-            raise ValueError('tuple/list of length 6 required')
-
-        secfld = runtime.SecFld(self.group.field.modulus)
-        value = tuple(v if isinstance(v, secfld) else secfld(v) for v in value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        for a, b in zip(self.share, value):
-            a.set_share(b.share)
-
-    def __getitem__(self, key):
-        return self.share[key]
+    @classmethod
+    def _slots_count(cls):
+        return 6
 
     @classmethod
     def operation(cls, D1, D2, /):
@@ -653,17 +635,18 @@ class SecureHCDivisorCL(SecureFiniteGroup):
 
     @classmethod
     def inversion(cls, D, /):
-        u1, u0, v1, v0, uu1, uu0 = D.share
-        return cls((u1, u0, -v1, -v0, uu1, uu0))
+        u1, u0, v1, v0, w1, w0 = D.share
+        return cls((u1, u0, -v1, -v0, w1, w0))
 
     @classmethod
     def equality(cls, D1, D2, /):
-        return runtime.all(a == b for a, b in zip(D1.share[:4], D2.share[:4]))
+        pairs = zip(D1.share[:4], D2.share[:4])
+        return runtime.all(a == b for a, b in pairs)
 
     @classmethod
     def decode(cls, M, Z):
         """Decode message from given group elements."""
-        return (M[0] - Z[0]) / (2*cls.group.gap)
+        return (M[0] - Z[0]) / (2 * cls.group.gap)
 
 
 class SecureClassGroupForm(SecureFiniteGroup):
@@ -672,50 +655,35 @@ class SecureClassGroupForm(SecureFiniteGroup):
 
     __slots__ = ()
 
-    def __init__(self, value=None):
-        if value is None:
-            value = [None] * 3
-        elif isinstance(value, self.group):
-            value = value.value
-        elif not (isinstance(value, (tuple, list)) and len(value) == 3):
-            raise ValueError('tuple/list of length 3 required')
-
-        secint = self.sectype
-        value = tuple(v if isinstance(v, secint) else secint(v) for v in value)
-        super().__init__(value)
-
-    def set_share(self, value):
-        for a, b in zip(self.share, value):
-            a.set_share(b.share)
-
-    def __getitem__(self, key):
-        return self.share[key]
+    @classmethod
+    def _slots_count(cls):
+        return 3
 
     @classmethod
     def _reduce(cls, f):
         """Secure reduction of form f, avoiding secure division in the
         main loop (Algorithm 3, Agarwal--Frandsen LATIN 2006)."""
 
-        def tm_action(m, f):
-            a, b, c = f
-            return [a, 2*m * a + b, m * (m * a + b) + c]
+        def shear(m, form):
+            a, b, c = form
+            return [a, 2 * m * a + b, m * (m * a + b) + c]
 
         a, b, c = f
         secint = cls.sectype
         len_b = secint.bit_length
         for _ in range((cls.group.discriminant.bit_length() + 1) // 2):
-            sgn_b = 1 - 2*runtime.sgn(b, l=len_b, LT=True)
+            sgn_b = 1 - 2 * runtime.sgn(b, l=len_b, LT=True)
             len_b -= 1
             sizeb = runtime._bit_length(sgn_b * b)
             sizea = runtime._bit_length(a)
             pow2 = sizeb[1] / sizea[1] / 2  # 2**(len(b) - len(a) - 1)
             m = -sgn_b * pow2
-            a, b, c = runtime.if_else(sgn_b * b > 2*a,
-                                      tm_action(m, (a, b, c)), [a, b, c])
+            a, b, c = runtime.if_else(sgn_b * b > 2 * a,
+                                      shear(m, (a, b, c)), [a, b, c])
             a, b, c = runtime.if_else(a > c, [c, -b, a], [a, b, c])
 
-        m, _ = runtime._divmod(a - b, 2*a)
-        a, b, c = tm_action(m, (a, b, c))
+        m, _ = runtime._divmod(a - b, 2 * a)
+        a, b, c = shear(m, (a, b, c))
         a, b, c = runtime.if_else(a > c, [c, -b, a], [a, b, c])
         b = runtime.if_else((b < 0) * (a == c), -b, b)
         b = runtime.if_else(b == -a, -b, b)
@@ -726,27 +694,26 @@ class SecureClassGroupForm(SecureFiniteGroup):
         """Shanks composition (Cohen, Algorithm 5.4.7) on secure forms."""
         a1, b1, _ = f1
         a2, b2, c2 = f2
-        s = (b1 + b2)/2
+        s = (b1 + b2) / 2
         l = type(a1).bit_length // 2
-        _d, _, y1 = runtime.gcdext(a1, a2, l=l)
-        d, x2, y2 = runtime.gcdext(s, _d, l=l)
-        v1 = a1 / d
-        v2 = a2 / d
+        g1, _, y1 = runtime.gcdext(a1, a2, l=l)
+        d, x2, y2 = runtime.gcdext(s, g1, l=l)
+        v1, v2 = a1 / d, a2 / d
         r = runtime._divmod(
-            runtime._divmod(y1*y2, v1)[1] * (s - b2) - x2 * c2, v1)[1]
-        a3 = v1*v2
-        b3 = b2 + 2*v2*r
-        c3 = (b3**2 - cls.group.discriminant) / (4*a3)
+            runtime._divmod(y1 * y2, v1)[1] * (s - b2) - x2 * c2, v1)[1]
+        a3 = v1 * v2
+        b3 = b2 + 2 * v2 * r
+        c3 = (b3 ** 2 - cls.group.discriminant) / (4 * a3)
         return cls(cls._reduce((a3, b3, c3)))
 
     @classmethod
     def operation2(cls, f, /):
         a, b, c = f  # a>0, b!=0, gcd(a,b)=1 since -discriminant is prime
         x2 = runtime.inverse(b, a, l=type(a).bit_length // 2)
-        _, r = runtime._divmod(x2*c, a)
-        a2 = a**2
-        b2 = b - 2*a*r
-        c2 = (b2**2 - cls.group.discriminant) / (4*a2)
+        _, r = runtime._divmod(x2 * c, a)
+        a2 = a ** 2
+        b2 = b - 2 * a * r
+        c2 = (b2 ** 2 - cls.group.discriminant) / (4 * a2)
         return cls(cls._reduce((a2, b2, c2)))
 
     @classmethod
@@ -757,9 +724,8 @@ class SecureClassGroupForm(SecureFiniteGroup):
 
     @classmethod
     def equality(cls, f1, f2, /):
-        v0 = f1.share[0] == f2.share[0]
-        v1 = f1.share[1] == f2.share[1]
-        return v0 * v1
+        same = [f1.share[k] == f2.share[k] for k in (0, 1)]
+        return same[0] * same[1]
 
     @classmethod
     def decode(cls, M, Z):
@@ -767,57 +733,58 @@ class SecureClassGroupForm(SecureFiniteGroup):
         return (M.share[0] - Z.share[0]) / cls.group.gap
 
 
+# family dispatch table: (fingroups base, secure base, sectype builder)
+def _family_table():
+    return [
+        (fg.SymmetricGroupElement, SecureSymmetricGroupElement,
+         lambda g: runtime.SecFld(min_order=g.degree)),
+        (fg.QuadraticResidue, SecureQuadraticResidue,
+         lambda g: runtime.SecFld(2 * g.order + 1)),
+        (fg.SchnorrGroupElement, SecureSchnorrGroupElement,
+         lambda g: runtime.SecFld(g.field.order)),
+        (fg.EllipticCurvePoint, SecureEllipticCurvePoint,
+         lambda g: runtime.SecFld(g.field.order)),
+        (fg.HCDivisorCL, SecureHCDivisorCL,
+         lambda g: runtime.SecFld(g.field.order)),
+        (fg.HyperellipticCurveDivisor, SecureHyperellipticCurveDivisor,
+         lambda g: runtime.SecFld(g.field.order)),
+        (fg.ClassGroupForm, SecureClassGroupForm,
+         lambda g: runtime.SecInt(g.bit_length + 3)),
+    ]
+
+
 @functools.cache
 def SecGrp(group):
     """Secure version of the given finite group type."""
-    if issubclass(group, fg.SymmetricGroupElement):
-        base = SecureSymmetricGroupElement
-        sectype = runtime.SecFld(min_order=group.degree)
-    elif issubclass(group, fg.QuadraticResidue):
-        base = SecureQuadraticResidue
-        sectype = runtime.SecFld(2*group.order + 1)
-    elif issubclass(group, fg.SchnorrGroupElement):
-        base = SecureSchnorrGroupElement
-        sectype = runtime.SecFld(group.field.order)
-    elif issubclass(group, fg.EllipticCurvePoint):
-        base = SecureEllipticCurvePoint
-        sectype = runtime.SecFld(group.field.order)
-        assert group.oblivious
-    elif issubclass(group, fg.HCDivisorCL):
-        base = SecureHCDivisorCL
-        sectype = runtime.SecFld(group.field.order)
-    elif issubclass(group, fg.HyperellipticCurveDivisor):
-        base = SecureHyperellipticCurveDivisor
-        sectype = runtime.SecFld(group.field.order)
-    elif issubclass(group, fg.ClassGroupForm):
-        base = SecureClassGroupForm
-        sectype = runtime.SecInt(group.bit_length + 3)
+    for plain_base, secure_base, mk_sectype in _family_table():
+        if issubclass(group, plain_base):
+            break
     else:
-        raise NotImplementedError
-
+        raise NotImplementedError(f'no secure version of {group.__name__}')
+    if issubclass(group, fg.EllipticCurvePoint):
+        assert group.oblivious, 'oblivious coordinates required'
     name = f'SecGrp({group.__name__})'
-    secgrp = type(name, (base,), {'__slots__': ()})
+    secgrp = type(name, (secure_base,), {'__slots__': ()})
     secgrp.__doc__ = 'Class of secret-shared finite group elements.'
     secgrp.group = group
-    secgrp.sectype = sectype
+    secgrp.sectype = mk_sectype(group)
     secgrp.identity = secgrp(group.identity)
     globals()[name] = secgrp
     return secgrp
 
 
-def _toSecGrpFunc(GroupFunc):
+def _mint_constructor(plain_factory):
     """Mint SecXxx(...) = SecGrp(Xxx(...)) convenience constructors."""
-    name = f'Sec{GroupFunc.__name__}'
-    sig = inspect.signature(GroupFunc)
+    name = f'Sec{plain_factory.__name__}'
 
-    def SecGrpFunc(*args, **kwargs):
-        return SecGrp(GroupFunc(*args, **kwargs))
+    def construct(*args, **kwargs):
+        return SecGrp(plain_factory(*args, **kwargs))
 
-    SecGrpFunc.__name__ = name
-    SecGrpFunc.__doc__ = (f'Secure version of {GroupFunc.__name__} from '
-                          f'mpyc_tpu.fingroups:\n\n{GroupFunc.__doc__}')
-    SecGrpFunc.__signature__ = sig
-    globals()[name] = SecGrpFunc
+    construct.__name__ = name
+    construct.__doc__ = (f'Secure version of {plain_factory.__name__} from '
+                         f'mpyc_tpu.fingroups:\n\n{plain_factory.__doc__}')
+    construct.__signature__ = inspect.signature(plain_factory)
+    globals()[name] = construct
 
 
 SecSymmetricGroup: type
@@ -826,6 +793,6 @@ SecSchnorrGroup: type
 SecEllipticCurve: type
 SecHyperellipticCurve: type
 SecClassGroup: type
-for _f in (fg.SymmetricGroup, fg.QuadraticResidues, fg.SchnorrGroup,
-           fg.EllipticCurve, fg.HyperellipticCurve, fg.ClassGroup):
-    _toSecGrpFunc(_f)
+for _factory in (fg.SymmetricGroup, fg.QuadraticResidues, fg.SchnorrGroup,
+                 fg.EllipticCurve, fg.HyperellipticCurve, fg.ClassGroup):
+    _mint_constructor(_factory)
