@@ -41,6 +41,10 @@ from mpyc_tpu.gfpx import GFpX, Polynomial
 from mpyc_tpu.finfields import GF, find_prime_root
 
 
+def _abstract_law(cls, *args):
+    raise NotImplementedError
+
+
 class FiniteGroupElement:
     """Abstract base class for finite group elements.
 
@@ -59,89 +63,76 @@ class FiniteGroupElement:
     is_cyclic = None
     generator = None
 
+    def _trait(self, name):
+        if not getattr(type(self), name):
+            kind = name.split('_', 1)[1]
+            raise TypeError(f'group not {kind}')
+
     def __matmul__(self, other):
-        cls = type(self)
-        if self is other:
-            return cls.operation2(self)
-        if isinstance(other, cls):
-            return cls.operation(self, other)
-        return NotImplemented
+        if other is self:
+            return type(self).operation2(self)
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return type(self).operation(self, other)
 
     def __invert__(self):
         return type(self).inversion(self)
 
     def __xor__(self, n):
-        if isinstance(n, int):
-            return type(self).repeat(self, n)
-        return NotImplemented
+        if not isinstance(n, int):
+            return NotImplemented
+        return type(self).repeat(self, n)
 
     # -- additive aliases --------------------------------------------------
 
     def __add__(self, other):
-        cls = type(self)
-        if not cls.is_additive:
-            raise TypeError('group not additive')
-        return cls.__matmul__(self, other)
+        self._trait('is_additive')
+        return self.__matmul__(other)
 
     def __neg__(self):
-        cls = type(self)
-        if not cls.is_additive:
-            raise TypeError('group not additive')
-        return cls.__invert__(self)
+        self._trait('is_additive')
+        return self.__invert__()
 
     def __sub__(self, other):
-        cls = type(self)
-        if not cls.is_additive:
-            raise TypeError('group not additive')
-        return cls.__matmul__(self, cls.__invert__(other))
+        self._trait('is_additive')
+        return self.__matmul__(~other)
 
     # -- multiplicative aliases -------------------------------------------
 
     def __mul__(self, other):
-        cls = type(self)
-        if cls.is_multiplicative:
-            return cls.__matmul__(self, other)
-        if cls.is_additive:
+        if type(self).is_additive:
             return NotImplemented
-        raise TypeError('* not defined for group')
+        self._trait('is_multiplicative')
+        return self.__matmul__(other)
 
     def __rmul__(self, other):
-        cls = type(self)
-        if cls.is_multiplicative:
-            if cls.is_abelian:
-                return cls.__matmul__(self, other)
-            return cls.__matmul__(cls(other), self)
-        if cls.is_additive:
-            return cls.__xor__(self, other)
-        raise TypeError('* not defined for group')
+        if type(self).is_additive:
+            return self.__xor__(other)
+        self._trait('is_multiplicative')
+        if type(self).is_abelian:
+            return self.__matmul__(other)
+        return type(self)(other).__matmul__(self)
 
     def __truediv__(self, other):
-        cls = type(self)
-        if not cls.is_multiplicative:
-            raise TypeError('group not multiplicative')
-        return cls.__matmul__(self, cls.__invert__(other))
+        self._trait('is_multiplicative')
+        return self.__matmul__(~other)
 
     def __rtruediv__(self, other):
-        cls = type(self)
-        if not cls.is_multiplicative:
-            raise TypeError('group not multiplicative')
+        self._trait('is_multiplicative')
         if other != 1:
             raise TypeError('only 1/. supported')
-        return cls.__invert__(self)
+        return self.__invert__()
 
     def __pow__(self, n):
-        cls = type(self)
-        if not cls.is_multiplicative:
-            raise TypeError('group not multiplicative')
-        return cls.__xor__(self, n)
+        self._trait('is_multiplicative')
+        return self.__xor__(n)
 
     # -- equality / hashing ------------------------------------------------
 
     def __eq__(self, other):
-        cls = type(self)
-        if not isinstance(other, cls):
+        if not isinstance(other, type(self)):
             return NotImplemented
-        return cls.equality(self, other)
+        return type(self).equality(self, other)
 
     def __hash__(self):
         return hash((type(self).__name__, self.value))
@@ -151,29 +142,21 @@ class FiniteGroupElement:
 
     # -- abstract group law ------------------------------------------------
 
-    @classmethod
-    def operation(cls, a, b, /):
-        """Return a @ b."""
-        raise NotImplementedError
+    # the group law proper: subclasses fill in these three classmethods
+    # (operation2 optionally, when doubling has a cheaper formula)
+
+    operation = classmethod(_abstract_law)
+    inversion = classmethod(_abstract_law)
+    equality = classmethod(_abstract_law)
 
     @classmethod
     def operation2(cls, a, /):
         """Return a @ a (override when doubling is cheaper)."""
         return cls.operation(a, a)
 
-    @classmethod
-    def inversion(cls, a, /):
-        """Return the @-inverse of a."""
-        raise NotImplementedError
-
     def inverse(self):
         """Inverse of self (convenience method)."""
         return type(self).inversion(self)
-
-    @classmethod
-    def equality(cls, a, b, /):
-        """Return a == b."""
-        raise NotImplementedError
 
     @staticmethod
     def repeat(a, n):
@@ -181,16 +164,14 @@ class FiniteGroupElement:
         cls = type(a)
         if n == 0:
             return cls.identity
-
         if n < 0:
-            a = cls.inversion(a)
-            n = -n
-        c = a
-        for i in range(n.bit_length() - 2, -1, -1):
-            c = cls.operation2(c)
-            if (n >> i) & 1:
-                c = cls.operation(c, a)
-        return c
+            a, n = cls.inversion(a), -n
+        acc = a
+        for bit in bin(n)[3:]:          # MSB-first, skipping the top bit
+            acc = cls.operation2(acc)
+            if bit == '1':
+                acc = cls.operation(acc, a)
+        return acc
 
 
 def _group_type(name, base, **attrs):
@@ -214,27 +195,25 @@ class SymmetricGroupElement(FiniteGroupElement):
     degree = None
 
     def __init__(self, value=None, check=True):
+        n = self.degree
         if value is None:
-            value = tuple(range(self.degree))
-        elif isinstance(value, list):
+            value = tuple(range(n))
+        else:
             value = tuple(value)
-        if check:
-            if len(value) != self.degree or set(value) != set(range(self.degree)):
-                raise ValueError(f'valid length-{self.degree} permutation required')
-
+            if check and sorted(value) != list(range(n)):
+                raise ValueError(
+                    f'valid length-{n} permutation required')
         self.value = value
 
     @classmethod
     def operation(cls, p, q, /):
         """Composition: first apply p, then q."""
-        return cls(tuple(q.value[i] for i in p.value), check=False)
+        return cls(tuple(map(q.value.__getitem__, p.value)), check=False)
 
     @classmethod
     def inversion(cls, p, /):
-        inv = [0] * len(p.value)
-        for i, pi in enumerate(p.value):
-            inv[pi] = i
-        return cls(tuple(inv), check=False)
+        pairs = sorted(zip(p.value, range(len(p.value))))
+        return cls(tuple(i for _, i in pairs), check=False)
 
     @classmethod
     def equality(cls, p, q, /):
@@ -390,8 +369,8 @@ def _find_safe_prime(l):
     return int(2*q + 1)
 
 
-class QuadraticResidue(FiniteGroupElement):
-    """Quadratic residue mod an odd prime, held as a GF(p)* element."""
+class _FieldUnitGroupElement(FiniteGroupElement):
+    """Shared base for groups living inside GF(p)* (QR, Schnorr)."""
 
     __slots__ = ()
 
@@ -399,19 +378,14 @@ class QuadraticResidue(FiniteGroupElement):
     is_abelian = True
     is_cyclic = True
     field = None
-    gap = None
 
-    def __init__(self, value=1, check=True):
-        if check:
-            if not isinstance(value, self.field):
-                if not isinstance(value, int):
-                    raise TypeError('int or prime field element required')
-
-                value = self.field(value)
-            if value == 0 or not value.is_sqr():
-                raise ValueError('quadratic residue required')
-
-        self.value = value
+    @classmethod
+    def _to_field(cls, value):
+        if isinstance(value, cls.field):
+            return value
+        if isinstance(value, int):
+            return cls.field(value)
+        raise TypeError('int or prime field element required')
 
     @classmethod
     def operation(cls, a, b, /):
@@ -419,7 +393,7 @@ class QuadraticResidue(FiniteGroupElement):
 
     @classmethod
     def inversion(cls, a, /):
-        return cls(1/a.value, check=False)
+        return cls(1 / a.value, check=False)
 
     @classmethod
     def equality(cls, a, b, /):
@@ -427,10 +401,25 @@ class QuadraticResidue(FiniteGroupElement):
 
     @classmethod
     def repeat(cls, a, n):
-        return cls(a.value**n, check=False)
+        return cls(a.value ** n, check=False)
 
     def __int__(self):
         return int(self.value)
+
+
+class QuadraticResidue(_FieldUnitGroupElement):
+    """Quadratic residue mod an odd prime, held as a GF(p)* element."""
+
+    __slots__ = ()
+
+    gap = None
+
+    def __init__(self, value=1, check=True):
+        if check:
+            value = self._to_field(value)
+            if value == 0 or not value.is_sqr():
+                raise ValueError('quadratic residue required')
+        self.value = value
 
     @classmethod
     def encode(cls, m):
@@ -467,13 +456,10 @@ def QuadraticResidues(p=None, l=None):
 
 @functools.cache
 def _QuadraticResidues(p):
-    field = GF(p)
-    g = 2
-    while legendre(g, p) != 1:
-        g += 1
-    # for a safe prime p, the least residue g generates the whole group
+    # for a safe prime p, the least residue generates the whole group
+    g = next(i for i in range(2, p) if legendre(i, p) == 1)
     QR = _group_type(f'QR{p.bit_length()}({p})', QuadraticResidue,
-                     field=field,
+                     field=GF(p),
                      gap=128,
                      order=p >> 1)
     QR.identity = QR()
@@ -485,63 +471,33 @@ def _QuadraticResidues(p):
 # Schnorr groups
 # ===========================================================================
 
-class SchnorrGroupElement(FiniteGroupElement):
+class SchnorrGroupElement(_FieldUnitGroupElement):
     """Element of the order-q subgroup of GF(p)*, q prime."""
 
     __slots__ = ()
 
-    is_multiplicative = True
-    is_abelian = True
-    is_cyclic = True
-    field = None
-
     def __init__(self, value=1, check=True):
         if check:
-            if not isinstance(value, self.field):
-                if not isinstance(value, int):
-                    raise TypeError('int or prime field element required')
-
-                value = self.field(value)
-            if value**self.order != 1:
+            value = self._to_field(value)
+            if value ** self.order != 1:
                 raise ValueError('subgroup elt required')
-
         self.value = value
-
-    @classmethod
-    def operation(cls, a, b, /):
-        return cls(a.value * b.value, check=False)
-
-    @classmethod
-    def inversion(cls, a, /):
-        return cls(1/a.value, check=False)
-
-    @classmethod
-    def equality(cls, a, b, /):
-        return a.value == b.value
-
-    @classmethod
-    def repeat(cls, a, n):
-        return cls(a.value**n, check=False)
-
-    def __int__(self):
-        return int(self.value)
 
     @classmethod
     def encode(cls, m):
         """Encode message m as g^m (discrete-log encoding)."""
         g = cls.generator
-        return cls(g.value**m, check=False), g
+        return cls(g.value ** m, check=False), g
 
     @classmethod
     def decode(cls, M, Z):
         """Decode m from M=g^m by bounded discrete-log search."""
-        g = cls.generator
-        h = cls.identity
+        walk = cls.identity
         for m in range(1024):
-            if h == M:
-                break
-            h = cls.operation(g, h)
-        return m
+            if walk == M:
+                return m
+            walk = cls.operation(cls.generator, walk)
+        return 1023
 
 
 # (subgroup bits, field bits) pairings per NIST-style strength levels
@@ -586,11 +542,13 @@ def SchnorrGroup(p=None, q=None, g=None, l=None, n=None):
 
     p, q = int(p), int(q)
     if g is None:
-        w = (p-1) // q
-        i = 2
-        while (g := powmod(i, w, p)) == 1:
-            i += 1
-        g = int(g)
+        # project successive small bases into the order-q subgroup until a
+        # nontrivial element (hence a generator, q prime) appears
+        cofactor = (p - 1) // q
+        for base in range(2, p):
+            g = int(powmod(base, cofactor, p))
+            if g != 1:
+                break
     return _SchnorrGroup(p, q, g)
 
 
@@ -626,17 +584,10 @@ class EllipticCurvePoint(FiniteGroupElement):
     def __getitem__(self, key):
         return self.value[key]
 
-    @property
-    def x(self):
-        return self.value[0]
-
-    @property
-    def y(self):
-        return self.value[1]
-
-    @property
-    def z(self):
-        return self.value[2]
+    # coordinate accessors (x, y, z name positions 0..2)
+    x = property(lambda self: self.value[0])
+    y = property(lambda self: self.value[1])
+    z = property(lambda self: self.value[2])
 
     @classmethod
     def ysquared(cls, x):
@@ -648,22 +599,27 @@ class EllipticCurvePoint(FiniteGroupElement):
         raise NotImplementedError
 
     @classmethod
-    def encode(cls, m):
-        """Encode message m in the x-coordinate of a curve point."""
-        field = cls.field
-        gap = cls.gap
-        p = field.modulus
-        for i in range(gap):
-            x0 = field(i)
-            y2_0 = cls.ysquared(x0)
-            if legendre(int(y2_0), p) == 1:
-                xm = field(m * gap + i)
-                y2_m = cls.ysquared(xm)
-                if legendre(int(y2_m), p) == 1:
-                    M = cls((xm, y2_m.sqrt()), check=False)
-                    Z = cls((x0, y2_0.sqrt()), check=False)
-                    return M, Z
+    def _lift_x(cls, x):
+        """Curve point with the given x-coordinate, or None."""
+        y2 = cls.ysquared(x)
+        if legendre(int(y2), cls.field.modulus) != 1:
+            return None
+        return cls((x, y2.sqrt()), check=False)
 
+    @classmethod
+    def encode(cls, m):
+        """Encode message m in the x-coordinate of a curve point.
+
+        Slot i below gap is scanned until both the blinding point (x=i)
+        and the message point (x = m*gap + i) lift to the curve.
+        """
+        field = cls.field
+        for i in range(cls.gap):
+            Z = cls._lift_x(field(i))
+            if Z is not None:
+                M = cls._lift_x(field(m * cls.gap + i))
+                if M is not None:
+                    return M, Z
         raise ValueError('message encoding failed, try larger gap')
 
     @classmethod
@@ -674,6 +630,13 @@ class EllipticCurvePoint(FiniteGroupElement):
     @classmethod
     def equality(cls, pt1, pt2, /):
         raise NotImplementedError
+
+    @classmethod
+    def _proj_eq(cls, pt1, pt2):
+        """Cross-ratio equality of projective (x : y : z) representatives."""
+        x1, y1, z1 = pt1[0], pt1[1], pt1[2]
+        x2, y2, z2 = pt2[0], pt2[1], pt2[2]
+        return x1 * z2 == x2 * z1 and y1 * z2 == y2 * z1
 
 
 def _coerce_point(cls, value, target_len):
@@ -713,16 +676,17 @@ class EdwardsCurvePoint(EllipticCurvePoint):
         else:
             value = _coerce_point(type(self), value, len(self._identity))
         if check:
-            x, y = value[0], value[1]
-            z = value[2] if len(value) > 2 else field(1)
-            x, y = x / z, y / z
-            if len(value) > 3 and value[3] / z != x * y:
-                raise ValueError('incorrect extended coordinate')
-
-            if y**2 != self.ysquared(x):
-                raise ValueError('point not on curve')
-
+            self._validate(value)
         self.value = tuple(value)
+
+    @classmethod
+    def _validate(cls, value):
+        scale = value[2] if len(value) > 2 else cls.field(1)
+        ax, ay = value[0] / scale, value[1] / scale
+        if len(value) > 3 and value[3] / scale != ax * ay:
+            raise ValueError('incorrect extended coordinate')
+        if ay ** 2 != cls.ysquared(ax):
+            raise ValueError('point not on curve')
 
 
 class EdwardsAffine(EdwardsCurvePoint):
@@ -730,13 +694,12 @@ class EdwardsAffine(EdwardsCurvePoint):
 
     __slots__ = ()
 
-    _identity = (0, 1)
+    _identity = 0, 1
     oblivious = True
 
     @classmethod
     def inversion(cls, pt, /):
-        x, y = pt
-        return cls((-x, y), check=False)
+        return cls((-pt[0], pt[1]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
@@ -744,13 +707,13 @@ class EdwardsAffine(EdwardsCurvePoint):
         # hyperelliptic.org/EFD/g1p/data/edwards/projective/addition/mmadd-2007-bl
         x1, y1 = pt1
         x2, y2 = pt2
-        C = x1 * x2
-        D = y1 * y2
-        E = cls.d * C * D
-        x3 = (1 - E) * ((x1 + y1) * (x2 + y2) - C - D)
-        y3 = (1 + E) * (D - cls.a * C)
-        w = 1 / (1 - E**2)
-        return cls((x3 * w, y3 * w), check=False)
+        xx = x1 * x2
+        yy = y1 * y2
+        dxy = cls.d * xx * yy
+        cross = (x1 + y1) * (x2 + y2) - xx - yy
+        scale = 1 / (1 - dxy ** 2)
+        return cls(((1 - dxy) * cross * scale,
+                    (1 + dxy) * (yy - cls.a * xx) * scale), check=False)
 
     def normalize(self):
         return self
@@ -765,13 +728,12 @@ class EdwardsProjective(EdwardsCurvePoint):
 
     __slots__ = ()
 
-    _identity = (0, 1, 1)
+    _identity = 0, 1, 1
     oblivious = True
 
     @classmethod
     def inversion(cls, pt, /):
-        x, y, z = pt
-        return cls((-x, y, z), check=False)
+        return cls((-pt[0], pt[1], pt[2]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
@@ -779,17 +741,16 @@ class EdwardsProjective(EdwardsCurvePoint):
         # hyperelliptic.org/EFD/g1p/data/twisted/projective/addition/add-2008-bbjlp
         x1, y1, z1 = pt1
         x2, y2, z2 = pt2
-        A = z1 * z2
-        B = A**2
-        C = x1 * x2
-        D = y1 * y2
-        E = cls.d * C * D
-        F = B - E
-        G = B + E
-        x3 = A * F * ((x1 + y1) * (x2 + y2) - C - D)
-        y3 = A * G * (D - cls.a * C)
-        z3 = F * G
-        return cls((x3, y3, z3), check=False)
+        zz = z1 * z2
+        zz2 = zz ** 2
+        xx = x1 * x2
+        yy = y1 * y2
+        dxy = zz2 - cls.d * xx * yy
+        dxy2 = zz2 + cls.d * xx * yy
+        cross = (x1 + y1) * (x2 + y2) - xx - yy
+        return cls((zz * dxy * cross,
+                    zz * dxy2 * (yy - cls.a * xx),
+                    dxy * dxy2), check=False)
 
     def normalize(self):
         cls = type(self)
@@ -797,11 +758,8 @@ class EdwardsProjective(EdwardsCurvePoint):
         w = 1 / z
         return cls((x * w, y * w, cls.field(1)), check=False)
 
-    @classmethod
-    def equality(cls, pt1, pt2, /):
-        x1, y1, z1 = pt1
-        x2, y2, z2 = pt2
-        return x1 * z2 == x2 * z1 and y1 * z2 == y2 * z1
+    equality = classmethod(
+        lambda cls, pt1, pt2, /: cls._proj_eq(pt1, pt2))
 
 
 class EdwardsExtended(EdwardsCurvePoint):
@@ -809,31 +767,32 @@ class EdwardsExtended(EdwardsCurvePoint):
 
     __slots__ = ()
 
-    _identity = (0, 1, 1, 0)
+    _identity = 0, 1, 1, 0
     oblivious = True
 
     @classmethod
     def inversion(cls, pt, /):
-        x, y, z, t = pt
-        return cls((-x, y, z, -t), check=False)
+        return cls((-pt[0], pt[1], pt[2], -pt[3]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
         # Hisil-Wong-Carter-Dawson unified addition (eprint 2008/522, §4.2)
         x1, y1, z1, t1 = pt1
         x2, y2, z2, t2 = pt2
-        e1, e2 = (y1 - x1) * (y2 - x2), (y1 + x1) * (y2 + x2)
-        e3, e4 = 2*cls.d * t1 * t2, 2 * z1 * z2
-        f, g, h, k = e2 - e1, e4 - e3, e4 + e3, e2 + e1
-        return cls((f * g, h * k, g * h, f * k), check=False)
+        lo = (y1 - x1) * (y2 - x2)
+        hi = (y1 + x1) * (y2 + x2)
+        tt = 2 * cls.d * t1 * t2
+        zz = 2 * z1 * z2
+        fx, gz, hz, ky = hi - lo, zz - tt, zz + tt, hi + lo
+        return cls((fx * gz, hz * ky, gz * hz, fx * ky), check=False)
 
     @classmethod
     def operation2(cls, pt, /):
         x, y, z, t = pt
-        e1, e2 = (y - x)**2, (y + x)**2
-        e3, e4 = 2*cls.d * t**2, 2 * z**2
-        f, g, h, k = e2 - e1, e4 - e3, e4 + e3, e2 + e1
-        return cls((f * g, h * k, g * h, f * k), check=False)
+        lo, hi = (y - x) ** 2, (y + x) ** 2
+        tt, zz = 2 * cls.d * t ** 2, 2 * z ** 2
+        fx, gz, hz, ky = hi - lo, zz - tt, zz + tt, hi + lo
+        return cls((fx * gz, hz * ky, gz * hz, fx * ky), check=False)
 
     def normalize(self):
         cls = type(self)
@@ -842,11 +801,8 @@ class EdwardsExtended(EdwardsCurvePoint):
         x, y = x * w, y * w
         return cls((x, y, cls.field(1), x * y), check=False)
 
-    @classmethod
-    def equality(cls, pt1, pt2, /):
-        x1, y1, z1, _ = pt1
-        x2, y2, z2, _ = pt2
-        return x1 * z2 == x2 * z1 and y1 * z2 == y2 * z1
+    equality = classmethod(
+        lambda cls, pt1, pt2, /: cls._proj_eq(pt1, pt2))
 
 
 class WeierstrassCurvePoint(EllipticCurvePoint):
@@ -862,24 +818,27 @@ class WeierstrassCurvePoint(EllipticCurvePoint):
         return x**3 + cls.a * x + cls.b
 
     def __init__(self, value=None, check=True):
-        field = self.field
         if value is None or len(value) == 0:
-            value = [field(c) for c in self._identity]
-            check = False
+            value = [self.field(c) for c in self._identity]
         else:
             value = _coerce_point(type(self), value, len(self._identity))
-        if check:
-            x, y = value[0], value[1]
-            z = value[2] if len(value) > 2 else field(1)
-            if z != 0:
-                if isinstance(self, WeierstrassJacobian):
-                    x, y = x / z**2, y / z**3
-                else:
-                    x, y = x / z, y / z
-                if y**2 != self.ysquared(x):
-                    raise ValueError('point not on curve')
-
+            if check:
+                self._validate(value)
         self.value = tuple(value)
+
+    @classmethod
+    def _validate(cls, value):
+        if len(value) > 2:
+            z = value[2]
+            if z == 0:
+                return                     # point at infinity
+            dx, dy = (2, 3) if issubclass(cls, WeierstrassJacobian) \
+                else (1, 1)
+            ax, ay = value[0] / z ** dx, value[1] / z ** dy
+        else:
+            ax, ay = value[0], value[1]
+        if ay ** 2 != cls.ysquared(ax):
+            raise ValueError('point not on curve')
 
 
 class WeierstrassAffine(WeierstrassCurvePoint):
@@ -890,46 +849,39 @@ class WeierstrassAffine(WeierstrassCurvePoint):
     _identity = ()
     oblivious = False  # case distinctions on identity/doubling
 
+    def _is_identity(self):
+        return not self.value
+
     @classmethod
     def inversion(cls, pt, /):
-        if pt == cls.identity:
+        if pt._is_identity():
             return pt
-
-        x, y = pt
-        return cls((x, -y), check=False)
+        return cls((pt[0], -pt[1]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
-        if pt1 == cls.identity:
+        if pt1._is_identity():
             return pt2
-
-        if pt2 == cls.identity:
+        if pt2._is_identity():
             return pt1
-
         if pt1 == pt2:
             return cls.operation2(pt1)
-
         x1, y1 = pt1
         x2, y2 = pt2
         if x1 == x2:
-            return cls.identity  # opposite points
-
-        s = (y1 - y2) / (x1 - x2)
-        x3 = s**2 - x1 - x2
-        return cls((x3, s * (x1 - x3) - y1), check=False)
+            return cls.identity            # opposite points
+        slope = (y1 - y2) / (x1 - x2)
+        x3 = slope ** 2 - x1 - x2
+        return cls((x3, slope * (x1 - x3) - y1), check=False)
 
     @classmethod
     def operation2(cls, pt, /):
-        if pt == cls.identity:
+        if pt._is_identity() or pt[1] == 0:
             return cls.identity
-
         x, y = pt
-        if y == 0:
-            return cls.identity
-
-        s = (3*x**2 + cls.a) / (2*y)
-        x2 = s**2 - 2*x
-        return cls((x2, s * (x - x2) - y), check=False)
+        slope = (3 * x ** 2 + cls.a) / (2 * y)
+        x2 = slope ** 2 - 2 * x
+        return cls((x2, slope * (x - x2) - y), check=False)
 
     def normalize(self):
         return self
@@ -944,13 +896,12 @@ class WeierstrassProjective(WeierstrassCurvePoint):
 
     __slots__ = ()
 
-    _identity = (0, 1, 0)
+    _identity = 0, 1, 0
     oblivious = True
 
     @classmethod
     def inversion(cls, pt, /):
-        x, y, z = pt
-        return cls((x, -y, z), check=False)
+        return cls((pt[0], -pt[1], pt[2]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
@@ -999,12 +950,9 @@ class WeierstrassProjective(WeierstrassCurvePoint):
 
     @classmethod
     def equality(cls, pt1, pt2, /):
-        x1, y1, z1 = pt1
-        x2, y2, z2 = pt2
-        if z1 == 0 and z2 == 0:
+        if pt1[2] == 0 == pt2[2]:
             return True
-
-        return x1 * z2 == x2 * z1 and y1 * z2 == y2 * z1
+        return cls._proj_eq(pt1, pt2)
 
 
 class WeierstrassJacobian(WeierstrassCurvePoint):
@@ -1012,13 +960,12 @@ class WeierstrassJacobian(WeierstrassCurvePoint):
 
     __slots__ = ()
 
-    _identity = (0, 1, 0)
+    _identity = 0, 1, 0
     oblivious = False  # add/double case distinction
 
     @classmethod
     def inversion(cls, pt, /):
-        x, y, z = pt
-        return cls((x, -y, z), check=False)
+        return cls((pt[0], -pt[1], pt[2]), check=False)
 
     @classmethod
     def operation(cls, pt1, pt2, /):
@@ -1031,36 +978,33 @@ class WeierstrassJacobian(WeierstrassCurvePoint):
 
         x1, y1, z1 = pt1
         x2, y2, z2 = pt2
-        zz1 = z1**2
-        zz2 = z2**2
-        u1, u2 = x1 * zz2, x2 * zz1
-        s1, s2 = y1 * z2 * zz2, y2 * z1 * zz1
-        h = u2 - u1
-        r = 2*(s2 - s1)
-        if h == 0 and r == 0:
+        zsq1, zsq2 = z1 ** 2, z2 ** 2
+        ax1, ax2 = x1 * zsq2, x2 * zsq1
+        ay1, ay2 = y1 * z2 * zsq2, y2 * z1 * zsq1
+        dx = ax2 - ax1
+        dy = 2 * (ay2 - ay1)
+        if dx == 0 == dy:
             return cls.operation2(pt1)
-
-        i = (2*h)**2
-        j = h * i
-        v = u1 * i
-        x3 = r**2 - j - 2*v
-        y3 = r * (v - x3) - 2*s1 * j
-        z3 = ((z1 + z2)**2 - zz1 - zz2) * h
-        return cls((x3, y3, z3), check=False)
+        dx4 = (2 * dx) ** 2
+        cube = dx * dx4
+        mix = ax1 * dx4
+        x3 = dy ** 2 - cube - 2 * mix
+        return cls((x3,
+                    dy * (mix - x3) - 2 * ay1 * cube,
+                    ((z1 + z2) ** 2 - zsq1 - zsq2) * dx), check=False)
 
     @classmethod
     def operation2(cls, pt, /):
         # dbl-2009-l: hyperelliptic.org/EFD/g1p/data/shortw/jacobian-0/doubling
         x1, y1, z1 = pt
-        a = x1**2
-        b = y1**2
-        c = b**2
-        d = 2*((x1 + b)**2 - a - c)
-        e = 3*a
-        x2 = e**2 - 2*d
-        y2 = e * (d - x2) - 8*c
-        z2 = 2*y1 * z1
-        return cls((x2, y2, z2), check=False)
+        xsq = x1 ** 2
+        ysq = y1 ** 2
+        y4 = ysq ** 2
+        mix = 2 * ((x1 + ysq) ** 2 - xsq - y4)
+        slope = 3 * xsq
+        x2 = slope ** 2 - 2 * mix
+        return cls((x2, slope * (mix - x2) - 8 * y4, 2 * y1 * z1),
+                   check=False)
 
     def normalize(self):
         cls = type(self)
@@ -1074,13 +1018,13 @@ class WeierstrassJacobian(WeierstrassCurvePoint):
 
     @classmethod
     def equality(cls, pt1, pt2, /):
+        if pt1[2] == 0 == pt2[2]:
+            return True
         x1, y1, z1 = pt1
         x2, y2, z2 = pt2
-        if z1 == 0 and z2 == 0:
-            return True
-
-        zz1, zz2 = z1**2, z2**2
-        return x1 * zz2 == x2 * zz1 and y1 * z2 * zz2 == y2 * z1 * zz1
+        zsq1, zsq2 = z1 ** 2, z2 ** 2
+        return x1 * zsq2 == x2 * zsq1 and \
+            y1 * z2 * zsq2 == y2 * z1 * zsq1
 
 
 _EDWARDS_BASES = {'affine': EdwardsAffine, 'projective': EdwardsProjective,
@@ -1194,7 +1138,7 @@ class HyperellipticCurveDivisor(FiniteGroupElement):
     is_cyclic = True
     genus = None
     field = None
-    _identity = (1, 0)
+    _identity = 1, 0
     gap = None
     f = None
 
@@ -1216,35 +1160,32 @@ class HyperellipticCurveDivisor(FiniteGroupElement):
     def __getitem__(self, key):
         return self.value[key]
 
-    @property
-    def u(self):
-        return self.value[0]
-
-    @property
-    def v(self):
-        return self.value[1]
+    # Mumford pair accessors
+    u = property(lambda self: self.value[0])
+    v = property(lambda self: self.value[1])
 
     @classmethod
     def ysquared(cls, x):
         return cls.field(cls.f(x.value))
 
     @classmethod
-    def encode(cls, m):
-        """Encode m in a degree-1 divisor: u = x + m', v = y with y^2=f(-m')."""
-        field = cls.field
-        gap = cls.gap
-        p = field.modulus
-        for i in range(gap):
-            x0 = field(i)
-            y2_0 = cls.ysquared(-x0)
-            if legendre(int(y2_0), p) == 1:
-                xm = field(m * gap + i)
-                y2_m = cls.ysquared(-xm)
-                if legendre(int(y2_m), p) == 1:
-                    M = cls(([xm.value, 1], [y2_m.sqrt().value]), check=False)
-                    Z = cls(([x0.value, 1], [y2_0.sqrt().value]), check=False)
-                    return M, Z
+    def _lift_slot(cls, x):
+        """Degree-1 divisor with u = X + x, or None if f(-x) is no QR."""
+        y2 = cls.ysquared(-x)
+        if legendre(int(y2), cls.field.modulus) != 1:
+            return None
+        return cls(([x.value, 1], [y2.sqrt().value]), check=False)
 
+    @classmethod
+    def encode(cls, m):
+        """Encode m in a degree-1 divisor: u = X + m', v = y, y^2 = f(-m')."""
+        field = cls.field
+        for i in range(cls.gap):
+            Z = cls._lift_slot(field(i))
+            if Z is not None:
+                M = cls._lift_slot(field(m * cls.gap + i))
+                if M is not None:
+                    return M, Z
         raise ValueError('message encoding failed, try larger gap')
 
     @classmethod
@@ -1322,8 +1263,7 @@ class HyperellipticCurveDivisor(FiniteGroupElement):
 
     @classmethod
     def inversion(cls, D, /):
-        u, v = D
-        return cls((u, -v), check=False)  # deg v < deg u, so (-v) % u == -v
+        return cls((D.u, -D.v), check=False)  # deg v < deg u, so (-v) % u == -v
 
     @classmethod
     def equality(cls, D1, D2, /):
@@ -1540,24 +1480,16 @@ def HyperellipticCurve(curvename=None, coordinates=None, p=None, l=None, genus=N
     Dobson-Galbraith-Smith (eprint 2020/196, Algorithm 4), deterministic
     randomness seeded with p so all parties derive the same curve.
     """
-    if curvename is None:
-        curvename = 'DGS'
-    if curvename == 'DGS':
-        if genus is None:
-            genus = 3
-        if p is None:
-            p = find_prime_root(l)[0]
-    elif curvename == 'kummer1271':
-        p = 2**127 - 1
-        genus = 2
-        coordinates = 'extended'
+    curvename = curvename or 'DGS'
+    if curvename == 'kummer1271':
+        p, genus, coordinates = 2 ** 127 - 1, 2, 'extended'
+    elif curvename == 'DGS':
+        genus = 3 if genus is None else genus
+        p = find_prime_root(l)[0] if p is None else p
     else:
         raise ValueError('curve not supported')
-
-    if coordinates is None:
-        coordinates = 'affine'
-
-    return _HyperellipticCurve(p, genus, curvename, coordinates)
+    return _HyperellipticCurve(p, genus, curvename,
+                               coordinates or 'affine')
 
 
 # Gaudry & Schost genus-2 curve over GF(2^127-1): y^2 = f(x), f with five
@@ -1665,13 +1597,11 @@ class ClassGroupForm(FiniteGroupElement):
             check = True
         if check:
             a, b, c = value
-            if b**2 - 4*a*c != self.discriminant:
-                raise ValueError('wrong discriminant')
-
             if a <= 0:
                 raise ValueError('positive definite form required')
-
-            value = ClassGroupForm._reduce((a, b, c))
+            if b * b - 4 * a * c != self.discriminant:
+                raise ValueError('wrong discriminant')
+            value = ClassGroupForm._reduce(value)
         self.value = value
 
     def __getitem__(self, key):
@@ -1707,112 +1637,105 @@ class ClassGroupForm(FiniteGroupElement):
         """NUCOMP composition of forms f1 and f2 (Cohen 5.4.9)."""
         if f1[0] < f2[0]:
             f1, f2 = f2, f1
-        a1, b1, c1 = f1
-        a2, b2, c2 = f2
-        s = (b1 + b2) // 2
+        a1, b1, c1 = f1.value if hasattr(f1, 'value') else f1
+        a2, b2, c2 = f2.value if hasattr(f2, 'value') else f2
+        s = (b1 + b2) >> 1
         n = b2 - s
 
-        d, u, v = gcdext(a2, a1)
-        if d == 1:
-            A = -u * n
-            d1 = d
-        elif s % d == 0:
-            A = -u * n
-            d1 = d
-            a1 //= d1
-            a2 //= d1
-            s //= d1
+        g, u, v = gcdext(a2, a1)            # u*a2 + v*a1 = g
+        if g == 1 or s % g == 0:
+            h = int(g)
+            mu = -u * n
+            if g != 1:
+                a1, a2, s = a1 // g, a2 // g, s // g
         else:
-            d1, u1, _ = gcdext(s, d)
-            if d1 > 1:
-                a1 //= d1
-                a2 //= d1
-                s //= d1
-                d //= d1
-            l = (-u1 * (u * (c1 % d) + v * (c2 % d))) % d
-            A = -u * (n // d) + l * (a1 // d)
-        A %= a1
-        if a1 - A < A:
-            A -= a1
+            h, u1, _ = gcdext(s, g)
+            if h > 1:
+                a1, a2, s, g = a1 // h, a2 // h, s // h, g // h
+            crt = (-u1 * (u * (c1 % g) + v * (c2 % g))) % g
+            mu = -u * (n // g) + crt * (a1 // g)
+        mu %= a1
+        if 2 * mu > a1:
+            mu -= a1
 
-        d, v, v2, v3, z = cls._partial_euclid(a1, A)
+        d, v, v2, v3, z = cls._partial_euclid(a1, mu)
         if z == 0:
-            Q1 = a2 * v3
-            f = (Q1 + n) // d
-            g = (v3 * s + c2) // d
+            t1 = a2 * v3
+            q = (t1 + n) // d
+            w = (v3 * s + c2) // d
             a3 = d * a2
-            b3 = 2*Q1 + b2
-            c3 = v3 * f + g * d1
+            b3 = 2 * t1 + b2
+            c3 = v3 * q + w * h
         else:
-            b = (a2 * d + n * v) // a1
-            Q1 = b * v3
-            Q2 = Q1 + n
-            f = Q2 // d
-            e = (s * d + c2 * v) // a1
-            Q3 = e * v2
-            Q4 = Q3 - s
-            g = Q4 // v
-            a3 = d * b + d1 * e * v
-            b3 = Q1 + Q2 + d1 * (Q3 + Q4)
-            c3 = v3 * f + d1 * g * v2
+            k = (a2 * d + n * v) // a1
+            t1 = k * v3
+            t2 = t1 + n
+            q = t2 // d
+            r = (s * d + c2 * v) // a1
+            t3 = r * v2
+            t4 = t3 - s
+            w = t4 // v
+            a3 = d * k + h * r * v
+            b3 = t1 + t2 + h * (t3 + t4)
+            c3 = v3 * q + h * w * v2
         return cls(cls._reduce((int(a3), int(b3), int(c3))), check=False)
 
     @classmethod
     def operation2(cls, f, /):
         """NUDUPL squaring of form f (Cohen 5.4.8)."""
         a, b, c = f
-        d1, u, _ = gcdext(b, a)
-        assert d1 == 1  # -discriminant is prime
-        A = a // d1
-        B = b // d1
-        C = (-c * u) % A
-        if A - C < C:
-            C -= A
+        h, u, _ = gcdext(b, a)
+        assert h == 1  # -discriminant is prime
+        mu = (-c * u) % a
+        if 2 * mu > a:
+            mu -= a
 
-        d, v, v2, v3, z = cls._partial_euclid(A, C)
+        d, v, v2, v3, z = cls._partial_euclid(a, mu)
         if z == 0:
-            g = (B * v3 + c) // d
-            a2 = d**2
-            b2 = b + 2*d * v3
-            c2 = v3**2 + g * d1
+            w = (b * v3 + c) // d
+            a2 = d ** 2
+            b2 = b + 2 * d * v3
+            c2 = v3 ** 2 + w * h
         else:
-            e = (c * v + B * d) // A
-            h = e * v2
-            g = (h - B) // v
-            a2 = d**2 + d1 * e * v
-            b2 = d1 * (h + v * g) + 2*d * v3
-            c2 = v3**2 + d1 * g * v2
+            r = (c * v + b * d) // a
+            t = r * v2
+            w = (t - b) // v
+            a2 = d ** 2 + h * r * v
+            b2 = h * (t + v * w) + 2 * d * v3
+            c2 = v3 ** 2 + h * w * v2
         return cls(cls._reduce((int(a2), int(b2), int(c2))), check=False)
 
     @classmethod
     def inversion(cls, f, /):
-        a, b, c = f
-        return cls(cls._reduce((a, -b, c)), check=False)
+        return cls(cls._reduce((f[0], -f[1], f[2])), check=False)
 
     @classmethod
     def equality(cls, f1, f2, /):
         return f1.value == f2.value
 
     @classmethod
+    def _form_with_a(cls, a):
+        """Reduced-domain form with leading coefficient a, or None."""
+        D = cls.discriminant
+        b = int(powmod(D, (a + 1) // 4, a))
+        if (b * b - D) % a:
+            return None
+        if D % 2 != b % 2:
+            b = a - b
+        return cls((a, b, (b * b - D) // (4 * a)), check=False)
+
+    @classmethod
     def encode(cls, m):
         """Encode message m in the leading coefficient of a reduced form."""
-        D = cls.discriminant
         gap = cls.gap
-        assert (m+1) * gap <= isqrt(-D) / 2  # keep the encoded form reduced
         assert gap % 4 == 0
-        for i in range(0, gap, 4):
-            a0 = i + 3
-            b0 = int(powmod(D, (a0+1) // 4, a0))
-            if (b0**2 - D) % a0 == 0:
-                am = m * gap + i + 3
-                bm = int(powmod(D, (am+1) // 4, am))
-                if (bm**2 - D) % am == 0:
-                    bm = am - bm if D % 2 != bm % 2 else bm
-                    M = cls((am, bm, (bm**2 - D) // (4*am)), check=False)
-                    b0 = a0 - b0 if D % 2 != b0 % 2 else b0
-                    Z = cls((a0, b0, (b0**2 - D) // (4*a0)), check=False)
+        assert (m + 1) * gap <= isqrt(-cls.discriminant) / 2  # stays reduced
+        for i in range(3, gap, 4):
+            Z = cls._form_with_a(i)
+            if Z is not None:
+                M = cls._form_with_a(m * gap + i)
+                if M is not None:
                     return M, Z
-
         raise ValueError('message encoding failed, try larger gap')
 
     @classmethod
@@ -1822,19 +1745,15 @@ class ClassGroupForm(FiniteGroupElement):
 
 def _class_number(D):
     """Class number h(D) for fundamental discriminant D < 0 by direct count
-    of reduced forms (Cohen, Algorithm 5.3.5)."""
-    h = 1
+    of reduced forms (Cohen, Algorithm 5.3.5): for each odd b, count the
+    divisors a of (b^2-D)/4 with b <= a <= c (ambiguous forms once)."""
+    count = 1
     for b in range(1, 1 + isqrt(-D // 3), 2):
-        b2 = b**2
-        a = max(b, 2)
-        a2 = a**2
-        q = (b2 - D) >> 2
-        while a2 <= q:
-            if q % a == 0:
-                h += 1 if a == b or a2 == q else 2
-            a2 += (a << 1) | 1
-            a += 1
-    return h
+        ac = (b * b - D) >> 2
+        for a in range(max(b, 2), isqrt(ac) + 1):
+            if ac % a == 0:
+                count += 1 if a == b or a * a == ac else 2
+    return count
 
 
 def _calculate_gap(l):
