@@ -138,6 +138,65 @@ def bench_split_recombine():
     return n / dt, None
 
 
+def bench_secure_matmul():
+    """BNN-style secure matmul layer on the co-located plane.
+
+    One full secure (256 x 4096) @ (4096 x 4096) layer at m=3, t=1 over
+    the 64-bit field: per-party MXU modular matmuls (nibble-plane integer
+    contraction, ops/fieldops.py _matmul_mxu) followed by GRR98 degree
+    reduction — the np_bnnmnist fc2/fc3 workload (reference
+    demos/np_bnnmnist.py:12-16: n^2 = 16.7M 64-bit mul + 128-bit add per
+    image batch). Returns (layer seconds, local modmul ops/s), the latter
+    substantiating the README MXU throughput claim.
+    """
+    from mpyc_tpu import finfields, thresha
+    from mpyc_tpu.models import pipelines
+    from mpyc_tpu.ops import rng as rng_mod
+    from mpyc_tpu.ops.fieldops import prime_field_ctx
+
+    m, t = 3, 1
+    B, K, N = 256, 4096, 4096
+    p, _, _ = finfields.find_prime_root(64)
+    ctx = prime_field_ctx(p)
+    F = finfields.GF((p, 2, p - 1))
+    step = jax.jit(pipelines.make_secure_matmul_step(p, t, m))
+    rng = rng_mod.KeccakRNG(b'\x17' * 32)
+
+    rnd = np.random.default_rng(3)
+    a_vals = rnd.integers(-1, 2, (B, K)).astype(object)
+    b_vals = rnd.integers(-1, 2, (K, N)).astype(object)
+    a_sh = thresha.np_random_split(F, F.array(a_vals).flatten(), t, m, rng)
+    b_sh = thresha.np_random_split(F, F.array(b_vals).flatten(), t, m, rng)
+    a_sh = jnp.asarray(a_sh.data).reshape(m, B, K, ctx.L)
+    b_sh = jnp.asarray(b_sh.data).reshape(m, K, N, ctx.L)
+    coef = jnp.asarray(pipelines.coef_randomness(rng, p, (t, m, B, N)))
+
+    out = step(a_sh, b_sh, coef)
+    np.asarray(out[:1, :1, :1, :1])          # sync: compile done
+    # correctness: recombine a sample row and compare with plaintext
+    vec = thresha._recombination_vector(F, tuple(range(1, t + 2)), 0)
+    sample = None
+    for i in range(t + 1):
+        from mpyc_tpu.ops import limb
+        vals = limb.limbs_to_ints(np.asarray(out[i, :1])).astype(object)
+        term = vals * int(vec[i])
+        sample = term if sample is None else sample + term
+    got = sample % p * ctx.Rinv % p
+    exp = (a_vals[:1] @ b_vals) % p
+    if not (got == exp).all():
+        return None, None, 'matmul mismatch'
+
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = step(a_sh, b_sh, coef)
+        np.asarray(out[:1, :1, :1, :1])
+        trials.append(time.perf_counter() - t0)
+    dt = sorted(trials)[1]
+    modmuls = m * B * K * N                  # local MXU work per layer
+    return dt, modmuls / dt, None
+
+
 def main():
     mul_ops, err = bench_secure_mul()
     sr_ops, err2 = (None, None)
@@ -159,6 +218,15 @@ def main():
         out["split_recombine_ops_s"] = round(sr_ops)
     elif err2:
         out["split_recombine_error"] = err2
+    try:
+        layer_s, modmul_ops, err3 = bench_secure_matmul()
+        if layer_s is not None:
+            out["bnn_fc2_layer_256x4096x4096_s"] = round(layer_s, 4)
+            out["modmul_mxu_ops_s"] = round(modmul_ops)
+        elif err3:
+            out["bnn_layer_error"] = err3
+    except Exception as e:
+        out["bnn_layer_error"] = str(e)
     print(json.dumps(out))
 
 

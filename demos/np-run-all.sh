@@ -7,9 +7,11 @@
 # through).  Slow demos (np_cnnmnist) are excluded; run them directly.
 cd "$(dirname "$0")"
 set -e
-for demo in np_aes np_bnnmnist np_id3gini np_kmsurvival np_lpsolver \
+for demo in np_aes np_id3gini np_kmsurvival np_lpsolver \
     np_lpsolverfxp np_onewayhashchains; do
     echo "=== $demo $* ==="
     python "$demo.py" "$@"
 done
+echo "=== np_bnnmnist --selftest $* ==="
+python np_bnnmnist.py --selftest "$@"
 echo "All np demos passed."

@@ -1,19 +1,25 @@
-"""Demo: secure binarized neural network inference (bnnmnist-style).
+"""Demo: secure binarized neural network inference on MNIST (BNN MNIST).
 
-Counterpart of the reference demos/np_bnnmnist.py: a multi-layer binarized
-network evaluated on secret-shared inputs with secret weights — secint
-matrix products (one resharing round per layer) and vectorized secure sign
-activations.  Like the reference, the sign activation can use the
-Legendre-symbol-based bsgn_0/1/2 protocols [SS19] over special primes
-(reference demos/np_bnnmnist.py:45-156), selected with -d 0/1/2; the
-default (-d none) uses the generic np_sgn comparison.  The reference's
-published weights are not bundled, so this demo draws a random +-1 network
-and verifies the secure inference against the plaintext forward pass.
+Counterpart of the reference demos/np_bnnmnist.py: the published 4-layer
+binarized MNIST classifier (fc 784x4096, 4096x4096, 4096x4096, 4096x10;
+binary weights bundled in demos/data/bnn, biases integer) evaluated on
+MNIST test images with secint matrix products (one resharing round per
+layer) and vectorized secure sign activations.  Like the reference, the
+sign activation can use the Legendre-symbol-based bsgn_0/1/2 protocols
+[SS19] over special primes (reference demos/np_bnnmnist.py:45-156),
+selected with -d 0/1/2 (default 1); --no-legendre uses the generic
+vectorized comparison.  Predicted labels are checked against the MNIST
+test labels.
 
-Usage: python demos/np_bnnmnist.py [-M m] [--sim] [-b BATCH] [-d {none,0,1,2}]
+With --selftest, a small random +-1 network is verified against the
+plaintext forward pass instead (no data files needed; used by run-all).
+
+Usage: python demos/np_bnnmnist.py [-M m] [--sim] [-b B] [-o OFFSET]
+         [-d {0,1,2}] [--no-legendre] [--selftest]
 """
 
 import argparse
+import gzip
 import os
 import sys
 import time
@@ -24,6 +30,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mpyc_tpu.runtime import mpc
+
+_DATA = os.path.join(os.path.dirname(__file__), 'data')
 
 
 def _fstack(rows):
@@ -113,67 +121,129 @@ def bsgn_2(a):
                      integral=True)
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('-b', type=int, default=4, help='batch size')
-    parser.add_argument('--d-in', type=int, default=64)
-    parser.add_argument('--d-hidden', type=int, default=32)
-    parser.add_argument('--d-out', type=int, default=10)
-    parser.add_argument('-d', '--d-k-star', default='none',
-                        choices=['none', '0', '1', '2'],
-                        help='Legendre-based sign protocol bsgn_k')
-    args, _ = parser.parse_known_args()
-    B, D, H, O = args.b, args.d_in, args.d_hidden, args.d_out
+def load_layer(secint, name):
+    """Published BNN layer: packed binary weights -> +-1, integer biases."""
+    W = np.load(os.path.join(_DATA, 'bnn', f'W_{name}.npy'))
+    W = np.unpackbits(W, axis=0).astype(np.int8) * 2 - 1
+    b = np.load(os.path.join(_DATA, 'bnn', f'b_{name}.npy')).astype(object)
+    return secint.array(W.astype(object)), secint.array(b)
 
-    # Legendre-k primes from the reference demo (np_bnnmnist.py:180-187)
-    if args.d_k_star == '0':
-        secint = mpc.SecInt(14, p=3546374752298322551)   # range [-134, 134]
-        act = bsgn_0
-    elif args.d_k_star == '1':
-        secint = mpc.SecInt(14, p=9409569905028393239)   # range [-383, 383]
-        act = bsgn_1
-    elif args.d_k_star == '2':
-        secint = mpc.SecInt(14, p=15569949805843283171)  # range [-594, 594]
-        act = bsgn_2
-    else:
-        secint = mpc.SecInt(16)
-        act = lambda z: mpc.np_sgn(z, LT=True) * -2 + 1
-    mpc.run(mpc.start())
 
+def load_mnist(offset, batch_size):
+    """MNIST test labels + images from demos/data/cnn (idx format)."""
+    with gzip.open(os.path.join(_DATA, 'cnn',
+                                't10k-labels-idx1-ubyte.gz')) as df:
+        labels = list(df.read()[8 + offset:8 + offset + batch_size])
+    with gzip.open(os.path.join(_DATA, 'cnn',
+                                't10k-images-idx3-ubyte.gz')) as df:
+        raw = df.read()[16 + offset * 784:16 + (offset + batch_size) * 784]
+    images = np.frombuffer(raw, dtype=np.ubyte).reshape(batch_size, 784)
+    return labels, images
+
+
+def selftest(secint, act, batch):
+    """Random +-1 network verified against the plaintext forward pass."""
     rng = np.random.default_rng(42)
-    x = rng.choice([-1, 1], size=(B, D)).astype(object)
+    D, H, O = 64, 32, 10
+    x = rng.choice([-1, 1], size=(batch, D)).astype(object)
     w1 = rng.choice([-1, 1], size=(D, H)).astype(object)
     w2 = rng.choice([-1, 1], size=(H, O)).astype(object)
+    a1 = np.where(x @ w1 >= 0, 1, -1).astype(object)
+    expect = np.argmax((a1 @ w2).astype(np.int64), axis=1)
 
-    # plaintext reference forward pass
-    z1 = x @ w1
-    a1 = np.where(z1 >= 0, 1, -1).astype(object)
-    logits = a1 @ w2
-    expect = np.argmax(logits.astype(np.int64), axis=1)
-
-    # party 0 inputs the images, party 1 (or 0) the model weights
     mdl_owner = 1 if len(mpc.parties) > 1 else 0
     X = mpc.input(secint.array(x), senders=0)
     W1 = mpc.input(secint.array(w1), senders=mdl_owner)
     W2 = mpc.input(secint.array(w2), senders=mdl_owner)
-
     mpc.barrier()
     t0 = time.time()
-    Z1 = X @ W1
-    A1 = act(Z1)            # binary sign activation: -1 if z < 0 else +1
-    L = A1 @ W2
-    idx = mpc.np_argmax(L, axis=1)
-    got = mpc.run(mpc.output(idx))
+    L = act(X @ W1) @ W2
+    got = mpc.run(mpc.output(mpc.np_argmax(L, axis=1)))
     elapsed = time.time() - t0
-
     got = np.array([int(v) for v in np.atleast_1d(got)])
     ok = (got == expect).all()
-    print(f'party {mpc.pid}: secure BNN inference ({B}x{D}->{H}->{O}, '
-          f'act={act.__name__ if hasattr(act, "__name__") else "sgn"}) '
+    print(f'party {mpc.pid}: secure BNN selftest ({batch}x{D}->{H}->{O}) '
           f'{"OK" if ok else "FAILED"} in {elapsed:.2f}s; '
           f'predictions {got.tolist()}')
     assert ok, (got, expect)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-b', '--batch-size', type=int, default=1,
+                        help='number of images to classify')
+    parser.add_argument('-o', '--offset', type=int, default=0,
+                        help='offset into the MNIST test set')
+    parser.add_argument('-d', '--d-k-star', type=int, default=1,
+                        choices=[0, 1, 2],
+                        help='Legendre-based sign protocol bsgn_k')
+    parser.add_argument('--no-legendre', action='store_true',
+                        help='use the generic vectorized comparison')
+    parser.add_argument('--selftest', action='store_true',
+                        help='random small network, no data files needed')
+    args, _ = parser.parse_known_args()
+
+    # Legendre-k primes from the reference demo (np_bnnmnist.py:180-187)
+    if args.no_legendre:
+        secint = mpc.SecInt(14)
+        act = lambda z: (z >= 0) * 2 - 1                     # noqa: E731
+    elif args.d_k_star == 0:
+        secint = mpc.SecInt(14, p=3546374752298322551)   # range [-134, 134]
+        act = bsgn_0
+    elif args.d_k_star == 1:
+        secint = mpc.SecInt(14, p=9409569905028393239)   # range [-383, 383]
+        act = bsgn_1
+    else:
+        secint = mpc.SecInt(14, p=15569949805843283171)  # range [-594, 594]
+        act = bsgn_2
+    mpc.run(mpc.start())
+
+    if args.selftest:
+        selftest(secint, act if not args.no_legendre else
+                 (lambda z: mpc.np_sgn(z, LT=True) * -2 + 1),
+                 args.batch_size)
+        mpc.run(mpc.shutdown())
+        return
+
+    B = args.batch_size
+    labels, images = load_mnist(args.offset, B)
+    print(f'Type = {secint.__name__}, range = ({args.offset}, '
+          f'{args.offset + B})')
+    print('Labels:', labels)
+
+    def generic_sign(z):
+        return mpc.np_sgn(z, LT=True) * -2 + 1   # +1 iff z >= 0
+
+    L = secint.array(images.astype(object))
+    t0 = time.time()
+    for layer in ('fc1', 'fc2', 'fc3'):
+        W, b = load_layer(secint, layer)
+        L = L @ W + b
+        if layer == 'fc1':
+            # layer-1 sums exceed the bsgn ranges; generic comparison
+            # (trained sums fit 14 bits, like the reference)
+            L = generic_sign(L)
+        elif args.no_legendre:
+            secint.bit_length = 10   # trained +-1 sums are narrow
+            L = generic_sign(L)
+            secint.bit_length = 14
+        else:
+            L = act(L)
+        mpc.barrier(f'after-{layer}')
+    W, b = load_layer(secint, 'fc4')
+    L = L @ W + b
+
+    errors = 0
+    for i in range(B):
+        prediction = int(mpc.run(mpc.output(mpc.np_argmax(L[i]))))
+        tag = '' if prediction == labels[i] else '******* ERROR *******'
+        print(f'Image #{args.offset + i} with label {labels[i]}: '
+              f'{prediction} predicted. {tag}')
+        errors += prediction != labels[i]
+    print(f'party {mpc.pid}: {B - errors}/{B} correct '
+          f'in {time.time() - t0:.2f}s')
     mpc.run(mpc.shutdown())
+    assert errors == 0, f'{errors} misclassifications'
 
 
 if __name__ == '__main__':

@@ -9,9 +9,11 @@ cd "$(dirname "$0")"
 set -e
 for demo in helloworld oneliners parallelsort sort secretsanta unanimous \
     indextounitvector ot id3gini aes sha3 onewayhashchains lpsolver \
-    lpsolverfxp ridgeregression kmsurvival pseudoinverse np_bnnmnist \
+    lpsolverfxp ridgeregression kmsurvival pseudoinverse \
     elgamal dsa SecretSantaExplained PrefixOrExplained; do
     echo "=== $demo $* ==="
     python "$demo.py" "$@"
 done
+echo "=== np_bnnmnist --selftest $* ==="
+python np_bnnmnist.py --selftest "$@"
 echo "All demos passed."
