@@ -116,6 +116,8 @@ def _xp(*arrays):
 def _pair_broadcast(ad, bd):
     """Broadcast two data arrays to a common shape, staying in numpy when
     both operands are host-side (so the kernels' host fast path applies)."""
+    if ad.shape == bd.shape:
+        return ad, bd
     shape = np.broadcast_shapes(ad.shape, bd.shape)
     if isinstance(ad, np.ndarray) and isinstance(bd, np.ndarray):
         return (np.broadcast_to(ad, shape), np.broadcast_to(bd, shape))
@@ -1540,10 +1542,11 @@ class BinaryFieldArray(FiniteFieldArray):
         if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
             return value
         arr = np.asarray(value, dtype=object)
-        conv = np.vectorize(
-            lambda v: int(v.value) if isinstance(v, FiniteFieldElement) else int(v),
-            otypes=[object])
-        arr = conv(arr) if arr.size else arr
+        if arr.size and isinstance(arr.reshape(-1)[0], FiniteFieldElement):
+            flat = arr.reshape(-1)
+            arr = np.array([int(v.value) if isinstance(
+                v, FiniteFieldElement) else int(v) for v in flat],
+                dtype=object).reshape(arr.shape)
         return cls.ctx.encode_ints(arr)
 
     def _decode(self):
@@ -1554,7 +1557,6 @@ class BinaryFieldArray(FiniteFieldArray):
         if o is NotImplemented:
             return NotImplemented
         a, b = (o, self) if reflected else (self, o)
-        shape = jnp.broadcast_shapes(a._data.shape, b._data.shape)
         ad, bd = _pair_broadcast(a._data, b._data)
         out = getattr(self.ctx, opname)(ad, bd)
         return type(self).from_data(out)

@@ -69,9 +69,11 @@ class BinaryFieldCtx:
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
         # all binary host kernels are numpy-vectorized (no per-element
         # Python), so the large cutoff applies across the board; only the
-        # long pow chains keep the small one (e-fold mul cost per element)
+        # long pow chains WITHOUT log tables keep the small one
+        # (e-fold mul cost per element; with tables pow is O(1) gathers)
         host_lim = _HOST_N if (name.startswith('pow_')
                                and self.d > 1
+                               and self._log_tables is None
                                and int(name[4:]).bit_length() > 4) \
             else _HOST_N_VEC
 
@@ -123,11 +125,44 @@ class BinaryFieldCtx:
                 res = self._hmul_int(res, x)
         return res
 
-    def _hmul_vec(self, a, b):
-        """Vectorized host carry-less mul mod f: np uint32 -> np uint32.
+    @functools.cached_property
+    def _log_tables(self):
+        """(exp, log) discrete-log tables for d <= 16, else None.
 
-        d vector MACs + (d-1) vector reduction steps; products fit uint64
-        since d <= 32."""
+        Host multiplication becomes two gathers and an add — the scalar
+        protocol plane (AES over GF(2^8) especially) spends most of its
+        local time in tiny-field products, where the table walk beats the
+        d-step carry-less MAC by ~10x."""
+        if not 2 <= self.d <= 16:
+            return None
+        q1 = self.order - 1
+        # find a generator by order test (usually x = 2 works)
+        for g in range(2, self.order):
+            v, period = g, 1
+            while v != 1:
+                v = self._hmul_int(v, g)
+                period += 1
+            if period == q1:
+                break
+        exp = np.zeros(2 * q1, np.uint32)
+        log = np.zeros(self.order, np.int64)
+        v = 1
+        for i in range(q1):
+            exp[i] = v
+            log[v] = i
+            v = self._hmul_int(v, g)
+        exp[q1:] = exp[:q1]      # doubled table: skip the mod after add
+        return exp, log
+
+    def _hmul_vec(self, a, b):
+        """Vectorized host mul mod f: np uint32 -> np uint32 (tables for
+        small d; d vector MACs + d-1 reduction steps otherwise)."""
+        tables = self._log_tables
+        if tables is not None:
+            exp, log = tables
+            prod = exp[log[a] + log[b]]
+            return np.where((a != 0) & (b != 0), prod,
+                            np.uint32(0)).astype(np.uint32)
         d = self.d
         a64 = a.astype(np.uint64)
         b64 = b.astype(np.uint64)
@@ -144,6 +179,12 @@ class BinaryFieldCtx:
     def _hpow_vec(self, a, e: int):
         if e == 0:
             return np.ones_like(a)
+        tables = self._log_tables
+        if tables is not None:
+            exp, log = tables
+            q1 = self.order - 1
+            powers = exp[(log[a] * (e % q1)) % q1]
+            return np.where(a != 0, powers, np.uint32(0)).astype(np.uint32)
         res = a
         for bchr in bin(e)[3:]:
             res = self._hmul_vec(res, res)

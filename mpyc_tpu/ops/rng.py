@@ -111,6 +111,8 @@ class KeccakRNG:
         self._nonce = 0
         self._pool = None
         self._pool_off = 0
+        self._byte_pool = None
+        self._byte_off = 0
 
     def _next_prefix(self) -> bytes:
         n = self._nonce
@@ -155,13 +157,36 @@ class KeccakRNG:
         mont = ctx.reduce_chunks(wide.shape[-2])(wide)
         return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
 
+    def _draw_host_bytes(self, nbytes: int):
+        """nbytes of SHAKE stream as a host uint8 array (pooled refills:
+        one vectorized Keccak batch per ~86KB, byte extraction is a
+        slice — the per-draw words_to_elements pass disappears from the
+        scalar protocol plane's hot path)."""
+        pool = self._byte_pool
+        if pool is None or self._byte_off + nbytes > pool.size:
+            blocks = self._blocks(self._next_prefix(), _POOL_BLOCKS)
+            if not isinstance(blocks, np.ndarray):
+                blocks = np.asarray(blocks)
+            self._byte_pool = pool = np.frombuffer(
+                blocks.astype('<u4').tobytes(), dtype=np.uint8)
+            self._byte_off = 0
+        off = self._byte_off
+        self._byte_off = off + nbytes
+        return pool[off:off + nbytes]
+
     def randbits_uint32(self, shape, k: int):
         """Uniform k-bit values (k <= 32) as uint32 array."""
         assert 0 < k <= 32
         n = _prod(shape)
         l = (k + 7) // 8
-        blocks = self._draw_blocks(max(blocks_needed(n, l), 1))
-        vals = words_to_elements(blocks, n, l, 1)[:, 0, 0]
+        if 0 < n * l <= _POOL_BLOCKS * keccak.RATE // 4:
+            b = self._draw_host_bytes(n * l).reshape(n, l)
+            vals = np.zeros(n, np.uint32)
+            for j in range(l):
+                vals |= b[:, j].astype(np.uint32) << np.uint32(8 * j)
+        else:
+            blocks = self._draw_blocks(max(blocks_needed(n, l), 1))
+            vals = words_to_elements(blocks, n, l, 1)[:, 0, 0]
         mask = np.uint32((1 << k) - 1) if k < 32 else np.uint32(0xFFFFFFFF)
         return (vals & mask).reshape(shape)
 
