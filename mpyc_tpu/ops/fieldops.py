@@ -14,6 +14,7 @@ fused inside larger jitted protocol pipelines.
 from __future__ import annotations
 
 import functools
+import weakref
 
 import numpy as np
 import jax
@@ -58,6 +59,7 @@ class PrimeFieldCtx:
         self.one_mont = _limbify(R % p, L)
         self.r2_limbs = _limbify(self.R2, L)
         self._jit_cache = {}
+        self._host_ints = {}   # id(limb array) -> (weakref, int view)
 
     # -- host encode / decode ----------------------------------------------
 
@@ -133,14 +135,36 @@ class PrimeFieldCtx:
 
     # -- host fast path (small batches) --------------------------------------
 
+    def _cache_host_ints(self, arr, ints):
+        """Remember the int view of a host limb array (weak-keyed).
+
+        Host-plane chains then decode each operand once: results produced
+        by _mont_out re-enter later ops without a limbs->ints pass.  The
+        cache relies on host limb arrays being treated immutably (all
+        update paths copy, finfields._data_at_set)."""
+        key = id(arr)
+        try:
+            wr = weakref.ref(
+                arr, lambda _, k=key: self._host_ints.pop(k, None))
+        except TypeError:
+            return
+        self._host_ints[key] = (wr, ints)
+
     def _mont_ints(self, a):
         """(..., L) uint32 -> flat object array of Montgomery-domain ints."""
-        return limb.limbs_to_ints(a).reshape(-1)
+        hit = self._host_ints.get(id(a))
+        if hit is not None and hit[0]() is a:
+            return hit[1]
+        ints = limb.limbs_to_ints(a).reshape(-1)
+        self._cache_host_ints(a, ints)
+        return ints
 
     def _mont_out(self, vals, shape):
         """Iterable of Montgomery-domain ints -> (shape, L) uint32."""
         arr = np.array(list(vals), dtype=object)
-        return limb.ints_to_limbs(arr, self.L).reshape(shape + (self.L,))
+        out = limb.ints_to_limbs(arr, self.L).reshape(shape + (self.L,))
+        self._cache_host_ints(out, arr.reshape(-1))
+        return out
 
     def _host_kernel(self, name):
         """Python-int implementation of the elementwise kernel, or None.
