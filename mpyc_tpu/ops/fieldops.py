@@ -29,6 +29,19 @@ from mpyc_tpu.ops import limb
 import os as _os
 _HOST_N = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 64
 
+_ON_CPU = None
+
+
+def _cpu_backend() -> bool:
+    """True when jax's default backend is the host CPU (lazy probe)."""
+    global _ON_CPU
+    if _ON_CPU is None:
+        try:
+            _ON_CPU = jax.default_backend() == 'cpu'
+        except Exception:
+            _ON_CPU = True
+    return _ON_CPU
+
 
 def _limbify(x: int, L: int):
     return tuple(np.uint32((x >> (32 * i)) & 0xFFFFFFFF) for i in range(L))
@@ -117,19 +130,52 @@ class PrimeFieldCtx:
             self._jit_cache[name] = jax.jit(fn)
         jf = self._jit_cache[name]
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
+        host_lim = _HOST_N
+        if host_fn is not None and not _os.getenv('MPYC_TPU_NOHOSTOPS'):
+            # On the CPU backend a jitted dispatch costs ~2 ms of Python;
+            # cheap int kernels win up to a few thousand elements, so the
+            # cutoff is per-op-cost-aware there (device backends keep the
+            # tiny cutoff: their compute is far faster once dispatched).
+            cheap = name in ('add', 'sub', 'neg', 'mul', 'div', 'inv',
+                             'eq', 'is_zero', 'to_std', 'from_std',
+                             'from_uint32') or \
+                name.startswith(('mulc_', 'mod_pow2_', 'reduce_chunks_'))
+            host_lim = (4096 if cheap else 256) if _cpu_backend() \
+                else _HOST_N
 
         def call(*arrays):
             batch = arrays[0].shape[:arrays[0].ndim - in_elem[0]]
             n = 1
             for s in batch:
                 n *= int(s)
-            if host_fn is not None and 0 < n <= _HOST_N and \
-                    not any(isinstance(a, jax.core.Tracer) for a in arrays):
+            tracing = any(isinstance(a, jax.core.Tracer) for a in arrays)
+            if host_fn is not None and 0 < n <= host_lim and not tracing:
                 # latency fast path: tiny batches compute with Python ints
                 # on the host (one device_put instead of ~7 dispatches);
                 # never taken under an enclosing jit trace
                 out = host_fn([np.asarray(a) for a in arrays])
                 return out  # numpy result: stays on the host
+            if not tracing and _cpu_backend():
+                # CPU backend: flatten + pad to a power of two so one XLA
+                # compilation serves a whole bucket of protocol shapes
+                # (eager reshape/pad are cheap on CPU; on TPU backends the
+                # natural-shape call below avoids eager primitives, which
+                # cost tens of ms of host time through the device tunnel)
+                n_pad = max(8, 1 << max(0, (n - 1)).bit_length()) if n else 8
+                flat = []
+                for a, ie in zip(arrays, in_elem):
+                    elem = a.shape[a.ndim - ie:] if ie else ()
+                    af = jnp.reshape(a, (n,) + elem)
+                    if n_pad != n:
+                        af = jnp.concatenate(
+                            [af, jnp.zeros((n_pad - n,) + elem, af.dtype)],
+                            axis=0)
+                    flat.append(af)
+                out = jf(*flat)
+                if isinstance(out, tuple):
+                    return tuple(o[:n].reshape(batch + o.shape[1:])
+                                 for o in out)
+                return out[:n].reshape(batch + out.shape[1:])
             return jf(*arrays)
         return call
 
@@ -509,7 +555,19 @@ class PrimeFieldCtx:
                 y = limb.unstack(a[1::2], self.L)
                 a = limb.stack(limb.add_mod(x, y, self.p_limbs))
             return a[0]
-        return self._jit('sum0', _sum)
+        jf = self._jit('sum0', _sum)
+        if _HOST_N == 0:
+            return jf
+
+        def call(a):
+            if a.size <= 4096 * self.L and _cpu_backend() and \
+                    not isinstance(a, jax.core.Tracer):
+                ints = self._mont_ints(np.asarray(a)).reshape(a.shape[:-1])
+                return self._mont_out(
+                    (int(v) % self.p for v in ints.sum(axis=0).reshape(-1)),
+                    a.shape[1:-1])
+            return jf(a)
+        return call
 
     @property
     def matmul(self):
@@ -551,7 +609,30 @@ class PrimeFieldCtx:
 
             acc, _ = jax.lax.scan(body, acc0, (a_k[1:], b_k[1:]))
             return acc
-        return self._jit('matmul', _matmul)
+        jf = self._jit('matmul', _matmul)
+        if _HOST_N == 0:
+            return jf
+
+        def call(a, b):
+            work = int(np.prod(a.shape[:-1], dtype=np.int64)) * \
+                int(b.shape[-2])
+            if 0 < work <= 4096 and _cpu_backend() and \
+                    not isinstance(a, jax.core.Tracer) and \
+                    not isinstance(b, jax.core.Tracer):
+                # tiny protocol matmuls: object-int contraction on the
+                # host; Montgomery linearity folds the R^-1 once per entry
+                p, Rinv = self.p, self.Rinv
+                ai = self._mont_ints(np.asarray(a)).reshape(a.shape[:-1])
+                bi = self._mont_ints(np.asarray(b)).reshape(b.shape[:-1])
+                # zip-truncation semantics like the jitted kernel: the
+                # contraction length is a's K; longer b rows are ignored
+                # (reference in_prod zip semantics, used by the LP demos)
+                ci = ai @ bi[..., :ai.shape[-1], :]
+                return self._mont_out(
+                    (int(v) * Rinv % p for v in ci.reshape(-1)),
+                    ci.shape)
+            return jf(a, b)
+        return call
 
     def _matmul_mxu(self, a, b):
         """Modular matmul with the K-contraction on the MXU.

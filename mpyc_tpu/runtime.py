@@ -630,6 +630,9 @@ class Runtime:
         xl = list(x) if x_is_list else [x]
         if not xl:
             return []
+        # raw pipeline placeholders must resolve before type dispatch
+        xl = [xi.force() if type(xi) is sectypes.LazyShare else xi
+              for xi in xl]
         t = self.threshold if threshold is None else threshold
         m = len(self.parties)
         if receivers is None:
@@ -2561,7 +2564,8 @@ class Runtime:
             x = s[..., :half] * s[..., half:2 * half]
             x = self._reshare(x)
             if w % 2:
-                x = _concat_axis(type(x).field, [x, s[..., 2 * half:]], -1)
+                # x.field (instance access) forces a pipeline LazyShare
+                x = _concat_axis(x.field, [x, s[..., 2 * half:]], -1)
             s = x
         return s[..., 0]
 
