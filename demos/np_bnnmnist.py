@@ -183,7 +183,12 @@ def main():
                         help='random small network, no data files needed')
     args, _ = parser.parse_known_args()
 
-    # Legendre-k primes from the reference demo (np_bnnmnist.py:180-187)
+    # Legendre-k primes from the reference demo (np_bnnmnist.py:180-187).
+    # The bsgn_* protocols are written against the per-party plane's
+    # internal helpers; on the co-located simulator plane fall back to the
+    # generic vectorized comparison.
+    if getattr(mpc, 'is_simulator', False):
+        args.no_legendre = True
     if args.no_legendre:
         secint = mpc.SecInt(14)
         act = lambda z: (z >= 0) * 2 - 1                     # noqa: E731
