@@ -53,10 +53,10 @@ def make_split_recombine(p: int, t: int, m: int):
         n_vals = t * n
         n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
         if keccak._pallas_available() and n_blocks >= 1024:
-            blocks = keccak._squeeze_ctr_pallas(state_words, n_blocks)
+            blocks = keccak._squeeze_ctr_pallas(state_words, n_blocks, 19)
         else:
             n_pad = max(8, 1 << (n_blocks - 1).bit_length())
-            blocks = keccak._squeeze_ctr(state_words, n_pad)[:n_blocks]
+            blocks = keccak._squeeze_ctr(state_words, n_pad, 19)[:n_blocks]
         wide = rng_mod.words_to_elements(blocks, n_vals, l_bytes, L)
         red = ctx.reduce_chunks(wide.shape[-2])
         coefs = red(wide).reshape(t, n, L)
@@ -145,10 +145,10 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
         n_vals = t * n_send * n
         n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
         if keccak._pallas_available() and n_blocks >= 1024:
-            blocks = keccak._squeeze_ctr_pallas(st, n_blocks)
+            blocks = keccak._squeeze_ctr_pallas(st, n_blocks, 19)
         else:
             n_pad = max(8, 1 << (n_blocks - 1).bit_length())
-            blocks = keccak._squeeze_ctr(st, n_pad)[:n_blocks]
+            blocks = keccak._squeeze_ctr(st, n_pad, 19)[:n_blocks]
         wide = rng_mod.words_to_elements(blocks, n_vals, l_bytes, L)
         coefs = ctx.reduce_chunks(wide.shape[-2])(wide)
         coefs = coefs.reshape(t, n_send, n, L)

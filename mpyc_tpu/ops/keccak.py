@@ -16,6 +16,7 @@ Used for:
 from __future__ import annotations
 
 import functools
+from hashlib import shake_128
 
 import numpy as np
 import jax
@@ -175,14 +176,16 @@ def _keccak_f_state(state):
     return jnp.stack([jnp.stack(hi), jnp.stack(lo)])
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _squeeze_ctr(state_words, n_instances: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int):
     """Counter-mode parallel squeeze.
 
-    state_words: (2, 25) uint32 (hi, lo) absorbed state of the *prefix*
-    (key + uci padded to one block, before the final permutation), whose
-    lane 20 (last rate lane) will be XORed with a per-instance counter so
-    every instance is an independent single-block sponge.
+    state_words: (2, 25) uint32 (hi, lo) absorbed state of the padded
+    message prefix||pad8||ctr0 (counter field zero).  Lane ``ctr_lane``
+    holds the 8-byte counter field of the message, so XORing instance j's
+    counter into its low word yields exactly the absorbed state of
+    shake_128(prefix || pad8 || ctr_j) — every instance is an independent,
+    hashlib-checkable single-block sponge.
 
     Returns (n_instances, 42) uint32: the rate portion (168 bytes) of each
     instance's first squeezed block, words interleaved [lo0, hi0, lo1, ...]
@@ -193,8 +196,7 @@ def _squeeze_ctr(state_words, n_instances: int):
           for i in range(N_LANES)]
     lo = [jnp.broadcast_to(state_words[1, i], (n_instances,))
           for i in range(N_LANES)]
-    # inject counter into lane 19 low word (inside rate, after 152 bytes)
-    lo[19] = lo[19] ^ ctr
+    lo[ctr_lane] = lo[ctr_lane] ^ ctr
     hi, lo = keccak_f(hi, lo)
     # output 21 rate lanes, little-endian word order (lo then hi per lane)
     words = []
@@ -204,8 +206,8 @@ def _squeeze_ctr(state_words, n_instances: int):
     return jnp.stack(words, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _squeeze_ctr_pallas(state_words, n_instances: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _squeeze_ctr_pallas(state_words, n_instances: int, ctr_lane: int):
     """Counter-mode squeeze as a Pallas TPU kernel.
 
     The 50-word sponge state lives in registers/VMEM for all 24 unrolled
@@ -232,7 +234,7 @@ def _squeeze_ctr_pallas(state_words, n_instances: int):
                 + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1))
         hi = [jnp.full((R, 128), state_ref[0, k]) for k in range(N_LANES)]
         lo = [jnp.full((R, 128), state_ref[1, k]) for k in range(N_LANES)]
-        lo[19] = lo[19] ^ base
+        lo[ctr_lane] = lo[ctr_lane] ^ base
         for rnd in range(24):
             hi, lo = _keccak_round(hi, lo, jnp.uint32(int(rc[rnd, 0])),
                                    jnp.uint32(int(rc[rnd, 1])))
@@ -307,19 +309,33 @@ def _keccak_f_np(A):
     return A
 
 
-def _squeeze_ctr_host(state, n_instances: int):
+def _squeeze_ctr_host(state, n_instances: int, ctr_lane: int):
     """Host counter-mode squeeze, bit-exact with _squeeze_ctr.
 
     state: (2, 25) uint32 np array. Returns (n_instances, 42) uint32."""
     lanes = ((state[0].astype(np.uint64) << np.uint64(32))
              | state[1].astype(np.uint64))          # (25,)
     st = np.repeat(lanes[None, :], n_instances, axis=0)
-    st[:, 19] ^= np.arange(n_instances, dtype=np.uint64)
+    st[:, ctr_lane] ^= np.arange(n_instances, dtype=np.uint64)
     st = _keccak_f_np(st)
     out = np.empty((n_instances, 42), np.uint32)
     out[:, 0::2] = (st[:, :21] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     out[:, 1::2] = (st[:, :21] >> np.uint64(32)).astype(np.uint32)
     return out
+
+
+def _squeeze_ctr_hashlib(msg0: bytes, n_instances: int, ctr_off: int):
+    """Small-draw path: each instance via one C-speed hashlib call (~1.5us).
+
+    msg0 is the full counter-mode message with a zero counter field at byte
+    offset ctr_off; instance j hashes msg0 with the counter field replaced
+    by j (little-endian), giving the same bytes as the batched kernels.
+    """
+    head, tail = msg0[:ctr_off], msg0[ctr_off + 8:]
+    raw = b''.join(
+        shake_128(head + j.to_bytes(8, 'little') + tail).digest(RATE)
+        for j in range(n_instances))
+    return np.frombuffer(raw, '<u4').reshape(n_instances, 42)
 
 
 _HOST_SHAKE_N = 0 if __import__('os').getenv('MPYC_TPU_NOHOSTOPS') else 512
@@ -337,29 +353,42 @@ def _pallas_available():
     return _PALLAS_OK
 
 
+# hashlib wins below this count (~1.5us/instance vs ~0.7ms fixed numpy cost)
+_HASHLIB_N = 0 if __import__('os').getenv('MPYC_TPU_NOHOSTOPS') else 256
+
+
 def shake128_ctr_blocks(prefix: bytes, n_instances: int):
     """n_instances independent 168-byte SHAKE128 blocks, counter-separated.
 
-    Instance j's bytes equal shake_128(prefix || ctr_j_at_offset_152).  This
-    is NOT the hashlib stream for prefix; it is a parallel counter-mode PRF
-    construction with the same security reduction (each instance is a
-    distinct single-block sponge input).
+    Instance j's bytes equal shake_128(prefix || pad8 || ctr_j): the prefix
+    is zero-padded to an 8-byte boundary and followed by the 8-byte LE
+    counter, so every instance is a distinct single-block sponge input,
+    verifiable with hashlib, and the batched kernels reach instance j by
+    XORing j into one aligned message lane of the shared absorbed state.
+    (A parallel counter-mode PRF construction — the sequential hashlib
+    stream of the reference PRF, /root/reference/mpyc/thresha.py:220-266,
+    cannot be parallelized.)
 
-    The instance count is padded up to a power of two (min 8) before the
-    kernel call so XLA compilations are shared across batch sizes; the
-    surplus instances are sliced off. On TPU backends the squeeze runs as a
-    Pallas kernel (state resident in VMEM for all rounds).
+    Three bit-identical execution paths by draw size: C-speed hashlib per
+    instance (small protocol draws), one vectorized numpy permutation
+    (medium), and the jit/Pallas device kernels (large; instance count
+    padded to a power of two so XLA compilations are shared across batch
+    sizes, state resident in VMEM for all rounds on TPU backends).
     """
     assert len(prefix) <= 144, 'prefix must leave room for the counter lane'
-    hi, lo = _absorb_host(prefix)
+    ctr_off = -(-len(prefix) // 8) * 8
+    msg0 = prefix + bytes(ctr_off - len(prefix)) + bytes(8)
+    if 0 < n_instances <= _HASHLIB_N:
+        return _squeeze_ctr_hashlib(msg0, int(n_instances), ctr_off)
+    hi, lo = _absorb_host(msg0)
     state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
-    if 0 < n_instances <= _HOST_SHAKE_N:
-        # small draws: vectorized numpy permutation beats device dispatch
-        return _squeeze_ctr_host(state, int(n_instances))
+    if n_instances <= _HOST_SHAKE_N:
+        return _squeeze_ctr_host(state, int(n_instances), ctr_off // 8)
     n_pad = max(8, 1 << (int(n_instances) - 1).bit_length())
     if _pallas_available() and n_pad >= 1024:
-        return _squeeze_ctr_pallas(jnp.asarray(state), int(n_instances))
-    out = _squeeze_ctr(jnp.asarray(state), n_pad)
+        return _squeeze_ctr_pallas(jnp.asarray(state), int(n_instances),
+                                   ctr_off // 8)
+    out = _squeeze_ctr(jnp.asarray(state), n_pad, ctr_off // 8)
     if n_pad <= 64:
         # small draws feed host-resident protocol data: pull to numpy once
         return np.asarray(out)[:n_instances]

@@ -174,6 +174,20 @@ class KeccakRNG:
         self._byte_off = off + nbytes
         return pool[off:off + nbytes]
 
+    def field_uniform_mont_ints(self, ctx, n: int):
+        """n uniform GF(p) values as Montgomery-domain Python ints.
+
+        Host-int twin of field_uniform for tiny protocol draws (Shamir
+        coefficients are party-private randomness, so the byte layout need
+        not match the batched path): widened little-endian chunks from the
+        pooled SHAKE stream, reduced mod p, lifted by R.
+        """
+        p, R = ctx.p, ctx.R
+        l = ((p - 1).bit_length() + 7 >> 3) + _WIDEN_BYTES
+        raw = self._draw_host_bytes(n * l).tobytes()
+        return [int.from_bytes(raw[j * l:(j + 1) * l], 'little') % p * R % p
+                for j in range(n)]
+
     def randbits_uint32(self, shape, k: int):
         """Uniform k-bit values (k <= 32) as uint32 array."""
         assert 0 < k <= 32

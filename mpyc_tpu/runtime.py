@@ -4307,30 +4307,75 @@ def setup(argv=None):
         parties = [Party(i, 'localhost', args.base_port + i) for i in range(m)]
         pid = args.index
         if pid is None:
-            # spawn the other m-1 parties as subprocesses (reference:
-            # runtime.py:5156-5193)
+            # spawn the other m-1 parties (reference: runtime.py:5156-5193).
+            # Default is os.fork(): the children inherit the parent's
+            # fully-imported interpreter (jax import costs seconds; paying
+            # it once instead of m times cuts multi-party wall-clock by
+            # ~2-3 s per run). Safe here: no event loop, transport, XLA
+            # client, or session RNG exists yet — the Runtime (and its
+            # private KeccakRNG key, drawn from the kernel CSPRNG) is
+            # constructed after this block in every process.
+            # MPYC_TPU_SPAWN=subprocess restores fresh-interpreter spawns.
             pid = 0
             if options.ssl:
                 # single-machine -M run: auto-generate missing certs so
                 # the spawned parties find them (.config/ in the cwd)
                 from mpyc_tpu.utils import certs as _certs
                 _certs.generate(m)
-            import subprocess
-            prog = raw_argv[0]
-            for i in range(1, m):
-                cmd = [sys.executable, prog] + raw_argv[1:] + ['-I', str(i)]
-                if args.output_windows:  # accepted for compat: keep attached
-                    subprocess.Popen(cmd)
-                elif args.output_file:
-                    # reference runtime.py:5183-5187: append to party{m}_{i}.log
-                    with open(f'party{m}_{i}.log', 'a') as fh:
-                        fh.write('\n')
-                        fh.write(f'$> {" ".join(cmd)}\n')
-                        subprocess.Popen(cmd, stdout=fh,
-                                         stderr=subprocess.STDOUT)
-                else:
-                    subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
-                                     stderr=subprocess.STDOUT)
+            use_fork = (hasattr(os, 'fork')
+                        and os.getenv('MPYC_TPU_SPAWN', 'fork') == 'fork')
+            if use_fork:
+                sys.stdout.flush()
+                sys.stderr.flush()
+                _child_pids = []
+                for i in range(1, m):
+                    cpid = os.fork()
+                    if cpid == 0:
+                        pid = i
+                        _child_pids = []
+                        # drop any pre-fork cached module-level randomness
+                        from mpyc_tpu import thresha as _th
+                        _th._default_rng.cache_clear()
+                        if args.output_windows:
+                            pass  # keep attached to the parent terminal
+                        elif args.output_file:
+                            fh = open(f'party{m}_{i}.log', 'a', buffering=1)
+                            fh.write('\n')
+                            os.dup2(fh.fileno(), 1)
+                            os.dup2(fh.fileno(), 2)
+                        else:
+                            devnull = os.open(os.devnull, os.O_WRONLY)
+                            os.dup2(devnull, 1)
+                        break
+                    _child_pids.append(cpid)
+                if pid == 0 and _child_pids:
+                    import atexit
+
+                    def _reap(pids=_child_pids):
+                        for c in pids:
+                            try:
+                                os.waitpid(c, 0)
+                            except (ChildProcessError, OSError):
+                                pass
+                    atexit.register(_reap)
+            else:
+                import subprocess
+                prog = raw_argv[0]
+                for i in range(1, m):
+                    cmd = [sys.executable, prog] + raw_argv[1:] + \
+                        ['-I', str(i)]
+                    if args.output_windows:  # compat: keep attached
+                        subprocess.Popen(cmd)
+                    elif args.output_file:
+                        # reference runtime.py:5183-5187: party{m}_{i}.log
+                        with open(f'party{m}_{i}.log', 'a') as fh:
+                            fh.write('\n')
+                            fh.write(f'$> {" ".join(cmd)}\n')
+                            subprocess.Popen(cmd, stdout=fh,
+                                             stderr=subprocess.STDOUT)
+                    else:
+                        subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                        stderr=subprocess.STDOUT)
     else:
         parties = [Party(i) for i in range(m)]
         pid = args.index if args.index is not None else 0

@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from mpyc_tpu.ops import keccak, rng as rng_mod
 from mpyc_tpu.ops.fieldops import prime_field_ctx
 
+# PRF draws at or below this size take the host-int path (hashlib sponge +
+# Python-int reduction); larger draws run the batched device kernels
+_HOST_PRF_N = 0 if __import__('os').getenv('MPYC_TPU_NOHOSTOPS') else 256
+
 __all__ = ['random_split', 'recombine', 'pseudorandom_share',
            'pseudorandom_share_zero', 'np_random_split', 'np_recombine',
            'np_pseudorandom_share', 'np_pseudorandom_share_0', 'PRF',
@@ -201,6 +205,26 @@ def np_random_split(field, s, t, m, rng=None):
             data = np.array(data)  # writable, contiguous host copy
         return acls.from_data(data)
     shape = s.shape if s.shape else (1,)
+    n = prod(shape)
+    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+            and field.ext_deg == 1 and isinstance(s.data, np.ndarray)
+            and hasattr(rng, 'field_uniform_mont_ints')
+            and n * t * ((field.modulus.bit_length() + 7 >> 3) + 16)
+            <= 65536):
+        # host-int fast path: all m Horner rows fused into one int pass
+        ctx = prime_field_ctx(field.modulus)
+        p = ctx.p
+        s_mont = ctx._mont_ints(np.asarray(s.data).reshape((n, ctx.L)))
+        coefs = rng.field_uniform_mont_ints(ctx, t * n)
+        out = []
+        for i in range(1, m + 1):
+            for j in range(n):
+                y = 0
+                for k in range(t):
+                    y = (y + coefs[k * n + j]) * i
+                out.append((y + int(s_mont[j])) % p)
+        mont = ctx._mont_out(out, (m, n))
+        return acls.from_data(mont.reshape((m,) + tuple(s.shape) + (ctx.L,)))
     coefs = rng.field_uniform(field, (t,) + shape)
     rows = []
     for i in range(1, m + 1):
@@ -228,6 +252,24 @@ def np_recombine(field, points, x_rs=0):
     single = not isinstance(x_rs, list)
     if single:
         x_rs = (x_rs,)
+    n = prod(shares[0].shape) if shares[0].shape else 1
+    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+            and field.ext_deg == 1
+            and all(isinstance(sh.data, np.ndarray) for sh in shares)):
+        # host-int fast path: one fused Lagrange dot per evaluation point
+        ctx = prime_field_ctx(field.modulus)
+        p = ctx.p
+        mis = [ctx._mont_ints(np.asarray(sh.data).reshape((n, ctx.L)))
+               for sh in shares]
+        outs = []
+        for x_r in x_rs:
+            vec = [int(c) for c in _recombination_vector(field, xs, int(x_r))]
+            vals = [sum(c * int(mi[j]) for c, mi in zip(vec, mis)) % p
+                    for j in range(n)]
+            mont = ctx._mont_out(vals, (n,))
+            outs.append(acls.from_data(
+                mont.reshape(tuple(shares[0].shape) + (ctx.L,))))
+        return outs[0] if single else outs
     outs = []
     for x_r in x_rs:
         vec = _recombination_vector(field, xs, int(x_r))
@@ -297,6 +339,12 @@ class DevicePRF:
         ctx = prime_field_ctx(field.modulus)
         n = prod(shape) if shape else 1
         l = max(self.byte_length, 1)
+        if 0 < n <= _HOST_PRF_N and l <= keccak.RATE:
+            # Small protocol draws: C-speed sponge + Python-int reduction,
+            # Montgomery int views seeded so downstream host-plane ops
+            # never decode limbs. Bit-identical with the device reduction.
+            mont = ctx._mont_out(self._host_mont_vals(ctx, s, n, l), (n,))
+            return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
         blocks = keccak.shake128_ctr_blocks(
             self.key + s, max(rng_mod.blocks_needed(n, l), 1))
         wide = rng_mod.words_to_elements(blocks, n, l, ctx.L)
@@ -307,6 +355,33 @@ class DevicePRF:
             wide = jnp.zeros_like(wide)
         mont = ctx.reduce_chunks(wide.shape[-2])(wide)
         return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+
+    def _host_mont_vals(self, ctx, s: bytes, n: int, l: int):
+        """PRF values as a list of Montgomery-domain Python ints.
+
+        The host-int twin of the device reduction: l little-endian stream
+        bytes per value (block tails discarded, matching
+        rng.words_to_elements), bound-masked, reduced mod p, lifted by R.
+        """
+        blocks = np.asarray(keccak.shake128_ctr_blocks(
+            self.key + s, max(rng_mod.blocks_needed(n, l), 1)))
+        raw = blocks.astype('<u4').tobytes()
+        k_per, p, R = keccak.RATE // l, ctx.p, ctx.R
+        if self.is_pow2 and self.max > 1:
+            mask = (1 << (self.max - 1).bit_length()) - 1
+        elif self.max == 1:
+            mask = 0
+        else:
+            mask = -1
+        vals = []
+        for j in range(n):
+            b_idx, e_idx = divmod(j, k_per)
+            off = b_idx * keccak.RATE + e_idx * l
+            v = int.from_bytes(raw[off:off + l], 'little')
+            if mask >= 0:
+                v &= mask
+            vals.append(v % p * R % p)
+        return vals
 
     def bits_uint32(self, s: bytes, shape, k=None):
         """PRF output as raw k-bit uint32 values (power-of-2 bounds, k<=32)."""
@@ -341,6 +416,23 @@ def _mask_bits(wide, k: int):
 
 def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
     """Party i's PRSS shares of n pseudorandom secrets, on device."""
+    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+            and field.ext_deg == 1):
+        # host-int fast path: one fused weighted sum over all key subsets
+        # (scalar coefficients keep the Montgomery domain), one encode
+        ctx = prime_field_ctx(field.modulus)
+        p = ctx.p
+        acc = [0] * n
+        for S, prf_S in prfs.items():
+            f = int(_f_S_i(field, m, i, S))
+            l = max(prf_S.byte_length, 1)
+            if l > keccak.RATE:
+                break
+            vals = prf_S._host_mont_vals(ctx, uci, n, l)
+            acc = [a + f * v for a, v in zip(acc, vals)]
+        else:
+            mont = ctx._mont_out([a % p for a in acc], (n,))
+            return field.array.from_data(mont)
     acc = None
     for S, prf_S in prfs.items():
         f = _f_S_i(field, m, i, S)
@@ -366,6 +458,28 @@ def np_pseudorandom_share_host(field, m, i, prfs, uci: bytes, n):
 def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
     """Party i's PRSS shares of n zero-sharings (degree 2t), on device."""
     i1 = i + 1
+    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+            and field.ext_deg == 1):
+        ctx = prime_field_ctx(field.modulus)
+        p = ctx.p
+        acc = [0] * n
+        for S, prf_S in prfs.items():
+            f = int(_f_S_i(field, m, i, S))
+            d = m - len(S)
+            if d == 0:  # m == 1, t == 0: zero-sharing is identically zero
+                continue
+            l = max(prf_S.byte_length, 1)
+            if l > keccak.RATE:
+                break
+            vals = prf_S._host_mont_vals(ctx, uci, n * d, l)
+            for j in range(n):
+                y = 0
+                for k in range(d):
+                    y = (y + vals[j * d + k]) * i1
+                acc[j] += f * y
+        else:
+            mont = ctx._mont_out([a % p for a in acc], (n,))
+            return field.array.from_data(mont)
     acc = None
     for S, prf_S in prfs.items():
         f = int(_f_S_i(field, m, i, S))
