@@ -206,8 +206,11 @@ class PrimeFieldCtx:
         return ints
 
     def _mont_out(self, vals, shape):
-        """Iterable of Montgomery-domain ints -> (shape, L) uint32."""
-        arr = np.array(list(vals), dtype=object)
+        """Iterable/ndarray of Montgomery-domain ints -> (shape, L) uint32."""
+        if isinstance(vals, np.ndarray):
+            arr = vals
+        else:
+            arr = np.array(list(vals), dtype=object)
         out = limb.ints_to_limbs(arr, self.L).reshape(shape + (self.L,))
         self._cache_host_ints(out, arr.reshape(-1))
         return out
@@ -228,40 +231,41 @@ class PrimeFieldCtx:
         if name in ('add', 'sub', 'neg', 'mul', 'div', 'inv', 'eq',
                     'is_zero', 'legendre', 'to_std', 'from_std',
                     'from_uint32'):
+            # vectorized object-int arithmetic: one C-level pass per op
+            # (the per-element genexprs they replace dominated scalar
+            # protocol latency at ~10x the cost)
             if name == 'add':
-                return lambda ab: mo(((int(x) + int(y)) % p for x, y in
-                                      zip(mi(ab[0]), mi(ab[1]))),
+                return lambda ab: mo((mi(ab[0]) + mi(ab[1])) % p,
                                      shape_of(ab[0]))
             if name == 'sub':
-                return lambda ab: mo(((int(x) - int(y)) % p for x, y in
-                                      zip(mi(ab[0]), mi(ab[1]))),
+                return lambda ab: mo((mi(ab[0]) - mi(ab[1])) % p,
                                      shape_of(ab[0]))
             if name == 'neg':
-                return lambda ab: mo(((-int(x)) % p for x in mi(ab[0])),
-                                     shape_of(ab[0]))
+                return lambda ab: mo((-mi(ab[0])) % p, shape_of(ab[0]))
             if name == 'mul':
-                return lambda ab: mo((int(x) * int(y) * Rinv % p
-                                      for x, y in zip(mi(ab[0]), mi(ab[1]))),
+                return lambda ab: mo(mi(ab[0]) * mi(ab[1]) * Rinv % p,
                                      shape_of(ab[0]))
             if name == 'div':
                 # z*R = (x^*R)(y^*R)^-1 R^2 * R^-1... simplified:
                 # z^ = x^ * (y^)^-1 * R  (0 divisor -> 0, like mont_inv)
-                return lambda ab: mo(
-                    (int(x) * (pow(int(y), -1, p) if int(y) else 0) * R % p
-                     for x, y in zip(mi(ab[0]), mi(ab[1]))),
-                    shape_of(ab[0]))
+                def _div(ab):
+                    xs = mi(ab[0])
+                    invs = np.array([pow(int(y), -1, p) if int(y) else 0
+                                     for y in mi(ab[1])], dtype=object)
+                    return mo(xs * invs * R % p, shape_of(ab[0]))
+                return _div
             if name == 'inv':
                 # (x^)^-1 * R^2 = (x value)^-1 in Montgomery form
-                return lambda ab: mo(
-                    ((pow(int(x), -1, p) if int(x) else 0) * R2 % p
-                     for x in mi(ab[0])), shape_of(ab[0]))
+                return lambda ab: mo(np.array(
+                    [(pow(int(x), -1, p) if int(x) else 0) * R2 % p
+                     for x in mi(ab[0])], dtype=object), shape_of(ab[0]))
             if name == 'eq':
-                return lambda ab: np.array(
-                    [int(x) == int(y) for x, y in zip(mi(ab[0]), mi(ab[1]))],
+                return lambda ab: np.asarray(
+                    mi(ab[0]) == mi(ab[1]),
                     dtype=bool).reshape(shape_of(ab[0]))
             if name == 'is_zero':
-                return lambda ab: np.array(
-                    [int(x) == 0 for x in mi(ab[0])],
+                return lambda ab: np.asarray(
+                    mi(ab[0]) == 0,
                     dtype=bool).reshape(shape_of(ab[0]))
             if name == 'legendre':
                 def _leg(ab):
@@ -274,15 +278,13 @@ class PrimeFieldCtx:
                         shape_of(ab[0]))
                 return _leg
             if name == 'to_std':
-                return lambda ab: mo((int(x) * Rinv % p for x in mi(ab[0])),
-                                     shape_of(ab[0]))
+                return lambda ab: mo(mi(ab[0]) * Rinv % p, shape_of(ab[0]))
             if name == 'from_std':
-                return lambda ab: mo((int(x) * R % p for x in mi(ab[0])),
-                                     shape_of(ab[0]))
+                return lambda ab: mo(mi(ab[0]) * R % p, shape_of(ab[0]))
             if name == 'from_uint32':
                 return lambda ab: mo(
-                    (int(v) * R % p for v in
-                     np.asarray(ab[0], dtype=np.uint32).reshape(-1)),
+                    np.asarray(ab[0], dtype=np.uint32).reshape(-1)
+                    .astype(object) * R % p,
                     ab[0].shape)
         if name.startswith('pow_'):
             e = int(name[4:])
@@ -317,31 +319,30 @@ class PrimeFieldCtx:
             return _ts
         if name.startswith('mulc_'):
             c = int(name[5:])
-            return lambda ab: mo((int(x) * c % p for x in mi(ab[0])),
-                                 shape_of(ab[0]))
+            return lambda ab: mo(mi(ab[0]) * c % p, shape_of(ab[0]))
         if name.startswith('mod_pow2_'):
             f = int(name[9:])
             mask = (1 << f) - 1
-            return lambda ab: mo(((int(x) * Rinv % p & mask) * R % p
-                                  for x in mi(ab[0])), shape_of(ab[0]))
+            return lambda ab: mo((mi(ab[0]) * Rinv % p & mask) * R % p,
+                                 shape_of(ab[0]))
         if name.startswith('to_bits_'):
             l = int(name[8:])
 
             def _tb(ab):
-                vals = [int(x) * Rinv % p for x in mi(ab[0])]
-                bits = np.array([[(v >> i) & 1 for i in range(l)]
-                                 for v in vals], dtype=np.uint32)
+                vals = mi(ab[0]) * Rinv % p
+                bits = np.stack([((vals >> i) & 1).astype(np.uint32)
+                                 for i in range(l)], axis=-1)
                 return bits.reshape(shape_of(ab[0]) + (l,))
             return _tb
         if name.startswith('from_bits_'):
             l = int(name[10:])
 
             def _fb(ab):
-                b = np.asarray(ab[0], dtype=np.uint32)
-                flat = b.reshape(-1, l)
-                vals = (sum(int(row[i]) << i for i in range(l)) * R % p
-                        for row in flat)
-                return mo(vals, b.shape[:-1])
+                b = np.asarray(ab[0], dtype=np.uint32).reshape(-1, l)
+                acc = b[:, l - 1].astype(object)
+                for i in range(l - 2, -1, -1):
+                    acc = (acc << 1) | b[:, i].astype(object)
+                return mo(acc * R % p, ab[0].shape[:-1])
             return _fb
         if name.startswith('reduce_chunks_'):
             nc = int(name[14:])
@@ -349,17 +350,9 @@ class PrimeFieldCtx:
             def _rc(ab):
                 w = np.asarray(ab[0], dtype=np.uint32)
                 shape = w.shape[:-2]
-                flat = w.reshape(-1, nc, self.L)
-                out = []
-                for row in flat:
-                    v = 0
-                    for i in range(nc - 1, -1, -1):
-                        chunk = 0
-                        for j in range(self.L - 1, -1, -1):
-                            chunk = (chunk << 32) | int(row[i][j])
-                        v = (v << (32 * self.L)) | chunk
-                    out.append(v % p * R % p)
-                return mo(out, shape)
+                # the nc x L chunk grid is one little-endian limb vector
+                vals = limb.limbs_to_ints(w.reshape(-1, nc * self.L))
+                return mo(vals % p * R % p, shape)
             return _rc
         return None
 

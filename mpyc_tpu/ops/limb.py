@@ -51,23 +51,22 @@ def limbs_to_int(v) -> int:
 
 
 def ints_to_limbs(xs, L: int) -> np.ndarray:
-    """Vector/array of nonneg ints (object ndarray or list) -> (..., L) uint32."""
+    """Vector/array of nonneg ints (object ndarray or list) -> (..., L) uint32.
+
+    Vectorized object arithmetic for every L: L C-level passes over the
+    array instead of a per-element Python loop (the loop dominated scalar
+    protocol latency for L >= 3 fields, e.g. SecFxp24's 87-bit prime).
+    """
     arr = np.asarray(xs, dtype=object)
     if L == 1:
         return arr.astype(np.uint32).reshape(arr.shape + (1,))
-    if L == 2:
-        # vectorized object arithmetic beats a per-element Python loop
-        lo = (arr & 0xFFFFFFFF).astype(np.uint32)
-        hi = (arr >> 32).astype(np.uint32)
-        return np.stack([lo, hi], axis=-1)
-    out = np.empty(arr.shape + (L,), dtype=np.uint32)
-    flat = arr.reshape(-1)
-    oflat = out.reshape(-1, L)
-    for idx in range(flat.shape[0]):
-        x = int(flat[idx])
-        for i in range(L):
-            oflat[idx, i] = (x >> (32 * i)) & 0xFFFFFFFF
-    return out
+    limbs = []
+    cur = arr
+    for i in range(L):
+        limbs.append((cur & 0xFFFFFFFF).astype(np.uint32))
+        if i < L - 1:
+            cur = cur >> 32
+    return np.stack(limbs, axis=-1)
 
 
 def limbs_to_ints(v) -> np.ndarray:
@@ -76,14 +75,10 @@ def limbs_to_ints(v) -> np.ndarray:
     L = v.shape[-1]
     if L == 1:
         return v[..., 0].astype(object)
-    if L == 2:
-        return np.asarray(v[..., 0].astype(object) |
-                          (v[..., 1].astype(object) << 32), dtype=object)
-    flat = v.reshape(-1, L)
-    out = np.empty(flat.shape[0], dtype=object)
-    for idx in range(flat.shape[0]):
-        out[idx] = sum(int(flat[idx, i]) << (32 * i) for i in range(L))
-    return out.reshape(v.shape[:-1])
+    acc = v[..., L - 1].astype(object)
+    for i in range(L - 2, -1, -1):
+        acc = (acc << 32) | v[..., i].astype(object)
+    return np.asarray(acc, dtype=object)
 
 
 # ---------------------------------------------------------------------------
