@@ -184,9 +184,17 @@ class KeccakRNG:
         """
         p, R = ctx.p, ctx.R
         l = ((p - 1).bit_length() + 7 >> 3) + _WIDEN_BYTES
-        raw = self._draw_host_bytes(n * l).tobytes()
-        return [int.from_bytes(raw[j * l:(j + 1) * l], 'little') % p * R % p
-                for j in range(n)]
+        cap = max(_POOL_BLOCKS * keccak.RATE // (2 * l), 1)  # per pool refill
+        vals = np.empty(n, dtype=object)
+        j0 = 0
+        while j0 < n:
+            k = min(n - j0, cap)
+            raw = self._draw_host_bytes(k * l).tobytes()
+            for j in range(k):
+                vals[j0 + j] = int.from_bytes(raw[j * l:(j + 1) * l],
+                                              'little')
+            j0 += k
+        return vals % p * R % p
 
     def randbits_uint32(self, shape, k: int):
         """Uniform k-bit values (k <= 32) as uint32 array."""

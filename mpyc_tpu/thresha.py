@@ -215,15 +215,14 @@ def np_random_split(field, s, t, m, rng=None):
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
         s_mont = ctx._mont_ints(np.asarray(s.data).reshape((n, ctx.L)))
-        coefs = rng.field_uniform_mont_ints(ctx, t * n)
-        out = []
+        coefs = rng.field_uniform_mont_ints(ctx, t * n).reshape(t, n)
+        rows = []
         for i in range(1, m + 1):
-            for j in range(n):
-                y = 0
-                for k in range(t):
-                    y = (y + coefs[k * n + j]) * i
-                out.append((y + int(s_mont[j])) % p)
-        mont = ctx._mont_out(out, (m, n))
+            y = 0
+            for k in range(t):
+                y = (y + coefs[k]) * i
+            rows.append((y + s_mont) % p)
+        mont = ctx._mont_out(np.concatenate(rows), (m, n))
         return acls.from_data(mont.reshape((m,) + tuple(s.shape) + (ctx.L,)))
     coefs = rng.field_uniform(field, (t,) + shape)
     rows = []
@@ -264,9 +263,10 @@ def np_recombine(field, points, x_rs=0):
         outs = []
         for x_r in x_rs:
             vec = [int(c) for c in _recombination_vector(field, xs, int(x_r))]
-            vals = [sum(c * int(mi[j]) for c, mi in zip(vec, mis)) % p
-                    for j in range(n)]
-            mont = ctx._mont_out(vals, (n,))
+            acc = vec[0] * mis[0]
+            for c, mi in zip(vec[1:], mis[1:]):
+                acc = acc + c * mi
+            mont = ctx._mont_out(acc % p, (n,))
             outs.append(acls.from_data(
                 mont.reshape(tuple(shares[0].shape) + (ctx.L,))))
         return outs[0] if single else outs
@@ -373,15 +373,15 @@ class DevicePRF:
             mask = 0
         else:
             mask = -1
-        vals = []
+        vals = np.empty(n, dtype=object)
         for j in range(n):
             b_idx, e_idx = divmod(j, k_per)
             off = b_idx * keccak.RATE + e_idx * l
             v = int.from_bytes(raw[off:off + l], 'little')
             if mask >= 0:
                 v &= mask
-            vals.append(v % p * R % p)
-        return vals
+            vals[j] = v
+        return vals % p * R % p
 
     def bits_uint32(self, s: bytes, shape, k=None):
         """PRF output as raw k-bit uint32 values (power-of-2 bounds, k<=32)."""
@@ -422,16 +422,17 @@ def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
         # (scalar coefficients keep the Montgomery domain), one encode
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
-        acc = [0] * n
+        acc = 0
         for S, prf_S in prfs.items():
             f = int(_f_S_i(field, m, i, S))
             l = max(prf_S.byte_length, 1)
             if l > keccak.RATE:
                 break
-            vals = prf_S._host_mont_vals(ctx, uci, n, l)
-            acc = [a + f * v for a, v in zip(acc, vals)]
+            acc = acc + f * prf_S._host_mont_vals(ctx, uci, n, l)
         else:
-            mont = ctx._mont_out([a % p for a in acc], (n,))
+            if not isinstance(acc, np.ndarray):
+                acc = np.full(n, acc, dtype=object)
+            mont = ctx._mont_out(acc % p, (n,))
             return field.array.from_data(mont)
     acc = None
     for S, prf_S in prfs.items():
@@ -462,7 +463,7 @@ def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
             and field.ext_deg == 1):
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
-        acc = [0] * n
+        acc = 0
         for S, prf_S in prfs.items():
             f = int(_f_S_i(field, m, i, S))
             d = m - len(S)
@@ -471,14 +472,15 @@ def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
             l = max(prf_S.byte_length, 1)
             if l > keccak.RATE:
                 break
-            vals = prf_S._host_mont_vals(ctx, uci, n * d, l)
-            for j in range(n):
-                y = 0
-                for k in range(d):
-                    y = (y + vals[j * d + k]) * i1
-                acc[j] += f * y
+            vals = prf_S._host_mont_vals(ctx, uci, n * d, l).reshape(n, d)
+            y = 0
+            for k in range(d):
+                y = (y + vals[:, k]) * i1
+            acc = acc + f * y
         else:
-            mont = ctx._mont_out([a % p for a in acc], (n,))
+            if not isinstance(acc, np.ndarray):
+                acc = np.full(n, acc, dtype=object)
+            mont = ctx._mont_out(acc % p, (n,))
             return field.array.from_data(mont)
     acc = None
     for S, prf_S in prfs.items():
