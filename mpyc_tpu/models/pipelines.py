@@ -499,3 +499,301 @@ def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
         )(state_words, secrets)
 
     return jax.jit(step), (R * 128, epb)
+
+
+def _tree_mults(w: int) -> int:
+    """Secure mults consumed by a log-depth product tree of width w."""
+    total = 0
+    while w > 1:
+        h = w // 2
+        total += h
+        w = h + (w % 2)
+    return total
+
+
+def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
+                  LT: bool = False, EQ: bool = False, f: int = 0):
+    """Whole Toft-style secure comparison as ONE compiled device program.
+
+    step(a_sh, state_words, ctr) -> (out_sh, ctr')
+      a_sh: (m, n, L) uint32 Montgomery degree-t shares of the inputs
+      state_words/ctr: fused SHAKE state + device-resident call counter
+      out_sh: (m, n, L) degree-t shares of sgn(a) (or the a<0 / a==0 bit),
+      already shifted by 2^f for fixed-point types.
+
+    Fuses the entire protocol of the eager np_sgn (runtime.py np_sgn,
+    reference runtime.py:3622-3693): masked-open comparison with l random
+    bits, public bit algebra, log-depth secure product trees with in-kernel
+    GRR98 degree reductions, and a blinded public zero test — zero eager
+    primitives and zero host<->device transfers per call.
+
+    Co-located-plane delta (documented, like the fused reshare's
+    coefficient stream): the per-party r^2-open random-bit subprotocol
+    (runtime.py np_random_bits) is replaced by an in-kernel dealer split of
+    counter-mode SHAKE stream bits — on this plane one process plays every
+    party, so the observable share/output distribution is unchanged while
+    the l-per-element public square roots disappear.  The blinding factor
+    for the zero test is drawn uniformly and its (probability ~1/p) zero
+    replaced by one.
+
+    Constraints: prime field, 2t+1 <= m, l <= 62, k <= 62.
+    """
+    assert not (LT and EQ)
+    sgn_mode = not LT and not EQ
+    field = finfields.GF((p, 2, p - 1)) if p > 2 else finfields.GF(p)
+    ctx = prime_field_ctx(p)
+    L = ctx.L
+    P, N0 = ctx.p_limbs, ctx.n0inv
+    n_send = 2 * t + 1
+    assert n_send <= m, 'GRR98 needs 2t+1 <= m'
+    assert l <= 62 and k <= 62
+    lb = l + (0 if EQ else 1)           # random bits per element (+sign)
+    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
+
+    lag_t = _lagrange_consts_mont(field, range(1, t + 2))       # open deg t
+    lag_2t = _lagrange_consts_mont(field, range(1, n_send + 1))  # deg 2t
+    xs_mont = [ctx.encode_const(i) for i in range(1, m + 1)]
+    one_m = ctx.one_mont
+    two_m = ctx.encode_const(2)
+    three_m = ctx.encode_const(3)
+    r2_m = ctx.r2_limbs                  # mont encoder (x -> x*R)
+    pow2_m = [ctx.encode_const(pow(2, j, p)) for j in range(max(l, 1) + 1)]
+    inv2l_m = ctx.encode_const(pow(pow(2, l, p), -1, p))
+    pow2l1_m = ctx.encode_const(pow(2, max(l - 1, 0), p))
+    powf_m = ctx.encode_const(pow(2, f, p)) if f else None
+
+    def cl(v):
+        return [jnp.uint32(int(x)) for x in v]
+
+    def ADD(a, b):
+        return limb.stack(limb.add_mod(limb.unstack(a, L),
+                                       limb.unstack(b, L), P))
+
+    def SUB(a, b):
+        return limb.stack(limb.sub_mod(limb.unstack(a, L),
+                                       limb.unstack(b, L), P))
+
+    def MUL(a, b):
+        return limb.stack(limb.mont_mul(limb.unstack(a, L),
+                                        limb.unstack(b, L), P, N0))
+
+    def MULC(a, c):
+        return limb.stack(limb.mont_mul(limb.unstack(a, L), cl(c), P, N0))
+
+    def ADDC(a, c):
+        return limb.stack(limb.add_mod(limb.unstack(a, L), cl(c), P))
+
+    def CSUB(c, a):  # public const minus share (valid on every row)
+        return limb.stack(limb.sub_mod(cl(c), limb.unstack(a, L), P))
+
+    # per-element word budget (bit draws + bounded r_divl draw)
+    wb = -(-lb // 32)
+    wk = -(-k // 32)
+    wpe = wb + wk
+
+    def step(a_sh, state_words, ctr):
+        n = a_sh.shape[1]
+        # static stream budget (counter space partitioned per draw)
+        n_words = n * wpe
+        blocksA = max(-(-n_words // 42), 1)
+        W_total = t * lb * n + t * n
+        if not EQ:
+            W_total += (1 + t) * n                      # blind + its coefs
+            W_total += t * n_send * n * _tree_mults(l + 1)
+        if not LT:
+            W_total += t * n_send * n * _tree_mults(l)
+        if sgn_mode:
+            W_total += t * n_send * n                   # final reshare
+        blocksB = max(rng_mod.blocks_needed(W_total, l_bytes), 1)
+
+        st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
+        st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
+
+        # ---- streams ----
+        wordsA = keccak._squeeze_ctr(st, blocksA, 19, 0)
+        wordsA = wordsA.reshape(-1)[:n_words].reshape(n, wpe)
+        blocksB_w = keccak._squeeze_ctr(st, blocksB, 19, blocksA)
+        wide = rng_mod.words_to_elements(blocksB_w, W_total, l_bytes, L)
+        wpool = ctx.reduce_chunks(wide.shape[-2])(wide)  # (W_total, L) mont
+        cursor = [0]
+
+        def draw(shape):
+            cnt = 1
+            for s in shape:
+                cnt *= s
+            c0 = cursor[0]
+            cursor[0] = c0 + cnt
+            return wpool[c0:c0 + cnt].reshape(shape + (L,))
+
+        # ---- dealer split: values (..., L) + coefs (t, ..., L) -> (m, ...)
+        def split(v, coefs):
+            rows = []
+            for i in range(m):
+                y = None
+                for kk in range(t):
+                    y = coefs[kk] if y is None else ADD(y, coefs[kk])
+                    y = MULC(y, xs_mont[i])
+                rows.append(ADD(y, v) if y is not None else v)
+            return jnp.stack(rows, axis=0)
+
+        def open_deg(x, lag):           # (m, ..., L) -> (..., L) public
+            acc = None
+            for i, lg in enumerate(lag):
+                term = MULC(x[i], lg)
+                acc = term if acc is None else ADD(acc, term)
+            return acc
+
+        def reshare(x):                 # (m, ..., L) deg 2t -> deg t
+            inner = x.shape[1:-1]
+            coefs = draw((t, n_send) + inner)
+            S = None
+            for i in range(n_send):
+                term = MULC(x[i], lag_2t[i])
+                S = term if S is None else ADD(S, term)
+            C = [None] * t
+            for kk in range(t):
+                acc = None
+                for i in range(n_send):
+                    term = MULC(coefs[kk, i], lag_2t[i])
+                    acc = term if acc is None else ADD(acc, term)
+                C[kk] = acc
+            rows = []
+            for j in range(m):
+                y = None
+                for kk in range(t):
+                    y = C[kk] if y is None else ADD(y, C[kk])
+                    y = MULC(y, xs_mont[j])
+                rows.append(ADD(y, S) if y is not None else S)
+            return jnp.stack(rows, axis=0)
+
+        def prod_tree(x):               # (m, n, w, L) -> (m, n, L)
+            while x.shape[2] > 1:
+                w = x.shape[2]
+                h = w // 2
+                y = MUL(x[:, :, :h], x[:, :, h:2 * h])
+                y = reshare(y)
+                if w % 2:
+                    y = jnp.concatenate([y, x[:, :, 2 * h:]], axis=2)
+                x = y
+            return x[:, :, 0]
+
+        # ---- random bits (dealer split of stream bits) ----
+        bit_words = wordsA[:, :wb]                       # (n, wb)
+        bits = []
+        for j in range(lb):
+            bits.append((bit_words[:, j // 32] >> jnp.uint32(j % 32))
+                        & jnp.uint32(1))
+        bits = jnp.stack(bits, axis=1)                   # (n, lb) in {0,1}
+        bits_mont = MULC(
+            jnp.concatenate([bits[..., None],
+                             jnp.zeros((n, lb, L - 1), jnp.uint32)]
+                            if L > 1 else [bits[..., None]], axis=-1), r2_m)
+        rb = split(bits_mont, draw((t, n, lb)))          # (m, n, lb, L)
+
+        # ---- r_divl (uniform < 2^k, power-of-2 bound: exact) ----
+        kw = wordsA[:, wb:wb + wk]                       # (n, wk)
+        k_limbs = []
+        for q in range(L):
+            if q < wk:
+                wcol = kw[:, q]
+                rem = k - 32 * q
+                if 0 < rem < 32:
+                    wcol = wcol & jnp.uint32((1 << rem) - 1)
+                elif rem <= 0:
+                    wcol = jnp.zeros_like(wcol)
+                k_limbs.append(wcol)
+            else:
+                k_limbs.append(jnp.zeros((n,), jnp.uint32))
+        r_divl = MULC(jnp.stack(k_limbs, axis=-1), r2_m)  # (n, L) mont
+        r_divl_sh = split(r_divl, draw((t, n)))           # (m, n, L)
+
+        # ---- mask and open:  c = a + 2^l + r_modl + 2^l r_divl ----
+        r_modl = None                                     # (m, n, L)
+        for j in range(l):
+            term = MULC(rb[:, :, j], pow2_m[j])
+            r_modl = term if r_modl is None else ADD(r_modl, term)
+        a_r = ADDC(ADD(a_sh, r_modl), pow2_m[l])          # 2^l mont == enc(2^l)
+        c_in = ADD(a_r, MULC(r_divl_sh, pow2_m[l]))
+        c_mont = open_deg(c_in, lag_t)                    # (n, L) public
+        c_std = MULC(c_mont, (1,) + (0,) * (L - 1))       # standard form
+        # c mod 2^l as masked standard limbs -> Montgomery
+        cm_limbs = []
+        for q in range(L):
+            rem = l - 32 * q
+            col = c_std[:, q]
+            if rem <= 0:
+                col = jnp.zeros_like(col)
+            elif rem < 32:
+                col = col & jnp.uint32((1 << rem) - 1)
+            cm_limbs.append(col)
+        c_masked = MULC(jnp.stack(cm_limbs, axis=-1), r2_m)  # (n, L) mont
+        z = CSUB((0,) * L, a_r)                           # -a_r on all rows
+        z = ADD(z, jnp.broadcast_to(c_masked, (m, n, L)))
+
+        # ---- public bits of c mod 2^l, xor = c_bits XOR rb ----
+        cb = []
+        for j in range(l):
+            cb.append((c_std[:, j // 32] >> jnp.uint32(j % 32))
+                      & jnp.uint32(1))
+        cb = jnp.stack(cb, axis=1)                        # (n, l) public
+        cb_m = jnp.stack([cb * jnp.uint32(int(one_m[q])) for q in range(L)],
+                         axis=-1)                         # (n, l, L) mont
+        cb2_m = jnp.stack([cb * jnp.uint32(int(two_m[q])) for q in range(L)],
+                          axis=-1)
+        rbl = rb[:, :, :l]                                # (m, n, l, L)
+        two_cb_rb = MUL(rbl, jnp.broadcast_to(cb2_m, (m, n, l, L)))
+        xor = ADD(SUB(rbl, two_cb_rb),
+                  jnp.broadcast_to(cb_m, (m, n, l, L)))
+
+        if not EQ:
+            s_sign = SUB(ADD(rb[:, :, l], rb[:, :, l]), jnp.broadcast_to(
+                jnp.asarray(np.array(one_m, np.uint32)), (m, n, L)))
+            # cumulative sums of xor along the bit axis (suffix trick)
+            def _scan_add(a, b):
+                return ADD(a, b)
+            incl = jax.lax.associative_scan(_scan_add, xor, axis=2)
+            total = incl[:, :, l - 1]                     # (m, n, L)
+            suffix = SUB(total[:, :, None], incl)         # (m, n, l, L)
+            e_bits = ADD(ADD(s_sign[:, :, None],
+                             SUB(rbl, jnp.broadcast_to(cb_m, (m, n, l, L)))),
+                         MULC(suffix, three_m))
+            e_last = ADD(SUB(s_sign, jnp.broadcast_to(
+                jnp.asarray(np.array(one_m, np.uint32)), (m, n, L))),
+                MULC(total, three_m))
+            E = jnp.concatenate([e_bits, e_last[:, :, None]], axis=2)
+            prod_e = prod_tree(E)                         # (m, n, L)
+            # blinded public zero test
+            blind = draw((n,))
+            bz = limb.iszero_ll(limb.unstack(blind, L))
+            blind = jnp.where(bz[..., None],
+                              jnp.asarray(np.array(one_m, np.uint32)), blind)
+            pb = MUL(prod_e, split(blind, draw((t, n))))  # deg 2t
+            pb_open = open_deg(pb, lag_2t)                # (n, L) public
+            g = limb.iszero_ll(limb.unstack(pb_open, L))  # (n,) bool
+            g2_m = jnp.stack(
+                [jnp.where(g, jnp.uint32(int(two_m[q])), jnp.uint32(0))
+                 for q in range(L)], axis=-1)             # (n, L): 2g mont
+            h = ADDC(SUB(s_sign, MUL(s_sign, jnp.broadcast_to(
+                g2_m, (m, n, L)))), three_m)
+            z = MULC(ADD(z, MULC(h, pow2l1_m)), inv2l_m)
+
+        if not LT:
+            ones_minus = CSUB(one_m, xor)                 # (m, n, l, L)
+            h_all = prod_tree(ones_minus)
+            if EQ:
+                z = h_all
+            else:
+                u = SUB(h_all, jnp.broadcast_to(
+                    jnp.asarray(np.array(one_m, np.uint32)), (m, n, L)))
+                v = SUB(ADD(z, z), jnp.broadcast_to(
+                    jnp.asarray(np.array(one_m, np.uint32)), (m, n, L)))
+                z = reshare(MUL(u, v))
+
+        if powf_m is not None:
+            z = MULC(z, powf_m)
+
+        lo = ctr[0] + jnp.uint32(1)
+        hi = ctr[1] + jnp.where(lo == 0, jnp.uint32(1), jnp.uint32(0))
+        return z, jnp.stack([lo, hi])
+
+    return jax.jit(step)

@@ -176,8 +176,9 @@ def _keccak_f_state(state):
     return jnp.stack([jnp.stack(hi), jnp.stack(lo)])
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int,
+                 base: int = 0):
     """Counter-mode parallel squeeze.
 
     state_words: (2, 25) uint32 (hi, lo) absorbed state of the padded
@@ -187,11 +188,16 @@ def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int):
     shake_128(prefix || pad8 || ctr_j) — every instance is an independent,
     hashlib-checkable single-block sponge.
 
+    ``base`` offsets the counters (instances base..base+n-1): fused
+    protocol programs drawing several independent streams from one
+    absorbed state partition the counter space with static offsets.
+
     Returns (n_instances, 42) uint32: the rate portion (168 bytes) of each
     instance's first squeezed block, words interleaved [lo0, hi0, lo1, ...]
     in byte order.
     """
-    ctr = jax.lax.broadcasted_iota(jnp.uint32, (n_instances, 1), 0)[:, 0]
+    ctr = jax.lax.broadcasted_iota(jnp.uint32, (n_instances, 1), 0)[:, 0] \
+        + jnp.uint32(base)
     hi = [jnp.broadcast_to(state_words[0, i], (n_instances,))
           for i in range(N_LANES)]
     lo = [jnp.broadcast_to(state_words[1, i], (n_instances,))

@@ -317,6 +317,60 @@ class SimRuntime(Runtime):
                                       integral=a_int and b_int)
         return super().mul(a, b)
 
+    def np_sgn(self, a, l=None, LT=False, EQ=False):
+        """Secure signum; device-resident prime-field inputs run the whole
+        comparison as ONE compiled program (pipelines.make_sgn_step):
+        stream randomness, masked open, bit algebra, product trees with
+        in-kernel GRR98 reductions, blinded zero test — no eager
+        primitives and no host round trips (the eager path dispatched
+        ~900 primitives and compiled ~139 programs per batch shape)."""
+        assert not (LT and EQ)
+        stype = self._sectype(a)
+        field = stype.field
+        l_eff = l or stype.bit_length
+        k = self.options.sec_param
+        if (field.characteristic > 2 and field.ext_deg == 1
+                and self.threshold > 0 and l_eff <= 62 and k <= 62
+                and l_eff + k + 2 <= field.modulus.bit_length()):
+            sh = self._share(a)
+            if not isinstance(sh.data, np.ndarray):
+                return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
+        return super().np_sgn(a, l=l, LT=LT, EQ=EQ)
+
+    def _np_sgn_fused(self, stype, a, sh, l, LT, EQ):
+        from mpyc_tpu.models import pipelines
+
+        field = stype.field
+        f = stype.frac_length
+        t = self.threshold
+        m = len(self.parties)
+        k = self.options.sec_param
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = 1
+        for s in shape:
+            n *= int(s)
+        L = sh.data.shape[-1]
+        data = sh.data.reshape(m, n, L)
+        # power-of-two shape buckets: all-zero rows are valid sharings of 0
+        n_pad = max(8, 1 << (n - 1).bit_length())
+        if n_pad != n:
+            data = jnp.concatenate(
+                [data, jnp.zeros((m, n_pad - n, L), jnp.uint32)], axis=1)
+        key = (field.modulus, t, l, k, LT, EQ, f)
+        step = self._fused_steps.get(key)
+        if step is None:
+            step = pipelines.make_sgn_step(field.modulus, t, m, l, k,
+                                           LT=LT, EQ=EQ, f=f)
+            self._fused_steps[key] = step
+        state = self._fused_state()
+        out, self._fused_ctr = step(data, state, self._fused_ctr)
+        out = out[:, :n]
+        if shape:
+            z = field.array.from_data(out.reshape((m,) + shape + (L,)))
+        else:
+            z = field.array.from_data(out.reshape(m, L))
+        return self._wrap(stype, z, array=bool(shape), integral=True)
+
     def _convert(self, x, t_type):
         """Field conversion with party-stacked shares (PRSS correlated
         masks drawn with one uci so both fields see the same integers;

@@ -1,0 +1,74 @@
+"""Fused co-located comparison kernel (pipelines.make_sgn_step).
+
+The whole Toft-style comparison runs as one compiled program on the sim
+plane (SimRuntime.np_sgn fast path). Tiny parameters (l=6, k=8, L=1
+field) keep the one-time XLA compile short; correctness is checked
+against plaintext signum for all three modes through the public API.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import mpyc_tpu.sectypes as sectypes
+import mpyc_tpu.asyncoro as asyncoro
+from mpyc_tpu import gmpy
+from mpyc_tpu.runtime import _Options
+
+
+@pytest.fixture
+def sim(request):
+    from mpyc_tpu.parallel.simulator import SimRuntime
+    old = sectypes.runtime
+    opts = _Options()
+    opts.sec_param = 8
+    rt = SimRuntime(3, opts)
+    sectypes.runtime = rt
+    asyncoro.runtime = rt
+    rt.start()
+    yield rt
+    rt.shutdown()
+    sectypes.runtime = old
+
+
+def _device_input(mpc, secint, vals):
+    x = mpc.input(secint.array(np.array(vals, dtype=object)), senders=0)
+    # force the device path (host shares take the eager plane)
+    x.share = secint.field.array.from_data(jnp.asarray(np.asarray(x.share.data)))
+    return x
+
+
+def test_sgn_fused_modes(sim):
+    mpc = sim
+    p = int(gmpy.next_prime(1 << 17))
+    secint = mpc.SecInt(6, p=p)
+    vals = [-31, -2, -1, 0, 1, 2, 17, 31] * 3       # n=24 -> bucket 32
+    x = _device_input(mpc, secint, vals)
+
+    z = mpc.np_sgn(x, LT=True)
+    assert not isinstance(z.share.data, np.ndarray), 'fused path not taken'
+    got = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(z))).reshape(-1)]
+    assert got == [1 if v < 0 else 0 for v in vals]
+
+    got = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x)))).reshape(-1)]
+    assert got == [(v > 0) - (v < 0) for v in vals]
+
+    got = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x, EQ=True)))).reshape(-1)]
+    assert got == [1 if v == 0 else 0 for v in vals]
+
+
+def test_sgn_fused_matches_eager(sim):
+    """Device fused path and host eager path agree on opened values."""
+    mpc = sim
+    p = int(gmpy.next_prime(1 << 17))
+    secint = mpc.SecInt(6, p=p)
+    vals = list(range(-12, 12))
+    x_host = mpc.input(secint.array(np.array(vals, dtype=object)), senders=0)
+    x_dev = _device_input(mpc, secint, vals)
+    eager = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x_host, LT=True)))).reshape(-1)]
+    fused = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x_dev, LT=True)))).reshape(-1)]
+    assert eager == fused
