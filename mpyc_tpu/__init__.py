@@ -41,7 +41,9 @@ def _enable_tpu_compile_cache():
             os.path.expanduser('~'), '.cache', 'mpyc_tpu', 'xla')
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # cache everything: protocol trees emit many sub-second programs
+        # whose compiles are tunnel round trips on remote-attached TPUs
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except Exception:   # never block import on cache setup
         pass
 

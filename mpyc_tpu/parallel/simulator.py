@@ -335,6 +335,13 @@ class SimRuntime(Runtime):
             sh = self._share(a)
             if not isinstance(sh.data, np.ndarray):
                 return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
+            from mpyc_tpu.ops import fieldops
+            if not fieldops._cpu_backend():
+                # host-resident shares (small arrays computed by the host
+                # kernels): on TPU backends the compiled comparison still
+                # wins over the eager tunnel round trips — upload and fuse
+                sh = field.array.from_data(jnp.asarray(np.asarray(sh.data)))
+                return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
         return super().np_sgn(a, l=l, LT=LT, EQ=EQ)
 
     def _np_sgn_fused(self, stype, a, sh, l, LT, EQ):
@@ -351,8 +358,16 @@ class SimRuntime(Runtime):
             n *= int(s)
         L = sh.data.shape[-1]
         data = sh.data.reshape(m, n, L)
-        # power-of-two shape buckets: all-zero rows are valid sharings of 0
-        n_pad = max(8, 1 << (n - 1).bit_length())
+        # coarse shape buckets: all-zero rows are valid sharings of 0.
+        # Tracing the fused program costs ~10 s of host time per variant,
+        # so below 64Ki we bucket by powers of FOUR with a floor of 64
+        # (waste <= 4x of a tiny kernel); above that, powers of two.
+        if n <= 65536:
+            n_pad = 64
+            while n_pad < n:
+                n_pad *= 4
+        else:
+            n_pad = 1 << (n - 1).bit_length()
         if n_pad != n:
             data = jnp.concatenate(
                 [data, jnp.zeros((m, n_pad - n, L), jnp.uint32)], axis=1)
