@@ -238,9 +238,13 @@ def main():
     W, b = load_layer(secint, 'fc4')
     L = L @ W + b
 
+    # one batched argmax protocol + one opening for the whole batch (the
+    # reference demo loops per image; vectorizing is the TPU-plane win)
+    preds = mpc.run(mpc.output(mpc.np_argmax(L, axis=1)))
+    preds = [int(v) for v in np.atleast_1d(np.asarray(preds))]
     errors = 0
     for i in range(B):
-        prediction = int(mpc.run(mpc.output(mpc.np_argmax(L[i]))))
+        prediction = preds[i]
         tag = '' if prediction == labels[i] else '******* ERROR *******'
         print(f'Image #{args.offset + i} with label {labels[i]}: '
               f'{prediction} predicted. {tag}')

@@ -251,6 +251,22 @@ class SimRuntime(Runtime):
             self._fused_ctr = _jnp.zeros(2, _jnp.uint32)
         return state
 
+    def _get_step(self, key, build, data_shapes):
+        """Fused step by key, trace-cached on disk when MPYC_TPU_CACHE=1
+        (utils.tracecache: jax re-traces every program per process; the
+        big fused protocol graphs cost 5-10 s of host time each)."""
+        step = self._fused_steps.get(key)
+        if step is None:
+            import jax
+            import jax.numpy as _jnp
+            from mpyc_tpu.utils import tracecache
+            ex = [jax.ShapeDtypeStruct(s, _jnp.uint32) for s in data_shapes]
+            ex += [jax.ShapeDtypeStruct((2, 25), _jnp.uint32),
+                   jax.ShapeDtypeStruct((2,), _jnp.uint32)]
+            step = tracecache.cached_step(repr(key), build, tuple(ex))
+            self._fused_steps[key] = step
+        return step
+
     def _reshare_fused(self, xi):
         """Compiled GRR98 round (pipelines.make_reshare_step), counter-mode
         SHAKE randomness keyed independently of the eager-plane RNG."""
@@ -258,12 +274,11 @@ class SimRuntime(Runtime):
 
         field = xi.field
         t = self.threshold
-        key = (field.modulus, t)
-        step = self._fused_steps.get(key)
-        if step is None:
-            step = pipelines.make_reshare_step(field.modulus, t,
-                                               len(self.parties))
-            self._fused_steps[key] = step
+        m = len(self.parties)
+        key = (field.modulus, t, 'reshare', xi.data.shape)
+        step = self._get_step(
+            key, lambda: pipelines.make_reshare_step(field.modulus, t, m),
+            [xi.data.shape])
         state = self._fused_state()
         out, self._fused_ctr = step(xi.data, state, self._fused_ctr)
         return field.array.from_data(out)
@@ -277,19 +292,18 @@ class SimRuntime(Runtime):
 
         field = sa.field
         t = self.threshold
-        key = (field.modulus, t, 'mul')
-        step = self._fused_steps.get(key)
-        if step is None:
-            step = pipelines.make_reshare_step(field.modulus, t,
-                                               len(self.parties),
-                                               fuse_mul=True)
-            self._fused_steps[key] = step
-        state = self._fused_state()
+        m = len(self.parties)
         da, db = sa.data, sb.data
         if da.shape != db.shape:
             shape = np.broadcast_shapes(da.shape, db.shape)
             da = _jnp.broadcast_to(da, shape)
             db = _jnp.broadcast_to(db, shape)
+        key = (field.modulus, t, 'mul', da.shape)
+        step = self._get_step(
+            key, lambda: pipelines.make_reshare_step(field.modulus, t, m,
+                                                     fuse_mul=True),
+            [da.shape, db.shape])
+        state = self._fused_state()
         out, self._fused_ctr = step(da, db, state, self._fused_ctr)
         return field.array.from_data(out)
 
@@ -371,12 +385,11 @@ class SimRuntime(Runtime):
         if n_pad != n:
             data = jnp.concatenate(
                 [data, jnp.zeros((m, n_pad - n, L), jnp.uint32)], axis=1)
-        key = (field.modulus, t, l, k, LT, EQ, f)
-        step = self._fused_steps.get(key)
-        if step is None:
-            step = pipelines.make_sgn_step(field.modulus, t, m, l, k,
-                                           LT=LT, EQ=EQ, f=f)
-            self._fused_steps[key] = step
+        key = (field.modulus, t, l, k, LT, EQ, f, n_pad)
+        step = self._get_step(
+            key, lambda: pipelines.make_sgn_step(field.modulus, t, m, l, k,
+                                                 LT=LT, EQ=EQ, f=f),
+            [(m, n_pad, L)])
         state = self._fused_state()
         out, self._fused_ctr = step(data, state, self._fused_ctr)
         out = out[:, :n]
