@@ -358,7 +358,36 @@ class SimRuntime(Runtime):
                 return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
         return super().np_sgn(a, l=l, LT=LT, EQ=EQ)
 
+    # Max flat batch per fused comparison call: the program keeps ~60
+    # stream/bit tensors of (m, n, l)-extent live, so n=512Ki blew past
+    # the 16G HBM (measured: 30.3G requested). 64Ki chunks reuse one
+    # compiled program at ~130 ms each.
+    _SGN_CHUNK = 65536
+
     def _np_sgn_fused(self, stype, a, sh, l, LT, EQ):
+        field = stype.field
+        m = len(self.parties)
+        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
+        n = 1
+        for s in shape:
+            n *= int(s)
+        L = sh.data.shape[-1]
+        data = sh.data.reshape(m, n, L)
+        if n > self._SGN_CHUNK:
+            outs = [self._sgn_fused_flat(stype, data[:, j0:j0 + self._SGN_CHUNK],
+                                         l, LT, EQ)
+                    for j0 in range(0, n, self._SGN_CHUNK)]
+            out = jnp.concatenate(outs, axis=1)
+        else:
+            out = self._sgn_fused_flat(stype, data, l, LT, EQ)
+        if shape:
+            z = field.array.from_data(out.reshape((m,) + shape + (L,)))
+        else:
+            z = field.array.from_data(out.reshape(m, L))
+        return self._wrap(stype, z, array=bool(shape), integral=True)
+
+    def _sgn_fused_flat(self, stype, data, l, LT, EQ):
+        """One fused-comparison call on (m, n, L) flat shares -> same."""
         from mpyc_tpu.models import pipelines
 
         field = stype.field
@@ -366,22 +395,16 @@ class SimRuntime(Runtime):
         t = self.threshold
         m = len(self.parties)
         k = self.options.sec_param
-        shape = a.shape if isinstance(a, sectypes.SecureArray) else ()
-        n = 1
-        for s in shape:
-            n *= int(s)
-        L = sh.data.shape[-1]
-        data = sh.data.reshape(m, n, L)
+        n, L = data.shape[1], data.shape[2]
         # coarse shape buckets: all-zero rows are valid sharings of 0.
         # Tracing the fused program costs ~10 s of host time per variant,
-        # so below 64Ki we bucket by powers of FOUR with a floor of 64
-        # (waste <= 4x of a tiny kernel); above that, powers of two.
-        if n <= 65536:
-            n_pad = 64
-            while n_pad < n:
-                n_pad *= 4
-        else:
-            n_pad = 1 << (n - 1).bit_length()
+        # so we bucket by powers of FOUR with a floor of 64 (waste <= 4x
+        # of a small kernel beats another trace).
+        n_pad = 64
+        while n_pad < n:
+            n_pad *= 4
+        n_pad = min(n_pad, self._SGN_CHUNK)
+        assert n <= n_pad
         if n_pad != n:
             data = jnp.concatenate(
                 [data, jnp.zeros((m, n_pad - n, L), jnp.uint32)], axis=1)
@@ -392,12 +415,7 @@ class SimRuntime(Runtime):
             [(m, n_pad, L)])
         state = self._fused_state()
         out, self._fused_ctr = step(data, state, self._fused_ctr)
-        out = out[:, :n]
-        if shape:
-            z = field.array.from_data(out.reshape((m,) + shape + (L,)))
-        else:
-            z = field.array.from_data(out.reshape(m, L))
-        return self._wrap(stype, z, array=bool(shape), integral=True)
+        return out[:, :n]
 
     def _convert(self, x, t_type):
         """Field conversion with party-stacked shares (PRSS correlated
