@@ -197,6 +197,49 @@ def bench_secure_matmul():
     return dt, modmuls / dt, None
 
 
+def bench_secure_cmp():
+    """End-to-end mpc.np_sgn(LT) comparisons/s at m=3, t=1 (SecInt(14)).
+
+    The whole Toft-style comparison protocol — randomness, masked open,
+    bit algebra, log-depth product trees with in-kernel GRR98 reductions,
+    blinded zero test — as one compiled program per 64Ki chunk
+    (mpyc_tpu/models/pipelines.py make_sgn_step, wired via
+    SimRuntime.np_sgn). Reference: mpyc/runtime.py:3622-3693; this is the
+    protocol that dominates the BNN MNIST flagship workload.
+    """
+    from mpyc_tpu.runtime import _Options
+    from mpyc_tpu.parallel.simulator import SimRuntime
+
+    rt = SimRuntime(3, _Options())
+    rt._wire_modules()
+    rt.start()
+    secint = rt.SecInt(14)
+
+    # in-run correctness
+    small = np.array([-5, -1, 0, 1, 3, -8000, 8000, 2], dtype=object)
+    S = rt.input(secint.array(small))[0]
+    got = np.asarray(rt.output(rt.np_sgn(S, LT=True)))
+    if not (got == (small.astype(np.int64) < 0)).all():
+        return None, 'secure_cmp mismatch'
+
+    on_tpu = jax.default_backend() not in ('cpu',)
+    n = 1 << 16 if on_tpu else 1 << 12
+    vals = ((np.arange(n, dtype=np.int64) % 13) - 6).astype(object)
+    X = rt.input(secint.array(vals))[0]
+    Z = rt.np_sgn(X, LT=True)
+    np.asarray(Z.share.data[:1, :1, :1])     # sync: compile done
+    k = 5 if on_tpu else 2
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            Z = rt.np_sgn(X, LT=True)
+        np.asarray(Z.share.data[:1, :1, :1])
+        trials.append((time.perf_counter() - t0) / k)
+    dt = sorted(trials)[2]
+    return n / dt, None
+
+
 def main():
     mul_ops, err = bench_secure_mul()
     sr_ops, err2 = (None, None)
@@ -227,6 +270,14 @@ def main():
             out["bnn_layer_error"] = err3
     except Exception as e:
         out["bnn_layer_error"] = str(e)
+    try:
+        cmp_ops, err4 = bench_secure_cmp()
+        if cmp_ops is not None:
+            out["secure_cmp_m3_t1_ops_s"] = round(cmp_ops)
+        elif err4:
+            out["secure_cmp_error"] = err4
+    except Exception as e:
+        out["secure_cmp_error"] = str(e)
     print(json.dumps(out))
 
 
