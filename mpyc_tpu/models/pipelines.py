@@ -797,3 +797,94 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
         return z, jnp.stack([lo, hi])
 
     return jax.jit(step)
+
+
+def make_reshare2_step(modulus: int, t: int, m: int, fuse_mul: bool = False):
+    """Single-program GRR98 round over GF(2^d) (packed uint32 elements).
+
+    step(shares, state_words, ctr) -> (out, ctr') with shares (m, ...) 
+    uint32 field elements; fuse_mul=True takes (a, b, state, ctr) and
+    computes the degree-2t product s_i = a_i (clmul) b_i in the kernel.
+
+    The char-2 twin of make_reshare_step: counter-mode SHAKE d-bit
+    coefficient draws (byte-granular, the PRF bits_uint32 convention),
+    carry-less Horner re-evaluation at the party points 1..m, and
+    Lagrange aggregation with constant-unrolled clmuls (only the set bits
+    of each static constant emit XORs). This is the round that batched
+    np_aes / sha3 bottom out in on the co-located plane (reference
+    demos/np_aes.py S-box inversions; mpyc/thresha.py:23-132).
+    """
+    from mpyc_tpu import gfpx
+    from mpyc_tpu.ops.binary import binary_field_ctx
+
+    field = finfields.GF(gfpx.GFpX(2)(modulus))
+    bctx = binary_field_ctx(modulus)
+    d = bctx.d
+    n_send = 2 * t + 1
+    assert n_send <= m, 'GRR98 needs 2t+1 <= m'
+    lag = [int(c) for c in thresha._recombination_vector(
+        field, tuple(range(1, n_send + 1)), 0)]
+    l_bytes = (d + 7) // 8
+    mask = np.uint32((1 << d) - 1) if d < 32 else np.uint32(0xFFFFFFFF)
+
+    def cmul(c: int, b):
+        """Constant carry-less multiply + reduction, unrolled on c's bits."""
+        lo = jnp.zeros_like(b)
+        hi = jnp.zeros_like(b)
+        for i in range(d):
+            if (c >> i) & 1:
+                lo = lo ^ (b << i if i else b)
+                if i > 0 and d > 32 - i:
+                    hi = hi ^ (b >> (32 - i))
+        res = lo & mask
+        for j in range(d - 1):
+            k = d + j
+            bit_k = ((lo >> k) & 1) if k < 32 else ((hi >> (k - 32)) & 1)
+            res = res ^ jnp.where(bit_k != 0, jnp.asarray(bctx._red[j]),
+                                  jnp.zeros_like(b))
+        return res
+
+    def step(shares, state_words, ctr, shares_b=None):
+        orig_shape = shares.shape
+        n = 1
+        for s in orig_shape[1:]:
+            n *= int(s)
+        flat = shares.reshape(m, n)
+        if shares_b is not None:
+            flat = bctx._clmul_reduce(flat, shares_b.reshape(m, n))
+        n_vals = t * n_send * n
+        n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
+        st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
+        st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
+        n_pad = max(8, 1 << (n_blocks - 1).bit_length())
+        blocks = keccak._squeeze_ctr(st, n_pad, 19)[:n_blocks]
+        coefs = rng_mod.words_to_elements(blocks, n_vals, l_bytes, 1)
+        coefs = (coefs[:, 0, 0] & mask).reshape(t, n_send, n)
+        S = None
+        for i in range(n_send):
+            term = cmul(lag[i], flat[i])
+            S = term if S is None else S ^ term
+        C = []
+        for k in range(t):
+            acc = None
+            for i in range(n_send):
+                term = cmul(lag[i], coefs[k, i])
+                acc = term if acc is None else acc ^ term
+            C.append(acc)
+        rows = []
+        for j in range(m):
+            y = None
+            for k in range(t):
+                y = C[k] if y is None else y ^ C[k]
+                y = cmul(j + 1, y)
+            rows.append((y ^ S) if y is not None else S)
+        out = jnp.stack(rows, axis=0).reshape(orig_shape)
+        lo = ctr[0] + jnp.uint32(1)
+        hi = ctr[1] + jnp.where(lo == 0, jnp.uint32(1), jnp.uint32(0))
+        return out, jnp.stack([lo, hi])
+
+    if fuse_mul:
+        def stepm(a, b, state_words, ctr):
+            return step(a, state_words, ctr, shares_b=b)
+        return jax.jit(stepm)
+    return jax.jit(step)

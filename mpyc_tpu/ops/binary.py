@@ -26,6 +26,22 @@ import jax.numpy as jnp
 _HOST_N = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 64
 _HOST_N_VEC = 0 if _os.getenv('MPYC_TPU_NOHOSTOPS') else 4096
 
+
+def _host_resident(arrays) -> bool:
+    """True when every operand already lives on the host.
+
+    Host fast paths must never np.asarray a device array: on
+    remote-attached TPUs that is a ~50 ms tunnel pull per operand
+    (measured: 0.75 s per GF(2) matmul in np_aes --sim), far beyond what
+    the host kernel saves.
+    """
+    from mpyc_tpu.ops.fieldops import _cpu_backend
+    if _cpu_backend():  # host "pulls" are free on the CPU backend
+        return True
+    return all(isinstance(a, np.ndarray)
+               or np.isscalar(a) or not hasattr(a, 'devices')
+               for a in arrays)
+
 U32 = jnp.uint32
 
 
@@ -83,7 +99,8 @@ class BinaryFieldCtx:
             for s in batch:
                 n *= int(s)
             if host_fn is not None and 0 < n <= host_lim and \
-                    not any(isinstance(a, jax.core.Tracer) for a in arrays):
+                    not any(isinstance(a, jax.core.Tracer) for a in arrays) \
+                    and _host_resident(arrays):
                 out = host_fn([np.asarray(a, dtype=np.uint32)
                                for a in arrays])
                 return np.asarray(out, dtype=np.uint32)  # stays on the host
@@ -307,13 +324,15 @@ class BinaryFieldCtx:
                 work *= int(s)
             work *= int(b.shape[-1]) if b.ndim else 1
             tracers = any(isinstance(x, jax.core.Tracer) for x in (a, b))
-            if _HOST_N and not tracers and self.d == 1 and \
+            host_res = _host_resident((a, b))
+            if _HOST_N and not tracers and host_res and self.d == 1 and \
                     work * a.shape[-1] <= 1 << 22:
                 # GF(2) matmul == parity of the integer matmul
                 an = np.asarray(a, dtype=np.int64)
                 bn = np.asarray(b, dtype=np.int64)
                 return ((an @ bn) & 1).astype(np.uint32)
-            if _HOST_N and not tracers and 0 < work <= _HOST_N:
+            if _HOST_N and not tracers and host_res and \
+                    0 < work <= _HOST_N:
                 # tiny GF(2^d) matmuls: Python-int clmul accumulation
                 an = np.asarray(a, dtype=np.uint32)
                 bn = np.asarray(b, dtype=np.uint32)

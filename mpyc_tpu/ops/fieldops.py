@@ -149,10 +149,15 @@ class PrimeFieldCtx:
             for s in batch:
                 n *= int(s)
             tracing = any(isinstance(a, jax.core.Tracer) for a in arrays)
-            if host_fn is not None and 0 < n <= host_lim and not tracing:
+            if host_fn is not None and 0 < n <= host_lim and not tracing \
+                    and (_cpu_backend()
+                         or all(isinstance(a, np.ndarray)
+                                or not hasattr(a, 'devices')
+                                for a in arrays)):
                 # latency fast path: tiny batches compute with Python ints
                 # on the host (one device_put instead of ~7 dispatches);
-                # never taken under an enclosing jit trace
+                # never taken when it would pull device arrays through a
+                # TPU tunnel, nor under an enclosing jit trace
                 out = host_fn([np.asarray(a) for a in arrays])
                 return out  # numpy result: stays on the host
             if not tracing and _cpu_backend():

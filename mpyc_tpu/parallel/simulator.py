@@ -224,6 +224,10 @@ class SimRuntime(Runtime):
                 # for the whole round (RNG + split + exchange + recombine)
                 ys.append(self._reshare_fused(xi))
                 continue
+            if field.characteristic == 2 and field.order > 2 and \
+                    not isinstance(xi.data, np.ndarray):
+                ys.append(self._reshare2_fused(xi))
+                continue
             # host/extension-field fallback: eager round
             # xi: (m,) + logical shape; each party splits its share
             resplit = thresha.np_random_split(field, xi, t, m, self._rng)
@@ -283,6 +287,45 @@ class SimRuntime(Runtime):
         out, self._fused_ctr = step(xi.data, state, self._fused_ctr)
         return field.array.from_data(out)
 
+    def _reshare2_fused(self, xi):
+        """Compiled GRR98 round over GF(2^d) (pipelines.make_reshare2_step)."""
+        from mpyc_tpu.models import pipelines
+
+        field = xi.field
+        t = self.threshold
+        m = len(self.parties)
+        md = int(field.modulus)
+        key = (2, md, t, 'reshare', xi.data.shape)
+        step = self._get_step(
+            key, lambda: pipelines.make_reshare2_step(md, t, m),
+            [xi.data.shape])
+        state = self._fused_state()
+        out, self._fused_ctr = step(xi.data, state, self._fused_ctr)
+        return field.array.from_data(out)
+
+    def _mul_reshare2_fused(self, sa, sb):
+        """Whole GF(2^d) secure multiplication (carry-less product + GRR98
+        reshare) as one compiled program."""
+        from mpyc_tpu.models import pipelines
+
+        field = sa.field
+        t = self.threshold
+        m = len(self.parties)
+        da, db = sa.data, sb.data
+        if da.shape != db.shape:
+            shape = np.broadcast_shapes(da.shape, db.shape)
+            da = jnp.broadcast_to(da, shape)
+            db = jnp.broadcast_to(db, shape)
+        md = int(field.modulus)
+        key = (2, md, t, 'mul', da.shape)
+        step = self._get_step(
+            key, lambda: pipelines.make_reshare2_step(md, t, m,
+                                                      fuse_mul=True),
+            [da.shape, db.shape])
+        state = self._fused_state()
+        out, self._fused_ctr = step(da, db, state, self._fused_ctr)
+        return field.array.from_data(out)
+
     def _mul_reshare_fused(self, sa, sb):
         """Whole secure multiplication (local product + GRR98 reshare) as
         one compiled device program (pipelines.make_reshare_step with
@@ -326,6 +369,14 @@ class SimRuntime(Runtime):
                     if f:
                         c = self._trunc_field(c, f, stype.bit_length + f,
                                               stype)
+                    return self._wrap(stype, c,
+                                      array=self._is_array_op(a, b),
+                                      integral=a_int and b_int)
+            elif field.characteristic == 2 and field.order > 2 and not f:
+                sa, sb = self._share2(a, b)
+                if not isinstance(sa.data, np.ndarray) and \
+                        not isinstance(sb.data, np.ndarray):
+                    c = self._mul_reshare2_fused(sa, sb)
                     return self._wrap(stype, c,
                                       array=self._is_array_op(a, b),
                                       integral=a_int and b_int)
