@@ -609,10 +609,15 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
         st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
         st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
 
-        # ---- streams ----
-        wordsA = keccak._squeeze_ctr(st, blocksA, 19, 0)
+        # ---- streams (Pallas squeeze for large draws: VMEM-resident
+        # sponge state for all 24 rounds) ----
+        def squeeze(nb, base):
+            if keccak._pallas_available() and nb >= 1024:
+                return keccak._squeeze_ctr_pallas(st, nb, 19, base)
+            return keccak._squeeze_ctr(st, nb, 19, base)
+        wordsA = squeeze(blocksA, 0)
         wordsA = wordsA.reshape(-1)[:n_words].reshape(n, wpe)
-        blocksB_w = keccak._squeeze_ctr(st, blocksB, 19, blocksA)
+        blocksB_w = squeeze(blocksB, blocksA)
         wide = rng_mod.words_to_elements(blocksB_w, W_total, l_bytes, L)
         wpool = ctx.reduce_chunks(wide.shape[-2])(wide)  # (W_total, L) mont
         cursor = [0]
@@ -856,8 +861,11 @@ def make_reshare2_step(modulus: int, t: int, m: int, fuse_mul: bool = False):
         n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
         st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
         st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
-        n_pad = max(8, 1 << (n_blocks - 1).bit_length())
-        blocks = keccak._squeeze_ctr(st, n_pad, 19)[:n_blocks]
+        if keccak._pallas_available() and n_blocks >= 1024:
+            blocks = keccak._squeeze_ctr_pallas(st, n_blocks, 19)
+        else:
+            n_pad = max(8, 1 << (n_blocks - 1).bit_length())
+            blocks = keccak._squeeze_ctr(st, n_pad, 19)[:n_blocks]
         coefs = rng_mod.words_to_elements(blocks, n_vals, l_bytes, 1)
         coefs = (coefs[:, 0, 0] & mask).reshape(t, n_send, n)
         S = None

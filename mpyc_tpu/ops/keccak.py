@@ -212,8 +212,9 @@ def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int,
     return jnp.stack(words, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _squeeze_ctr_pallas(state_words, n_instances: int, ctr_lane: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _squeeze_ctr_pallas(state_words, n_instances: int, ctr_lane: int,
+                        base: int = 0):
     """Counter-mode squeeze as a Pallas TPU kernel.
 
     The 50-word sponge state lives in registers/VMEM for all 24 unrolled
@@ -234,13 +235,13 @@ def _squeeze_ctr_pallas(state_words, n_instances: int, ctr_lane: int):
 
     def kernel(state_ref, out_ref):
         i = pl.program_id(0)
-        base = (jnp.uint32(i * TILE)
+        ctr0 = (jnp.uint32(base) + jnp.uint32(i * TILE)
                 + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 0)
                 * jnp.uint32(128)
                 + jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1))
         hi = [jnp.full((R, 128), state_ref[0, k]) for k in range(N_LANES)]
         lo = [jnp.full((R, 128), state_ref[1, k]) for k in range(N_LANES)]
-        lo[ctr_lane] = lo[ctr_lane] ^ base
+        lo[ctr_lane] = lo[ctr_lane] ^ ctr0
         for rnd in range(24):
             hi, lo = _keccak_round(hi, lo, jnp.uint32(int(rc[rnd, 0])),
                                    jnp.uint32(int(rc[rnd, 1])))
