@@ -109,3 +109,32 @@ def test_scaling_harness_runs():
     assert [r['devices'] for r in rows] == [1, 2, 4, 8]
     assert all(r['ops_per_s'] > 0 for r in rows)
     assert all(r['efficiency'] > 0 for r in rows)
+
+
+@needs_8
+def test_sgn_step_data_sharded():
+    """Fused comparison kernel with the batch axis sharded over 8 devices:
+    signs recombine correctly for values crossing zero."""
+    t, m, l, k = 1, 3, 6, 8
+    from mpyc_tpu import gmpy
+    p = int(gmpy.next_prime(1 << (l + k + 4)))
+    F = finfields.GF(p)
+    ctx = prime_field_ctx(p)
+    n = 1 << 9
+    rng = rng_mod.KeccakRNG(b'\x09' * 32)
+    base = np.array([-31, -2, -1, 0, 1, 2, 17, 30], dtype=object)
+    vals = np.tile(base, n // 8)
+    sh = thresha.np_random_split(F, F.array(vals % p), t, m, rng)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ('data',))
+    shard = NamedSharding(mesh, P(None, 'data', None))
+    data = jax.device_put(jnp.asarray(np.asarray(sh.data)), shard)
+    state = _state(b'sgn-mesh')
+    ctr = jnp.zeros(2, jnp.uint32)
+
+    step = pipelines.make_sgn_step(p, t, m, l, k)
+    out, _ = step(data, state, ctr)
+    got = _recombine_ints(F, ctx, np.asarray(out), t)
+    got = np.array([int(v) - p if int(v) > p // 2 else int(v) for v in got])
+    expect = np.sign(vals.astype(np.int64))
+    assert (got == expect).all()
