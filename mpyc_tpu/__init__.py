@@ -24,19 +24,20 @@ runtime = None  # the singleton Runtime, set by mpyc_tpu.runtime.setup()
 
 
 def _enable_tpu_compile_cache():
-    """Persistent XLA compilation cache on TPU backends (opt-in).
+    """Persistent XLA compilation cache (default ON; MPYC_TPU_CACHE=0
+    disables).
 
-    Set MPYC_TPU_CACHE=1 to enable. Off by default: on remote-attached
-    (tunnelled) TPUs the per-compilation cache round trips can cost far
-    more than they save, and this container's CPU cache entries are
-    known-bad (mismatched CPU features)."""
+    Protocol programs recompile identically across processes — on
+    remote-attached (tunnelled) TPUs each compile is a network round trip
+    (measured: ~250 sub-second compiles per warm BNN run before caching).
+    Entries are keyed per platform by XLA, so CPU and TPU runs coexist in
+    one directory. The backend is NOT probed here: that would initialize
+    a device client at import time."""
     import os
-    if not os.getenv('MPYC_TPU_CACHE'):
+    if os.getenv('MPYC_TPU_CACHE', '1') == '0':
         return
     try:
         import jax
-        if jax.default_backend() == 'cpu':
-            return
         cache_dir = os.path.join(
             os.path.expanduser('~'), '.cache', 'mpyc_tpu', 'xla')
         os.makedirs(cache_dir, exist_ok=True)

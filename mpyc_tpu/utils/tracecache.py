@@ -59,7 +59,7 @@ def _salt():
 
 
 def enabled() -> bool:
-    return bool(os.getenv('MPYC_TPU_CACHE')) and _cache_dir() != ''
+    return os.getenv('MPYC_TPU_CACHE', '1') != '0' and _cache_dir() != ''
 
 
 def cached_step(key: str, build_fn, example_args):
