@@ -41,6 +41,9 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+import mpyc_tpu  # noqa: E402
+mpyc_tpu.enable_compile_cache()
+
 
 def bench_secure_mul():
     """End-to-end mpc.np_multiply ops/s at m=3, t=1 (64-bit field)."""

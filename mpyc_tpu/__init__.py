@@ -23,21 +23,29 @@ __version__ = '0.1.0'
 runtime = None  # the singleton Runtime, set by mpyc_tpu.runtime.setup()
 
 
-def _enable_tpu_compile_cache():
-    """Persistent XLA compilation cache (default ON; MPYC_TPU_CACHE=0
-    disables).
+_cache_enabled = False
+
+
+def enable_compile_cache(probe_backend=True):
+    """Persistent XLA compilation cache for TPU backends.
 
     Protocol programs recompile identically across processes — on
     remote-attached (tunnelled) TPUs each compile is a network round trip
     (measured: ~250 sub-second compiles per warm BNN run before caching).
-    Entries are keyed per platform by XLA, so CPU and TPU runs coexist in
-    one directory. The backend is NOT probed here: that would initialize
-    a device client at import time."""
+    Called lazily from the TPU execution planes (SimRuntime, bench,
+    MPYC_TPU_PARTY_DEVICE=tpu), NOT at import: XLA:CPU AOT cache entries
+    replay with machine-feature mismatch warnings / SIGILL risk, so the
+    CPU backend never uses the cache. MPYC_TPU_CACHE=1 forces it on at
+    import (skipping the backend probe); =0 disables everywhere.
+    """
+    global _cache_enabled
     import os
-    if os.getenv('MPYC_TPU_CACHE', '1') == '0':
+    if _cache_enabled or os.getenv('MPYC_TPU_CACHE', '') == '0':
         return
     try:
         import jax
+        if probe_backend and jax.default_backend() == 'cpu':
+            return
         cache_dir = os.path.join(
             os.path.expanduser('~'), '.cache', 'mpyc_tpu', 'xla')
         os.makedirs(cache_dir, exist_ok=True)
@@ -45,8 +53,10 @@ def _enable_tpu_compile_cache():
         # cache everything: protocol trees emit many sub-second programs
         # whose compiles are tunnel round trips on remote-attached TPUs
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-    except Exception:   # never block import on cache setup
+        _cache_enabled = True
+    except Exception:   # never block startup on cache setup
         pass
 
 
-_enable_tpu_compile_cache()
+if __import__('os').getenv('MPYC_TPU_CACHE') == '1':
+    enable_compile_cache(probe_backend=False)

@@ -34,6 +34,8 @@ class SimRuntime(Runtime):
     """All-parties-in-one runtime with party-stacked shares."""
 
     def __init__(self, m, options):
+        import mpyc_tpu
+        mpyc_tpu.enable_compile_cache()  # TPU plane: persistent XLA cache
         parties = [Party(i) for i in range(m)]
         super().__init__(0, parties, options)
         # all PRSS keys live here (one per (m-t)-subset)

@@ -4397,6 +4397,9 @@ def setup(argv=None):
             jax.config.update('jax_platforms', 'cpu')
         except Exception:
             pass
+    elif os.getenv('MPYC_TPU_PARTY_DEVICE') == 'tpu':
+        import mpyc_tpu
+        mpyc_tpu.enable_compile_cache(probe_backend=False)
 
     if options.sim and m > 1:
         from mpyc_tpu.parallel.simulator import SimRuntime
