@@ -132,16 +132,18 @@ class PrimeFieldCtx:
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
         host_lim = _HOST_N
         if host_fn is not None and not _os.getenv('MPYC_TPU_NOHOSTOPS'):
-            # On the CPU backend a jitted dispatch costs ~2 ms of Python;
-            # cheap int kernels win up to a few thousand elements, so the
-            # cutoff is per-op-cost-aware there (device backends keep the
-            # tiny cutoff: their compute is far faster once dispatched).
-            cheap = name in ('add', 'sub', 'neg', 'mul', 'div', 'inv',
-                             'eq', 'is_zero', 'to_std', 'from_std',
-                             'from_uint32') or \
-                name.startswith(('mulc_', 'mod_pow2_', 'reduce_chunks_'))
-            host_lim = (4096 if cheap else 256) if _cpu_backend() \
-                else _HOST_N
+            # Cost-aware cutoffs on the CPU backend: vectorized object-int
+            # kernels beat a jitted dispatch (~0.1 ms of Python) up to
+            # ~1K elements; big-exponent ops (one modexp per element) stay
+            # on the host at ANY size — the native CIOS batch kernel
+            # (ops/native_modexp.py, ~2-4 us/element) beats the
+            # XLA-emulated u32 pow ladder on CPU outright. Device
+            # backends keep the tiny cutoff: their compute is far faster
+            # once dispatched, and pulling operands costs a tunnel trip.
+            expensive = name in ('div', 'inv') or \
+                name.startswith(('pow_', 'sqrt_ts_', 'legendre'))
+            host_lim = ((1 << 30 if expensive else 4096)
+                        if _cpu_backend() else _HOST_N)
 
         def call(*arrays):
             batch = arrays[0].shape[:arrays[0].ndim - in_elem[0]]
@@ -233,6 +235,27 @@ class PrimeFieldCtx:
         def shape_of(a, ie=1):
             return a.shape[:a.ndim - ie]
 
+        def _batch_pow(mont_vals, e):
+            """[x^e] over Montgomery-int views -> Montgomery-int ndarray.
+
+            Native 64-bit-limb CIOS batch kernel when available (~6x
+            CPython pow; ops/native_modexp.py); exponents are reduced
+            into [1, p-1) so inverse powers work (0 maps to 0, the
+            host kernels' zero-divisor convention).
+            """
+            e = int(e)
+            if e < 0 or e >= p - 1:
+                e = e % (p - 1)
+                if e == 0:
+                    e = p - 1      # keeps a**(p-1) == 1 for a != 0
+            vals = mont_vals * Rinv % p
+            from mpyc_tpu.ops import native_modexp
+            if len(vals) >= 8 and native_modexp.available(p):
+                out = native_modexp.powmod_batch(vals, e, p)
+                return np.array(out, dtype=object) * R % p
+            return np.array([pow(int(v), e, p) for v in vals],
+                            dtype=object) * R % p
+
         if name in ('add', 'sub', 'neg', 'mul', 'div', 'inv', 'eq',
                     'is_zero', 'legendre', 'to_std', 'from_std',
                     'from_uint32'):
@@ -251,19 +274,13 @@ class PrimeFieldCtx:
                 return lambda ab: mo(mi(ab[0]) * mi(ab[1]) * Rinv % p,
                                      shape_of(ab[0]))
             if name == 'div':
-                # z*R = (x^*R)(y^*R)^-1 R^2 * R^-1... simplified:
-                # z^ = x^ * (y^)^-1 * R  (0 divisor -> 0, like mont_inv)
-                def _div(ab):
-                    xs = mi(ab[0])
-                    invs = np.array([pow(int(y), -1, p) if int(y) else 0
-                                     for y in mi(ab[1])], dtype=object)
-                    return mo(xs * invs * R % p, shape_of(ab[0]))
-                return _div
+                # z^ = x^ * (y^-1)^ * R^-1  (0 divisor -> 0)
+                return lambda ab: mo(
+                    mi(ab[0]) * _batch_pow(mi(ab[1]), -1) * Rinv % p,
+                    shape_of(ab[0]))
             if name == 'inv':
-                # (x^)^-1 * R^2 = (x value)^-1 in Montgomery form
-                return lambda ab: mo(np.array(
-                    [(pow(int(x), -1, p) if int(x) else 0) * R2 % p
-                     for x in mi(ab[0])], dtype=object), shape_of(ab[0]))
+                return lambda ab: mo(_batch_pow(mi(ab[0]), -1),
+                                     shape_of(ab[0]))
             if name == 'eq':
                 return lambda ab: np.asarray(
                     mi(ab[0]) == mi(ab[1]),
@@ -274,13 +291,9 @@ class PrimeFieldCtx:
                     dtype=bool).reshape(shape_of(ab[0]))
             if name == 'legendre':
                 def _leg(ab):
-                    out = []
-                    for x in mi(ab[0]):
-                        v = int(x) * Rinv % p
-                        ls = pow(v, (p - 1) >> 1, p)
-                        out.append(0 if v == 0 else (1 if ls == 1 else -1))
-                    return np.array(out, dtype=np.int32).reshape(
-                        shape_of(ab[0]))
+                    ls = _batch_pow(mi(ab[0]), (p - 1) >> 1) * Rinv % p
+                    out = np.where(ls == 0, 0, np.where(ls == 1, 1, -1))
+                    return out.astype(np.int32).reshape(shape_of(ab[0]))
                 return _leg
             if name == 'to_std':
                 return lambda ab: mo(mi(ab[0]) * Rinv % p, shape_of(ab[0]))
@@ -293,8 +306,8 @@ class PrimeFieldCtx:
                     ab[0].shape)
         if name.startswith('pow_'):
             e = int(name[4:])
-            return lambda ab: mo((pow(int(x) * Rinv % p, e, p) * R % p
-                                  for x in mi(ab[0])), shape_of(ab[0]))
+            return lambda ab: mo(_batch_pow(mi(ab[0]), e),
+                                 shape_of(ab[0]))
         if name.startswith('sqrt_ts_'):
             inv = bool(int(name[8:]))
             q, s, z0 = self._ts_params()

@@ -34,10 +34,14 @@ def _build_and_load():
             return _lib
         if not os.path.exists(_SO) or \
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            # unique tmp + atomic rename: forked peers may build
+            # concurrently (a shared -o target would corrupt the .so)
+            tmp = _SO + '.tmp.%d' % os.getpid()
             cmd = ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
-                   '-o', _SO, _SRC, '-lpthread']
+                   '-o', tmp, _SRC, '-lpthread']
             logger.info('building native transport: %s', ' '.join(cmd))
             subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _SO)
         lib = ctypes.CDLL(_SO)
         lib.mx_create.restype = ctypes.c_void_p
         lib.mx_create.argtypes = [

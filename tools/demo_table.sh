@@ -13,7 +13,10 @@ for d in $DEMOS; do
     (cd /root/repo/demos && timeout 300 python "$d.py" -M3 >/dev/null 2>&1)
     rc1=$?
     t1=$(date +%s.%N)
-    (cd /root/reference/demos && PYTHONPATH=/root/reference \
+    # keep the container's sitecustomize preload on PYTHONPATH so both
+    # frameworks pay identical interpreter startup (~2.3 s/process here)
+    (cd /root/reference/demos && \
+        PYTHONPATH="$PYTHONPATH:/root/reference" \
         timeout 300 python "$d.py" -M3 >/dev/null 2>&1)
     rc2=$?
     t2=$(date +%s.%N)
