@@ -45,7 +45,7 @@ def make_split_recombine(p: int, t: int, m: int):
     ctx = prime_field_ctx(p)
     L = ctx.L
     lag = _lagrange_consts_mont(field, range(1, t + 2))
-    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
+    l_bytes = rng_mod.fused_draw_bytes(p)
 
     def step(secrets, state_words):
         # secrets: (n, L) Mont; state_words: (2, 25) absorbed SHAKE prefix
@@ -114,9 +114,13 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
       out_j = sum_{i<=2t} lag_i * poly_i(x_j),
       poly_i(x) = (sum_k c_{i,k} x^{t-k}) + s_i  (sender i's re-split).
     By linearity this equals Horner(C, x_j) + S with
-      C_k = sum_i lag_i c_{i,k}   and   S = sum_i lag_i s_i,
-    bit-identical to exchanging all m x m rows for the same coefficient
-    draws, at ~1/m the multiplies.  The per-call nonce lands in lane 4
+      C_k = sum_i lag_i c_{i,k}   and   S = sum_i lag_i s_i.
+    The c_{i,k} are iid uniform and every lag_i is nonzero, so each C_k is
+    itself uniform and independent — the stream draws C_k DIRECTLY
+    (t values per element instead of t*(2t+1)), which cuts the Keccak
+    stream and the per-coefficient Lagrange multiplies by 2t+1 while
+    leaving the joint output distribution identical to exchanging all
+    m x m re-split rows.  The per-call nonce lands in lane 4
     (bytes 32..39 of the absorbed block, the zeroed nonce slot), the
     per-instance counter in lane 19 (inside _squeeze_ctr*), so every block
     across calls/fields is a distinct single-block sponge input.
@@ -128,10 +132,10 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
     assert n_send <= m, 'GRR98 needs 2t+1 <= m'
     lag = _lagrange_consts_mont(field, range(1, n_send + 1))
     xs_mont = [ctx.encode_const(i) for i in range(1, m + 1)]
-    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
-    W = -(-l_bytes // 4)            # uint32 words per coefficient value
+    l_bytes = rng_mod.fused_draw_bytes(p)
+    W = l_bytes // 4                # uint32 words per coefficient value
     nc = -(-W // L)                 # Montgomery chunks per coefficient
-    wpe = t * n_send * nc * L       # sponge words consumed per element
+    wpe = t * nc * L                # sponge words consumed per element
     S_epb = (keccak.RATE // 4) // wpe if wpe else 0   # elements per sponge
 
     def cl(v):
@@ -142,30 +146,15 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
             flat = limb.stack(limb.mont_mul(
                 limb.unstack(flat, L), limb.unstack(flat_b, L),
                 ctx.p_limbs, ctx.n0inv))
-        n_vals = t * n_send * n
-        n_blocks = max(rng_mod.blocks_needed(n_vals, l_bytes), 1)
-        if keccak._pallas_available() and n_blocks >= 1024:
-            blocks = keccak._squeeze_ctr_pallas(st, n_blocks, 19)
-        else:
-            n_pad = max(8, 1 << (n_blocks - 1).bit_length())
-            blocks = keccak._squeeze_ctr(st, n_pad, 19)[:n_blocks]
-        wide = rng_mod.words_to_elements(blocks, n_vals, l_bytes, L)
-        coefs = ctx.reduce_chunks(wide.shape[-2])(wide)
-        coefs = coefs.reshape(t, n_send, n, L)
+        n_vals = t * n
+        coefs = rng_mod.squeeze_mont(st, n_vals, l_bytes, p)
+        coefs = coefs.reshape(t, n, L)
         S = None
         for i in range(n_send):
             term = limb.mont_mul(limb.unstack(flat[i], L), cl(lag[i]),
                                  ctx.p_limbs, ctx.n0inv)
             S = term if S is None else limb.add_mod(S, term, ctx.p_limbs)
-        C = []
-        for k in range(t):
-            acc = None
-            for i in range(n_send):
-                term = limb.mont_mul(limb.unstack(coefs[k, i], L),
-                                     cl(lag[i]), ctx.p_limbs, ctx.n0inv)
-                acc = term if acc is None else \
-                    limb.add_mod(acc, term, ctx.p_limbs)
-            C.append(acc)
+        C = [limb.unstack(coefs[k], L) for k in range(t)]
         rows = []
         for j in range(m):
             y = None
@@ -176,13 +165,11 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
         return jnp.stack(rows, axis=0)
 
     # -- whole-round Pallas kernel (VMEM-resident sponge + field math) ------
-    # Lagrange weights folded into the chunk radix constants: the chunk c of
-    # sender i's coefficient contributes v_c * 2^(32 L c) * lag_i in
-    # Montgomery form via ONE mont_mul with K_{i,c} = 2^(32Lc) * lag_i * R^2.
-    radix_lag = [[limb.int_to_limbs(
-        (pow(2, 32 * L * c, p) * int(thresha._recombination_vector(
-            field, tuple(range(1, n_send + 1)), 0)[i]) % p) * ctx.R2 % p, L)
-        for c in range(nc)] for i in range(n_send)]
+    # chunk c of a coefficient contributes v_c * 2^(32 L c) in Montgomery
+    # form via ONE mont_mul with K_c = 2^(32Lc) * R^2 (the aggregated
+    # coefficients C_k are drawn directly — see the docstring).
+    radix = [limb.int_to_limbs((pow(2, 32 * L * c, p) * ctx.R2) % p, L)
+             for c in range(nc)]
     R2T = 8                         # sublanes per sponge tile
 
     def make_pallas(S):
@@ -219,16 +206,13 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
                 C = []
                 for k in range(t):
                     acc = None
-                    for i in range(n_send):
-                        off = ((e * t + k) * n_send + i) * nc * L
-                        for c in range(nc):
-                            chunk = [words[off + c * L + q]
-                                     for q in range(L)]
-                            term = limb.mont_mul(chunk,
-                                                 const(radix_lag[i][c]),
-                                                 ctx.p_limbs, ctx.n0inv)
-                            acc = term if acc is None else \
-                                limb.add_mod(acc, term, ctx.p_limbs)
+                    off = (e * t + k) * nc * L
+                    for c in range(nc):
+                        chunk = [words[off + c * L + q] for q in range(L)]
+                        term = limb.mont_mul(chunk, const(radix[c]),
+                                             ctx.p_limbs, ctx.n0inv)
+                        acc = term if acc is None else \
+                            limb.add_mod(acc, term, ctx.p_limbs)
                     C.append(acc)
                 Sagg = None
                 for i in range(n_send):
@@ -377,8 +361,8 @@ def make_secure_matmul_step(p: int, t: int, m: int):
 def coef_randomness(rng, p: int, shape):
     """Uniform wide randomness for the pipelines: (*shape, n_chunks, L)."""
     ctx = prime_field_ctx(p)
-    l = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
-    W = -(-l // 4)
+    l = rng_mod.fused_draw_bytes(p)
+    W = l // 4
     n_chunks = -(-W // ctx.L)
     n = int(np.prod(shape, dtype=np.int64))
     blocks = rng._blocks(rng._next_prefix(),
@@ -392,9 +376,9 @@ def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
 
     TPU-first layout: one SHAKE128 sponge instance per (sublane, lane) cell
     of an (R, 128) tile; each instance's 168-byte rate block supplies the
-    degree-t coefficient randomness for `epb` elements (reference widening
-    convention: l = byte_length(p-1) + 16 bytes per coefficient,
-    thresha.py:226-236). The whole round — Keccak-f[1600] squeeze, wide
+    degree-t coefficient randomness for `epb` elements (fused-stream
+    convention: word-aligned byte_length(p-1) + 8 draws, see
+    rng.fused_draw_bytes). The whole round — Keccak-f[1600] squeeze, wide
     reduction into Montgomery form, Horner share evaluation at x = 1..m,
     and Lagrange recombination at 0 — runs in VMEM/registers, so HBM
     traffic is exactly one read of the secrets and one write of the result.
@@ -409,8 +393,8 @@ def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
     field = finfields.GF((p, 2, p - 1)) if p > 2 else finfields.GF(p)
     ctx = prime_field_ctx(p)
     L = ctx.L
-    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
-    W = -(-l_bytes // 4)            # words per coefficient value
+    l_bytes = rng_mod.fused_draw_bytes(p)
+    W = l_bytes // 4                # words per coefficient value
     nc = -(-W // L)                 # chunks per coefficient
     vals_per_block = (keccak.RATE // 4) // (nc * L)
     epb = vals_per_block // t       # elements per sponge instance
@@ -548,7 +532,7 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
     assert n_send <= m, 'GRR98 needs 2t+1 <= m'
     assert l <= 62 and k <= 62
     lb = l + (0 if EQ else 1)           # random bits per element (+sign)
-    l_bytes = ((p - 1).bit_length() + 7 >> 3) + rng_mod._WIDEN_BYTES
+    l_bytes = rng_mod.fused_draw_bytes(p)
 
     lag_t = _lagrange_consts_mont(field, range(1, t + 2))       # open deg t
     lag_2t = _lagrange_consts_mont(field, range(1, n_send + 1))  # deg 2t
@@ -599,27 +583,25 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
         W_total = t * lb * n + t * n
         if not EQ:
             W_total += (1 + t) * n                      # blind + its coefs
-            W_total += t * n_send * n * _tree_mults(l + 1)
+            W_total += t * n * _tree_mults(l + 1)
         if not LT:
-            W_total += t * n_send * n * _tree_mults(l)
+            W_total += t * n * _tree_mults(l)
         if sgn_mode:
-            W_total += t * n_send * n                   # final reshare
+            W_total += t * n                            # final reshare
         blocksB = max(rng_mod.blocks_needed(W_total, l_bytes), 1)
 
         st = state_words.at[1, 4].set(state_words[1, 4] ^ ctr[0])
         st = st.at[0, 4].set(st[0, 4] ^ ctr[1])
 
-        # ---- streams (Pallas squeeze for large draws: VMEM-resident
-        # sponge state for all 24 rounds) ----
-        def squeeze(nb, base):
-            if keccak._pallas_available() and nb >= 1024:
-                return keccak._squeeze_ctr_pallas(st, nb, 19, base)
-            return keccak._squeeze_ctr(st, nb, 19, base)
-        wordsA = squeeze(blocksA, 0)
+        # ---- streams (fused Pallas squeeze+reduce: the sponge words and
+        # the radix reduction never leave VMEM) ----
+        if keccak._pallas_available() and blocksA >= 1024:
+            wordsA = keccak._squeeze_ctr_pallas(st, blocksA, 19, 0)
+        else:
+            wordsA = keccak._squeeze_ctr(st, blocksA, 19, 0)
         wordsA = wordsA.reshape(-1)[:n_words].reshape(n, wpe)
-        blocksB_w = squeeze(blocksB, blocksA)
-        wide = rng_mod.words_to_elements(blocksB_w, W_total, l_bytes, L)
-        wpool = ctx.reduce_chunks(wide.shape[-2])(wide)  # (W_total, L) mont
+        wpool = rng_mod.squeeze_mont(st, W_total, l_bytes, p,
+                                     base=blocksA)      # (W_total, L) mont
         cursor = [0]
 
         def draw(shape):
@@ -649,19 +631,16 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
             return acc
 
         def reshare(x):                 # (m, ..., L) deg 2t -> deg t
+            # aggregated re-split coefficients C_k = sum_i lag_i c_{i,k}
+            # are iid uniform (all lag_i nonzero) — drawn directly, see
+            # make_reshare_step's docstring for the distribution argument
             inner = x.shape[1:-1]
-            coefs = draw((t, n_send) + inner)
+            coefs = draw((t,) + inner)
             S = None
             for i in range(n_send):
                 term = MULC(x[i], lag_2t[i])
                 S = term if S is None else ADD(S, term)
-            C = [None] * t
-            for kk in range(t):
-                acc = None
-                for i in range(n_send):
-                    term = MULC(coefs[kk, i], lag_2t[i])
-                    acc = term if acc is None else ADD(acc, term)
-                C[kk] = acc
+            C = [coefs[kk] for kk in range(t)]
             rows = []
             for j in range(m):
                 y = None
