@@ -201,12 +201,15 @@ def bench_secure_matmul():
 
 
 def bench_secure_cmp():
-    """End-to-end mpc.np_sgn(LT) comparisons/s at m=3, t=1 (SecInt(14)).
+    """End-to-end mpc.np_sgn(LT) comparisons/s at m=3, t=1 (SecInt(32),
+    the default bit length, over its 64-bit prime field).
 
-    The whole Toft-style comparison protocol — randomness, masked open,
-    bit algebra, log-depth product trees with in-kernel GRR98 reductions,
-    blinded zero test — as one compiled program per 64Ki chunk
-    (mpyc_tpu/models/pipelines.py make_sgn_step, wired via
+    The whole Toft-style comparison protocol — counter-mode SHAKE
+    randomness, dealer bit splits, masked open, bit algebra, log-depth
+    product trees with GRR98 degree reductions, blinded zero test — runs
+    as ONE Pallas kernel per 1M-element chunk: every (8, 128)-element
+    tile squeezes its own sponge blocks and keeps the entire protocol in
+    VMEM/registers (mpyc_tpu/models/pipelines.py make_sgn_step, wired via
     SimRuntime.np_sgn). Reference: mpyc/runtime.py:3622-3693; this is the
     protocol that dominates the BNN MNIST flagship workload.
     """
@@ -216,7 +219,7 @@ def bench_secure_cmp():
     rt = SimRuntime(3, _Options())
     rt._wire_modules()
     rt.start()
-    secint = rt.SecInt(14)
+    secint = rt.SecInt(32)
 
     # in-run correctness
     small = np.array([-5, -1, 0, 1, 3, -8000, 8000, 2], dtype=object)
@@ -226,7 +229,7 @@ def bench_secure_cmp():
         return None, 'secure_cmp mismatch'
 
     on_tpu = jax.default_backend() not in ('cpu',)
-    n = 1 << 16 if on_tpu else 1 << 12
+    n = 1 << 20 if on_tpu else 1 << 12
     vals = ((np.arange(n, dtype=np.int64) % 13) - 6).astype(object)
     X = rt.input(secint.array(vals))[0]
     Z = rt.np_sgn(X, LT=True)

@@ -12,6 +12,13 @@ steps linear in the shares), and unblinding the determinant.  The model
 is output as (adj A)B and det A, or via rational reconstruction with
 --ratrec.
 
+TPU-build deltas from the reference demo: the normal equations are one
+integer matmul (Z^T [Z | W] over numpy object arrays) instead of
+per-column accumulation loops; Bareiss elimination is vectorized over a
+leading batch axis, so on the co-located plane all m parties' share
+columns eliminate in one pass; dataset preprocessing is numpy-broadcast
+(affine rescale + one-hot expansion) rather than per-cell loops.
+
 Results are verified against scikit-learn's Ridge (cholesky).
 
 Usage: python demos/ridgeregression.py [-M m] [-i I] [-l L] [-a A]
@@ -40,182 +47,199 @@ from mpyc_tpu.gmpy import ratrec
 from mpyc_tpu.runtime import mpc
 
 
+def _rescale(cols):
+    """Affine map of each column onto [-1, 1] (numpy-broadcast)."""
+    lo = cols.min(axis=0)
+    hi = cols.max(axis=0)
+    return (cols - (lo + hi) / 2) * (2 / (hi - lo))
+
+
 def synthesize_data(n_samples, n_features, n_targets):
-    rnd = mpc.transfer(random.randrange(2**31), senders=0)
+    seed = mpc.transfer(random.randrange(2**31), senders=0)
     X, Y = sklearn.datasets.make_regression(
         n_samples=n_samples, n_features=n_features,
         n_informative=max(1, n_features - 5), n_targets=n_targets, bias=42,
         effective_rank=max(1, n_features - 3), tail_strength=0.5, noise=1.2,
-        random_state=rnd)  # all parties use the same rnd
-    if n_targets == 1:
-        Y = np.transpose([Y])
-    X = np.concatenate((X, Y), axis=1)
-    b_m = np.min(X, axis=0)
-    b_M = np.max(X, axis=0)
-    coef_add = [-(m + M) / 2 for m, M in zip(b_m, b_M)]
-    coef_mul = [2 / (M - m) for m, M in zip(b_m, b_M)]
-    for xi in X:
-        for j in range(len(xi)):
-            xi[j] = (xi[j] + coef_add[j]) * coef_mul[j]  # map to [-1, 1]
-    return X
+        random_state=seed)  # same seed at every party
+    Y = Y.reshape(n_samples, n_targets)
+    return _rescale(np.hstack([X, Y]))
 
 
-def read_data(infofile):
-    with open(infofile, newline='') as file:
-        reader = csv.reader(file)
-        datafile, delim, skip_header, split, n, d_, e = next(reader)
-        skip_header = int(skip_header)
-        split = int(split)
-        n = int(n)
-        d_ = int(d_)
-        e = int(e)
+def load_dataset(infofile):
+    """Parse an info CSV + its data file into a rescaled/one-hot matrix.
 
-        d = 0
-        L = d_ + e
-        categories = [None] * L
-        coef_add = [None] * L
-        coef_mul = [None] * L
-        for j in range(L):
-            line = next(reader)
-            kind = line[0]
-            if kind == 'numerical':
-                m, M = float(line[1]), float(line[2])
-                coef_add[j] = -(m + M) / 2
-                coef_mul[j] = 2 / (M - m)
-                d += 1
-            elif kind == 'categorical':
-                while not line[-1]:
-                    line.pop()
-                categories[j] = line[1:]
-                d += len(categories[j])
-            elif kind == 'exclude':
-                categories[j] = []
+    The info file lists one feature per line: ``numerical,min,max``,
+    ``categorical,v1,v2,...`` (expanded one-hot with +1/-1 levels), or
+    ``exclude``.  The last e columns are the regression targets.
+    """
+    with open(infofile, newline='') as fh:
+        meta = csv.reader(fh)
+        fname, delim, hdr, split, n, d_in, e = next(meta)
+        hdr, split, n, d_in, e = (int(v) for v in (hdr, split, n, d_in, e))
+        specs = []
+        for _ in range(d_in + e):
+            line = next(meta)
+            if line[0] == 'numerical':
+                specs.append(('num', float(line[1]), float(line[2])))
+            elif line[0] == 'categorical':
+                levels = [v for v in line[1:] if v]
+                specs.append(('cat', levels))
+            elif line[0] == 'exclude':
+                specs.append(('skip',))
             else:
-                raise ValueError('unknown feature type')
-        d -= e
+                raise ValueError(f'bad feature spec: {line[0]}')
 
-    datafile = os.path.join(DEMO_DIR, 'data', 'regr', datafile)
-    if datafile.find('.zip!') >= 0:
-        archive, datafile = datafile.split('!')
-        open_file = lambda f: io.TextIOWrapper(
-            zipfile.ZipFile(archive).open(f), newline='')
+    path = os.path.join(DEMO_DIR, 'data', 'regr', fname)
+    if '!' in path:  # data file inside a zip archive
+        zpath, inner = path.split('!')
+        fh = io.TextIOWrapper(zipfile.ZipFile(zpath).open(inner), newline='')
     else:
-        open_file = lambda f: open(f, newline='')
+        fh = open(path, newline='')
+    with fh:
+        rows = [r[:len(specs)] for r in csv.reader(fh, delimiter=delim)]
+    rows = rows[hdr:]
+    raw = np.array(rows, dtype=object)
 
-    X = np.empty((n, d + e), dtype=float)
-    with open_file(datafile) as file:
-        reader = csv.reader(file, delimiter=delim)
-        for _ in range(skip_header):
-            next(reader)
-        for i, row in enumerate(reader):
-            if len(row) > L:
-                row = row[:L]
-            x = X[i]
-            l = 0
-            for j in range(L):
-                if categories[j] is None:
-                    x[l] = (float(row[j]) + coef_add[j]) * coef_mul[j]
-                    l += 1
-                elif categories[j]:
-                    for item in categories[j]:
-                        x[l] = 1.0 if item == row[j] else -1.0
-                        l += 1
+    out_cols = []
+    for j, spec in enumerate(specs):
+        if spec[0] == 'num':
+            lo, hi = spec[1], spec[2]
+            col = raw[:, j].astype(float)
+            out_cols.append((col - (lo + hi) / 2) * (2 / (hi - lo)))
+        elif spec[0] == 'cat':
+            for level in spec[1]:
+                out_cols.append(np.where(raw[:, j] == level, 1.0, -1.0))
+    X = np.column_stack(out_cols)
+    d = X.shape[1] - e
     return X, d, e, split
 
 
-def bareiss(Zp, A):
-    """Division-free Gaussian elimination over Zp with one inverse per
-    row; entries of A are plain ints (shares or public values)."""
-    p = Zp.modulus
-    d, d_e = A.shape
+def bareiss_batched(p, M):
+    """Division-free elimination mod p on a (..., d, d+e) object array.
 
+    Works on any leading batch shape: on the co-located plane the m
+    parties' share columns form a batch and eliminate in one vectorized
+    pass. Only the first d columns (public, identical across the batch)
+    drive the pivoting; the trailing e columns carry (linear) shares.
+    Returns (solution block (..., d, e), determinant (...,)).
+    """
+    d = M.shape[-2]
+    width = M.shape[-1]
+
+    # forward pass: Bareiss cross-multiplication, row k eliminating below
     for k in range(d):
-        for i in range(k+1, d):
-            for j in range(k+1, d_e):
-                A[i, j] = (A[k, k] * A[i, j] - A[k, j] * A[i, k]) % p
+        piv = M[..., k:k+1, k:k+1]
+        low = M[..., k+1:, k+1:]
+        M[..., k+1:, k+1:] = (piv * low
+                              - M[..., k+1:, k:k+1] * M[..., k:k+1, k+1:]
+                              ) % p
 
-    for i in range(d-1, -1, -1):
-        inv = Zp(int(A[i, i])).reciprocal().value
-        if i < d-2:
-            A[i, i] = inv  # keep reciprocal for the determinant
-        for j in range(d, d_e):
-            s = A[i, j]
-            for k in range(i+1, d):
-                s -= A[i, k] * A[k, j]
-            A[i, j] = (s % p) * inv % p
+    # back-substitution with one modular inverse per pivot
+    inv_vec = np.vectorize(lambda v: pow(int(v), -1, p), otypes=[object])
+    for i in range(d - 1, -1, -1):
+        inv = inv_vec(M[..., i, i])
+        rhs = M[..., i, d:]
+        if i + 1 < d:
+            rhs = rhs - (M[..., i, None, i+1:d] @ M[..., i+1:d, d:])[..., 0, :]
+        M[..., i, d:] = rhs % p * inv[..., None] % p
+        if i < d - 2:
+            M[..., i, i] = inv       # retain for the determinant product
 
-    inv = 1
-    det = A[d-1, d-1]
-    for i in range(d-2):
-        inv = (inv * A[i, i]) % p
-        det = (det * inv) % p
-    return A[:, d:], det
+    det = M[..., d-1, d-1]
+    scale = np.ones(det.shape, dtype=object)
+    for i in range(d - 2):
+        scale = scale * M[..., i, i] % p
+        det = det * scale % p
+    return M[..., :, d:], det
 
 
-def random_matrix_determinant(secnum, d):
-    """Secret random matrix R = L U with secret determinant prod(diag U)."""
-    d_2 = d * (d-1) // 2
-    L = np.diagflat([secnum(1)] * d)
-    L[np.tril_indices(d, -1)] = mpc._randoms(secnum, d_2)
-    L[np.triu_indices(d, 1)] = [secnum(0)] * d_2
-    diag = mpc._randoms(secnum, d)
-    U = np.diagflat(diag)
-    U[np.tril_indices(d, -1)] = [secnum(0)] * d_2
-    U[np.triu_indices(d, 1)] = mpc._randoms(secnum, d_2)
-    R = mpc.matrix_prod(L.tolist(), U.tolist())
-    detR = mpc.prod(list(diag))  # nonzero with overwhelming probability
-    return R, detR
+def blinding_matrix(secnum, d):
+    """Secret uniformly random R = L U with known secret determinant.
+
+    L is unit lower triangular and U upper triangular with random
+    diagonal, all entries PRSS-drawn; det R = prod(diag U) is nonzero
+    except with probability ~ d/|F|.
+    """
+    strict = d * (d - 1) // 2
+    rand = iter(mpc._randoms(secnum, strict * 2 + d))
+    lo = [[secnum(1) if i == j else (next(rand) if j < i else secnum(0))
+           for j in range(d)] for i in range(d)]
+    diag = [next(rand) for _ in range(d)]
+    up = [[diag[i] if i == j else (next(rand) if j > i else secnum(0))
+           for j in range(d)] for i in range(d)]
+    return mpc.matrix_prod(lo, up), mpc.prod(diag)
+
+
+def _share_columns(rows):
+    """Local share integers of a list-of-lists of secnums, as an object
+    array with a leading batch axis: (m, d, e) party-stacked on the
+    co-located plane, (1, d, e) on the per-party plane."""
+    d, e = len(rows), len(rows[0])
+    flat = []
+    for row in rows:
+        for x in row:
+            v = np.asarray(x.share.value).reshape(-1)
+            flat.append([int(s) for s in v])
+    arr = np.array(flat, dtype=object)           # (d*e, batch)
+    return arr.T.reshape(arr.shape[1], d, e)
 
 
 def linear_solve(A, B):
     """Solve A w = B: return [(adj A) B entries..., det A] secret-shared."""
     secnum = type(A[0][0])
+    field = secnum.field
+    p = field.modulus
     d, e = len(A), len(B[0])
 
-    R, detR = random_matrix_determinant(secnum, d)
-    RA = mpc.matrix_prod(R, A)
-    RA = mpc.output([a for row in RA for a in row], raw=True)
-    RA = np.array([int(v) for v in RA], dtype=object).reshape(d, d)
+    R, detR = blinding_matrix(secnum, d)
+    RA_open = mpc.output([x for row in mpc.matrix_prod(R, A) for x in row],
+                         raw=True)
+    RA = np.array([int(v) for v in RA_open], dtype=object).reshape(d, d)
     RB = mpc.matrix_prod(R, B)
-    # raw shares of RB: Bareiss steps are linear, so shares flow through
-    if getattr(mpc, 'is_simulator', False):
-        # co-located plane: shares are party-stacked; run the local
-        # elimination once per party and restack the results
-        m = len(mpc.parties)
-        RBs_all = np.array(
-            [[int(v) for v in np.asarray(x.share.value).reshape(-1)]
-             for row in RB for x in row], dtype=object)  # (d*e, m)
-        per_party = []
-        detRA_sh = None
-        for pidx in range(m):
-            RBs = RBs_all[:, pidx].reshape(d, e)
-            invA_B, detRA_sh = bareiss(secnum.field,
-                                       np.concatenate((RA, RBs), axis=1))
-            per_party.append(invA_B)
-        detA = secnum(secnum.field(int(detRA_sh))) / detR  # detRA public
-        adjA_B = []
+
+    # Bareiss is share-linear: run it on the public RA columns against the
+    # raw share columns of RB, batched over the (per-party or stacked)
+    # share axis in one vectorized pass.
+    rb_batch = _share_columns(RB)                       # (batch, d, e)
+    batch = rb_batch.shape[0]
+    tableau = np.concatenate(
+        [np.broadcast_to(RA, (batch, d, d)).copy(), rb_batch], axis=2)
+    sol, det_batch = bareiss_batched(p, tableau)
+    det_RA = int(det_batch[0])                  # public: RA columns only
+
+    detA = secnum(field(det_RA)) / detR
+    if batch == 1:
+        entries = [secnum(field(int(v))) * detA for v in sol[0].reshape(-1)]
+    else:  # party-stacked shares: rewrap each stacked entry
+        entries = []
         for i in range(d):
             for j in range(e):
-                stacked = secnum.field.array(np.array(
-                    [int(per_party[p][i][j]) for p in range(m)],
-                    dtype=object))
-                adjA_B.append(secnum(stacked) * detA)
-        return adjA_B + [detA]
-
-    RBs = np.array([int(x.share.value[()]) for row in RB for x in row],
-                   dtype=object).reshape(d, e)
-    invA_B, detRA_sh = bareiss(secnum.field,
-                               np.concatenate((RA, RBs), axis=1))
-    # detRA is public (from RA columns only)
-    detA = secnum(secnum.field(int(detRA_sh))) / detR
-    adjA_B = [secnum(secnum.field(int(a))) * detA
-              for row in invA_B for a in row]
-    return adjA_B + [detA]
+                col = field.array(np.array(
+                    [int(v) for v in sol[:, i, j]], dtype=object))
+                entries.append(secnum(col) * detA)
+    return entries + [detA]
 
 
 def rmse(Y, P):
     return np.sqrt(sklearn.metrics.mean_squared_error(
         Y, P, multioutput='raw_values'))
+
+
+def normal_equations(X1, Y1, beta, lambda_, field):
+    """A = Z^T Z + lambda I, B = Z^T W over the integers, as one matmul.
+
+    Z = [round(beta X) | beta] (the constant column gives the intercept),
+    W = round(beta Y); everything stays exact in object-dtype ints.
+    """
+    n1 = len(X1)
+    Z = np.hstack([
+        (X1 * float(beta)).astype(np.int64).astype(object),
+        np.full((n1, 1), beta, dtype=object)])
+    W = (Y1 * float(beta)).astype(np.int64).astype(object)
+    G = Z.T @ np.hstack([Z, W])                 # (d, d+e) Gram block
+    d = Z.shape[1]
+    G[np.arange(d), np.arange(d)] += lambda_
+    return field.array(G.reshape(-1) % field.modulus)
 
 
 def main():
@@ -234,116 +258,84 @@ def main():
 
     mpc.run(mpc.start())
 
-    if not args.dataset:
-        range_alpha = range(4, 8)
-        n, d, e, split = args.samples, args.features, args.targets, 0
-        name = 'SYNTHETIC'
-        X = synthesize_data(n, d, e)
-    else:
-        settings = [('student-mat', 6), ('winequality-red', 7),
-                    ('winequality-white', 8)]
-        name, alpha = settings[args.dataset - 1]
-        range_alpha = range(alpha, alpha + 1)
-        infofile = os.path.join(DEMO_DIR, 'data', 'regr', f'info-{name}.csv')
-        X, d, e, split = read_data(infofile)
+    datasets = {1: ('student-mat', 6), 2: ('winequality-red', 7),
+                3: ('winequality-white', 8)}
+    if args.dataset:
+        name, alpha0 = datasets[args.dataset]
+        alphas = [alpha0]
+        X, d, e, split = load_dataset(
+            os.path.join(DEMO_DIR, 'data', 'regr', f'info-{name}.csv'))
         n = len(X)
+    else:
+        name, alphas = 'SYNTHETIC', list(range(4, 8))
+        n, d, e, split = args.samples, args.features, args.targets, 0
+        X = synthesize_data(n, d, e)
     print(f'dataset: {name} with {n} samples, {d} features, {e} target(s)')
     print(f'regularization lambda: {args.lambda_}')
 
     if split:
-        X1, X2 = X[:split], X[split:]
+        train, test = X[:split], X[split:]
     else:
-        rnd = mpc.transfer(random.randrange(2**31), senders=0)
-        X1, X2 = sklearn.model_selection.train_test_split(
-            X, train_size=0.7, random_state=rnd)
-    del X
-    X1, Y1 = X1[:, :d], X1[:, d:]
-    X2, Y2 = X2[:, :d], X2[:, d:]
+        seed = mpc.transfer(random.randrange(2**31), senders=0)
+        train, test = sklearn.model_selection.train_test_split(
+            X, train_size=0.7, random_state=seed)
+    X1, Y1 = train[:, :d], train[:, d:]
+    X2, Y2 = test[:, :d], test[:, d:]
     n1 = len(X1)
-    d = d + 1  # virtual all-ones feature column for the intercept
+    d += 1                          # + all-ones intercept column
 
     ridge = sklearn.linear_model.Ridge(alpha=args.lambda_, fit_intercept=True,
                                        copy_X=True, solver='cholesky')
     ridge.fit(X1, Y1)
-    error_train_skit = rmse(Y1, ridge.predict(X1))
-    error_test_skit = rmse(Y2, ridge.predict(X2))
-    print(f'scikit train error: {error_train_skit}')
-    print(f'scikit test error:  {error_test_skit}')
+    err_train_ref = rmse(Y1, ridge.predict(X1))
+    err_test_ref = rmse(Y2, ridge.predict(X2))
+    print(f'scikit train error: {err_train_ref}')
+    print(f'scikit test error:  {err_test_ref}')
 
     if args.accuracy >= 0:
-        range_alpha = range(args.accuracy, args.accuracy + 1)
-    for alpha in range_alpha:
+        alphas = [args.accuracy]
+    for alpha in alphas:
         print('accuracy alpha:', alpha)
         beta = 2**alpha
         lambda_ = round(args.lambda_ * beta**2)
         gamma = n1 * beta**2 + lambda_
         secint = mpc.SecInt(gamma.bit_length() + 1)
         bound = round(d**(d/2)) * gamma**d
-        if not args.ratrec:
-            secnum = mpc.SecFld(min_order=2*bound + 1, signed=True)
-        else:
+        if args.ratrec:
             secnum = mpc.SecInt(l=bound.bit_length() + 1)
             secfld = mpc.SecFld(min_order=4*bound**2)
-
-        f2 = float(beta)
-        q = secint.field.modulus
-        # scaled degree-0 shares of X, Y (all parties hold the plain data)
-        Xt = [[int(a * f2) + q for a in col] for col in X1.transpose()]
-        Yt = [[int(a * f2) + q for a in col] for col in Y1.transpose()]
+        else:
+            secnum = mpc.SecFld(min_order=2*bound + 1, signed=True)
 
         logging.info('Compute A = X^T X + lambda I and B = X^T Y')
-        AB = []
-        for i in range(d-1):
-            xi = Xt[i]
-            for j in range(i, d-1):
-                xj = Xt[j]
-                AB.append(sum(a * b for a, b in zip(xi, xj)))
-            AB.append(sum(xi) * beta)
-            for j in range(e):
-                yj = Yt[j]
-                AB.append(sum(a * b for a, b in zip(xi, yj)))
-        AB.append(n1 * beta**2)
-        for j in range(e):
-            AB.append(beta * sum(Yt[j]))
-        del Xt, Yt
-
-        # degree-0 sharing (all parties hold the same sums) -> degree-t via
-        # one reshare; _share_like broadcasts over the party axis on --sim
-        ABarr = mpc._share_like(secint.field.array(np.array(AB, dtype=object)))
-        ABarr = mpc._reshare(ABarr)
-        AB = mpc.np_tolist(mpc._wrap(secint, ABarr, array=True, integral=True))
+        gram = normal_equations(X1, Y1, beta, lambda_, secint.field)
+        # the Gram entries are identical at every party (degree-0 sharing);
+        # one reshare lifts them to a proper degree-t sharing
+        gram = mpc._reshare(mpc._share_like(gram))
+        AB = mpc.np_tolist(mpc._wrap(secint, gram, array=True, integral=True))
         AB = mpc.convert(AB, secnum)
 
-        A = [[None] * d for _ in range(d)]
-        B = [[None] * e for _ in range(d)]
-        index = 0
-        for i in range(d):
-            A[i][i] = AB[index] + lambda_
-            index += 1
-            for j in range(i+1, d):
-                A[i][j] = A[j][i] = AB[index]
-                index += 1
-            for j in range(e):
-                B[i][j] = AB[index]
-                index += 1
+        tab = np.array(AB, dtype=object).reshape(d, d + e)
+        A = [list(row[:d]) for row in tab]
+        B = [list(row[d:]) for row in tab]
 
         w_det = linear_solve(A, B)
-        if not args.ratrec:
-            w_det = mpc.run(mpc.output(w_det))
-            *w, det = [int(v) for v in w_det]
-            w = np.reshape(w, (d, e)) / det
-        else:
+        if args.ratrec:
             *w, det = mpc.convert(w_det, secfld)
             w = mpc.scalar_mul(1/det, w)
             w = mpc.run(mpc.output(w))
-            w = [ratrec(int(a), secfld.field.modulus) for a in w]
-            w = np.reshape([a / b for a, b in w], (d, e))
+            w = np.reshape([a / b for a, b in
+                            (ratrec(int(v), secfld.field.modulus)
+                             for v in w)], (d, e))
+        else:
+            *w, det = [int(v) for v in mpc.run(mpc.output(w_det))]
+            w = np.reshape(w, (d, e)) / det
 
-        error_train = rmse(Y1, np.dot(X1, w[:-1]) + w[-1])
-        error_test = rmse(Y2, np.dot(X2, w[:-1]) + w[-1])
-        print(f'MPyC-TPU train error: {error_train}')
-        print(f'MPyC-TPU test error:  {error_test}')
-        rel = (error_train - error_train_skit) / error_train_skit
+        err_train = rmse(Y1, X1 @ w[:-1] + w[-1])
+        err_test = rmse(Y2, X2 @ w[:-1] + w[-1])
+        print(f'MPyC-TPU train error: {err_train}')
+        print(f'MPyC-TPU test error:  {err_test}')
+        rel = (err_train - err_train_ref) / err_train_ref
         print(f'relative train error: {rel}')
         assert np.all(np.abs(rel) < 0.2), rel
     mpc.run(mpc.shutdown())

@@ -210,7 +210,8 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
                     for c in range(nc):
                         chunk = [words[off + c * L + q] for q in range(L)]
                         term = limb.mont_mul(chunk, const(radix[c]),
-                                             ctx.p_limbs, ctx.n0inv)
+                                             ctx.p_limbs, ctx.n0inv,
+                                             unroll=True)
                         acc = term if acc is None else \
                             limb.add_mod(acc, term, ctx.p_limbs)
                     C.append(acc)
@@ -220,9 +221,10 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
                     if fuse_mul:
                         b_i = [b_ref[0, i, e, q] for q in range(L)]
                         s_i = limb.mont_mul(s_i, b_i, ctx.p_limbs,
-                                            ctx.n0inv)
+                                            ctx.n0inv, unroll=True)
                     term = limb.mont_mul(s_i, const(lag[i]),
-                                         ctx.p_limbs, ctx.n0inv)
+                                         ctx.p_limbs, ctx.n0inv,
+                                         unroll=True)
                     Sagg = term if Sagg is None else \
                         limb.add_mod(Sagg, term, ctx.p_limbs)
                 for j in range(m):
@@ -231,7 +233,8 @@ def make_reshare_step(p: int, t: int, m: int, fuse_mul: bool = False):
                         y = C[k] if y is None else \
                             limb.add_mod(y, C[k], ctx.p_limbs)
                         y = limb.mont_mul(y, const(xs_mont[j]),
-                                          ctx.p_limbs, ctx.n0inv)
+                                          ctx.p_limbs, ctx.n0inv,
+                                          unroll=True)
                     o = limb.add_mod(y, Sagg, ctx.p_limbs) \
                         if y is not None else Sagg
                     for q in range(L):
@@ -438,7 +441,8 @@ def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
                 for c in range(nc):
                     chunk = [words[off + c * L + i] for i in range(L)]
                     term = limb.mont_mul(chunk, const(radix[c]),
-                                         ctx.p_limbs, ctx.n0inv)
+                                         ctx.p_limbs, ctx.n0inv,
+                                         unroll=True)
                     acc = term if acc is None else \
                         limb.add_mod(acc, term, ctx.p_limbs)
                 coefs.append(acc)
@@ -453,13 +457,13 @@ def make_split_recombine_fused(p: int, t: int, m: int, R: int = 8):
                     y = coefs[j] if y is None else \
                         limb.add_mod(y, coefs[j], ctx.p_limbs)
                     y = limb.mont_mul(y, const(xs_mont[i]),
-                                      ctx.p_limbs, ctx.n0inv)
+                                      ctx.p_limbs, ctx.n0inv, unroll=True)
                 shares.append(limb.add_mod(y, s, ctx.p_limbs))
             # recombine from shares at x = 1..t+1
             acc = None
             for i in range(t + 1):
                 term = limb.mont_mul(shares[i], const(lag[i]),
-                                     ctx.p_limbs, ctx.n0inv)
+                                     ctx.p_limbs, ctx.n0inv, unroll=True)
                 acc = term if acc is None else \
                     limb.add_mod(acc, term, ctx.p_limbs)
             for i in range(L):
@@ -520,7 +524,8 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
     for the zero test is drawn uniformly and its (probability ~1/p) zero
     replaced by one.
 
-    Constraints: prime field, 2t+1 <= m, l <= 62, k <= 62.
+    Constraints: prime field, 2t+1 <= m, l + k + 2 <= bitlen(p) (any limb
+    count: SecInt(64)/SecFxp(64:32) fields included).
     """
     assert not (LT and EQ)
     sgn_mode = not LT and not EQ
@@ -530,7 +535,7 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
     P, N0 = ctx.p_limbs, ctx.n0inv
     n_send = 2 * t + 1
     assert n_send <= m, 'GRR98 needs 2t+1 <= m'
-    assert l <= 62 and k <= 62
+    assert l + k + 2 <= p.bit_length(), 'masked open needs l+k+2 bits'
     lb = l + (0 if EQ else 1)           # random bits per element (+sign)
     l_bytes = rng_mod.fused_draw_bytes(p)
 
@@ -575,8 +580,281 @@ def make_sgn_step(p: int, t: int, m: int, l: int, k: int = 30,
     wk = -(-k // 32)
     wpe = wb + wk
 
+    # ---- whole-protocol Pallas kernel ------------------------------------
+    # One (8, 128) tile = 1024 elements; per element the kernel squeezes
+    # its own BPE counter-mode sponge blocks and runs the ENTIRE comparison
+    # (bit split, masked open, bit algebra, product trees with GRR98
+    # degree reductions, blinded zero test) in registers/VMEM.  HBM traffic
+    # = one read of the input shares + one write of the output shares; the
+    # randomness stream never exists in memory at all.
+    W = l_bytes // 4
+    nc = -(-W // L)
+    D = t * lb + t                       # bit-split + r_divl coefficients
+    if not EQ:
+        D += t * _tree_mults(l + 1) + 1 + t      # tree + blind + its coefs
+    if not LT:
+        D += t * _tree_mults(l)
+    if sgn_mode:
+        D += t                                   # final reshare
+    wpe_words = wb + wk + D * W
+    BPE = -(-wpe_words // 42)            # sponge blocks per element
+    radix = [limb.int_to_limbs((pow(2, 32 * L * c, p) * ctx.R2) % p, L)
+             for c in range(nc)]
+
+    def _build_pallas():
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        R2T = 8
+        TILE = R2T * 128
+        rc = keccak._RC_ARR
+
+        def MM(a, b):
+            return limb.mont_mul(a, b, P, N0, unroll=L <= 4)
+
+        def kernel(state_ref, ctr_ref, a_ref, out_ref):
+            g = pl.program_id(0)
+            eidx = (jnp.uint32(g * TILE)
+                    + jax.lax.broadcasted_iota(jnp.uint32, (R2T, 128), 0)
+                    * jnp.uint32(128)
+                    + jax.lax.broadcasted_iota(jnp.uint32, (R2T, 128), 1))
+            words = []
+            for b in range(BPE):
+                hi = [jnp.full((R2T, 128), state_ref[0, q])
+                      for q in range(25)]
+                lo = [jnp.full((R2T, 128), state_ref[1, q])
+                      for q in range(25)]
+                lo[4] = lo[4] ^ ctr_ref[0]      # per-call nonce
+                hi[4] = hi[4] ^ ctr_ref[1]
+                lo[19] = lo[19] ^ (eidx * jnp.uint32(BPE) + jnp.uint32(b))
+                for rnd in range(24):
+                    hi, lo = keccak._keccak_round(
+                        hi, lo, jnp.uint32(int(rc[rnd, 0])),
+                        jnp.uint32(int(rc[rnd, 1])))
+                for i in range(keccak.RATE // 8):
+                    words.append(lo[i])
+                    words.append(hi[i])
+            zero = jnp.zeros((R2T, 128), jnp.uint32)
+            bitw = words[:wb]
+            kw = words[wb:wb + wk]
+            cur = [wb + wk]
+
+            def draw():                 # one uniform field value (L limbs)
+                off = cur[0]
+                cur[0] = off + W
+                acc = None
+                for c in range(nc):
+                    chunk = [words[off + c * L + q] if c * L + q < W
+                             else zero for q in range(L)]
+                    term = MM(chunk, cl(radix[c]))
+                    acc = term if acc is None else limb.add_mod(acc, term, P)
+                return acc
+
+            def sel_const(bit, cv):     # {0,1} array -> const or 0 (limbs)
+                return [jnp.where(bit != 0, jnp.uint32(int(cv[q])), zero)
+                        for q in range(L)]
+
+            def vMULC(a, c):
+                return MM(a, cl(c))
+
+            # rows = per-party shares: list of m limb-lists
+            def rsplit(v, coefs):
+                rows = []
+                for i in range(m):
+                    y = None
+                    for kk in range(t):
+                        y = coefs[kk] if y is None else \
+                            limb.add_mod(y, coefs[kk], P)
+                        y = vMULC(y, xs_mont[i])
+                    rows.append(limb.add_mod(y, v, P) if y is not None
+                                else v)
+                return rows
+
+            def ropen(x, lag):
+                acc = None
+                for i, lg in enumerate(lag):
+                    term = vMULC(x[i], lg)
+                    acc = term if acc is None else limb.add_mod(acc, term, P)
+                return acc
+
+            def rreshare(x):            # deg 2t -> deg t, direct C draws
+                S = None
+                for i in range(n_send):
+                    term = vMULC(x[i], lag_2t[i])
+                    S = term if S is None else limb.add_mod(S, term, P)
+                C = [draw() for _ in range(t)]
+                rows = []
+                for j in range(m):
+                    y = None
+                    for kk in range(t):
+                        y = C[kk] if y is None else \
+                            limb.add_mod(y, C[kk], P)
+                        y = vMULC(y, xs_mont[j])
+                    rows.append(limb.add_mod(y, S, P) if y is not None
+                                else S)
+                return rows
+
+            def rmul(x, y):             # degree-2t local product
+                return [MM(x[i], y[i]) for i in range(m)]
+
+            def prod_tree(vals):        # list of share-rows -> one
+                while len(vals) > 1:
+                    h = len(vals) // 2
+                    nxt = [rreshare(rmul(vals[i], vals[h + i]))
+                           for i in range(h)]
+                    if len(vals) % 2:
+                        nxt.append(vals[2 * h])
+                    vals = nxt
+                return vals[0]
+
+            # ---- random bits (dealer split of stream bits) ----
+            rb = []
+            for j in range(lb):
+                bit = (bitw[j // 32] >> jnp.uint32(j % 32)) & jnp.uint32(1)
+                bmont = sel_const(bit, one_m)
+                rb.append(rsplit(bmont, [draw() for _ in range(t)]))
+
+            # ---- r_divl < 2^k ----
+            k_limbs = []
+            for q in range(L):
+                if q < wk:
+                    wcol = kw[q]
+                    rem = k - 32 * q
+                    if 0 < rem < 32:
+                        wcol = wcol & jnp.uint32((1 << rem) - 1)
+                    elif rem <= 0:
+                        wcol = zero
+                    k_limbs.append(wcol)
+                else:
+                    k_limbs.append(zero)
+            r_divl = MM(k_limbs, cl(r2_m))
+            r_divl_sh = rsplit(r_divl, [draw() for _ in range(t)])
+
+            # ---- mask and open: c = a + 2^l + r_modl + 2^l r_divl ----
+            r_modl = None
+            for j in range(l):
+                term = [vMULC(rb[j][i], pow2_m[j]) for i in range(m)]
+                r_modl = term if r_modl is None else \
+                    [limb.add_mod(r_modl[i], term[i], P) for i in range(m)]
+            a_rows = [[a_ref[0, i, q] for q in range(L)] for i in range(m)]
+            a_r = [limb.add_mod(limb.add_mod(a_rows[i], r_modl[i], P),
+                                cl(pow2_m[l]), P) for i in range(m)]
+            c_in = [limb.add_mod(a_r[i], vMULC(r_divl_sh[i], pow2_m[l]), P)
+                    for i in range(m)]
+            c_mont = ropen(c_in, lag_t)
+            c_std = MM(c_mont, cl((1,) + (0,) * (L - 1)))
+            cm_limbs = []
+            for q in range(L):
+                rem = l - 32 * q
+                col = c_std[q]
+                if rem <= 0:
+                    col = zero
+                elif rem < 32:
+                    col = col & jnp.uint32((1 << rem) - 1)
+                cm_limbs.append(col)
+            c_masked = MM(cm_limbs, cl(r2_m))
+            z = [limb.sub_mod(c_masked, a_r[i], P) for i in range(m)]
+
+            # ---- public bits of c mod 2^l; xor = c_bits XOR rb ----
+            xor = []
+            for j in range(l):
+                cbit = (c_std[j // 32] >> jnp.uint32(j % 32)) & jnp.uint32(1)
+                cb_m = sel_const(cbit, one_m)
+                cb2_m = sel_const(cbit, two_m)
+                xor.append([limb.add_mod(
+                    limb.sub_mod(rb[j][i], MM(rb[j][i], cb2_m), P),
+                    cb_m, P) for i in range(m)])
+
+            if not EQ:
+                s_sign = [limb.sub_mod(
+                    limb.add_mod(rb[l][i], rb[l][i], P), cl(one_m), P)
+                    for i in range(m)]
+                # inclusive prefix sums of xor along the bit axis
+                incl = [xor[0]]
+                for j in range(1, l):
+                    incl.append([limb.add_mod(incl[-1][i], xor[j][i], P)
+                                 for i in range(m)])
+                total = incl[l - 1]
+                E = []
+                for j in range(l):
+                    suffix = [limb.sub_mod(total[i], incl[j][i], P)
+                              for i in range(m)]
+                    cbit = (c_std[j // 32] >> jnp.uint32(j % 32)) \
+                        & jnp.uint32(1)
+                    cb_m = sel_const(cbit, one_m)
+                    E.append([limb.add_mod(limb.add_mod(
+                        s_sign[i], limb.sub_mod(rb[j][i], cb_m, P), P),
+                        vMULC(suffix[i], three_m), P) for i in range(m)])
+                e_last = [limb.add_mod(
+                    limb.sub_mod(s_sign[i], cl(one_m), P),
+                    vMULC(total[i], three_m), P) for i in range(m)]
+                E.append(e_last)
+                prod_e = prod_tree(E)
+                blind = draw()
+                bz = limb.iszero_ll(blind)
+                blind = [jnp.where(bz, jnp.uint32(int(one_m[q])), blind[q])
+                         for q in range(L)]
+                pb = rmul(prod_e, rsplit(blind, [draw() for _ in range(t)]))
+                pb_open = ropen(pb, lag_2t)
+                gz = limb.iszero_ll(pb_open)
+                g2 = [jnp.where(gz, jnp.uint32(int(two_m[q])), zero)
+                      for q in range(L)]
+                h = [limb.add_mod(
+                    limb.sub_mod(s_sign[i], MM(s_sign[i], g2), P),
+                    cl(three_m), P) for i in range(m)]
+                z = [vMULC(limb.add_mod(z[i], vMULC(h[i], pow2l1_m), P),
+                           inv2l_m) for i in range(m)]
+
+            if not LT:
+                ones_minus = [[limb.sub_mod(cl(one_m), xor[j][i], P)
+                               for i in range(m)] for j in range(l)]
+                h_all = prod_tree(ones_minus)
+                if EQ:
+                    z = h_all
+                else:
+                    u = [limb.sub_mod(h_all[i], cl(one_m), P)
+                         for i in range(m)]
+                    v = [limb.sub_mod(limb.add_mod(z[i], z[i], P),
+                                      cl(one_m), P) for i in range(m)]
+                    z = rreshare(rmul(u, v))
+
+            if powf_m is not None:
+                z = [vMULC(z[i], powf_m) for i in range(m)]
+            for i in range(m):
+                for q in range(L):
+                    out_ref[0, i, q] = z[i][q]
+
+        def run(a_tiles, state_words, ctr):
+            G = a_tiles.shape[0]
+            tile_spec = pl.BlockSpec((1, m, L, R2T, 128),
+                                     lambda i: (i, 0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((G, m, L, R2T, 128),
+                                               jnp.uint32),
+                grid=(G,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM),
+                          tile_spec],
+                out_specs=tile_spec,
+            )(state_words, ctr, a_tiles)
+        return run
+
+    _pallas_run = [None]
+
     def step(a_sh, state_words, ctr):
         n = a_sh.shape[1]
+        if keccak._pallas_available() and n >= 1024 and n % 1024 == 0:
+            if _pallas_run[0] is None:
+                _pallas_run[0] = _build_pallas()
+            G = n // 1024
+            tiles = a_sh.reshape(m, G, 8, 128, L).transpose(1, 0, 4, 2, 3)
+            out = _pallas_run[0](tiles, state_words, ctr)
+            out = out.transpose(1, 0, 3, 4, 2).reshape(m, n, L)
+            lo2 = ctr[0] + jnp.uint32(1)
+            hi2 = ctr[1] + jnp.where(lo2 == 0, jnp.uint32(1), jnp.uint32(0))
+            return out, jnp.stack([lo2, hi2])
         # static stream budget (counter space partitioned per draw)
         n_words = n * wpe
         blocksA = max(-(-n_words // 42), 1)

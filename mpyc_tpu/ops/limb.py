@@ -241,7 +241,7 @@ def neg_mod(a, p_limbs):
 # Montgomery multiplication (CIOS)
 # ---------------------------------------------------------------------------
 
-def mont_mul(a, b, p_limbs, n0inv):
+def mont_mul(a, b, p_limbs, n0inv, unroll=False):
     """Montgomery product a*b*R^{-1} mod p, R = 2^(32L); CIOS method.
 
     a, b: limb lists (values < p). p_limbs: python uint32 consts.
@@ -251,9 +251,11 @@ def mont_mul(a, b, p_limbs, n0inv):
     For small L the row loop is fully unrolled (XLA fuses the whole chain);
     for larger L the rows run under a fori_loop so trace/compile time stays
     O(L) instead of O(L^2) (XLA-CPU compile chokes on long scalar chains).
+    ``unroll=True`` forces the unrolled chain regardless of L (Pallas
+    kernels: values stay in registers, no loop-carried stacking).
     """
     L = len(a)
-    if L > 2:
+    if L > 2 and not unroll:
         return _mont_mul_loop(a, b, p_limbs, n0inv)
     zero = _zeros_like(a[0])
     n0 = jnp.asarray(n0inv, U32)

@@ -155,7 +155,7 @@ def _squeeze_mont_kernel(p: int, l_bytes: int, ctr_lane: int):
                 chunk = [words[j * W + c * L + q] if c * L + q < W else zero
                          for q in range(L)]
                 term = limb.mont_mul(chunk, const(radix[c]),
-                                     ctx.p_limbs, ctx.n0inv)
+                                     ctx.p_limbs, ctx.n0inv, unroll=True)
                 acc = term if acc is None else \
                     limb.add_mod(acc, term, ctx.p_limbs)
             for q in range(L):

@@ -57,16 +57,33 @@ def measure(dev_counts=None, n_per_device=1 << 16, t=1, m=3, iters=10,
         while d <= len(devices):
             dev_counts.append(d)
             d *= 2
+    from mpyc_tpu import thresha
+    from mpyc_tpu.ops import limb
+    from mpyc_tpu.ops import rng as rng_mod
+
+    F = finfields.GF((p, 2, p - 1))
     results = []
     base = None
     for d in dev_counts:
         mesh = Mesh(np.array(devices[:d]), ('data',))
         sh = NamedSharding(mesh, P(None, 'data', None))
         n = n_per_device * d
-        shares = jax.device_put(np.ones((m, n, ctx.L), np.uint32), sh)
+        # real Shamir shares; first iteration recombines and verifies, so
+        # every hardware measurement is self-validating
+        secrets = np.arange(n, dtype=np.uint64).astype(object) % p
+        rng = rng_mod.KeccakRNG(b'\x5c' * 32)
+        split = thresha.np_random_split(F, F.array(secrets), t, m, rng)
+        shares = jax.device_put(np.asarray(split.data), sh)
         ctr = jnp.zeros(2, jnp.uint32)
         out, ctr = step(shares, state, ctr)
-        np.asarray(out[:1, :1, :1])            # sync: compile done
+        out_np = np.asarray(out)               # sync: compile done
+        vec = thresha._recombination_vector(F, tuple(range(1, t + 2)), 0)
+        acc = None
+        for i in range(t + 1):
+            term = limb.limbs_to_ints(out_np[i]).astype(object) * int(vec[i])
+            acc = term if acc is None else acc + term
+        got = acc % p * ctx.Rinv % p
+        assert (got == secrets).all(), 'reshare recombine mismatch'
         t0 = time.perf_counter()
         for _ in range(iters):
             out, ctr = step(out, state, ctr)

@@ -11,8 +11,12 @@ becomes one dense array program —
 Everything the per-party runtime does in m processes with TCP rounds runs
 here as fused XLA ops, jittable end-to-end and shardable over a device mesh
 (party axis and/or batch axis; XLA inserts the collectives). Results are
-protocol-faithful: each party's share values are exactly what that party
-would hold in a real deployment with the same keys/randomness.
+protocol-faithful in distribution: the eager paths replay the PRSS/host
+randomness conventions bit-exactly, while the fused device rounds draw
+their coefficient/bit streams from an independent dealer-style SHAKE key
+(``_fused_key``, documented per kernel in models/pipelines.py), so the
+joint share/output distribution matches a real deployment even though the
+share values are not derived from the per-subset PRSS keys.
 
 Trust model note: a single process holds all shares, so this plane is for
 benchmarking, testing, and co-located deployments only.
@@ -396,13 +400,20 @@ class SimRuntime(Runtime):
         field = stype.field
         l_eff = l or stype.bit_length
         k = self.options.sec_param
+        from mpyc_tpu.ops import fieldops
+        # On CPU backends only small fields take the fused program: the
+        # local XLA-CPU compiler chokes on the full comparison graph beyond
+        # one-limb fields (minutes of compile), while the eager host plane
+        # is fast there. TPU backends compile every width quickly (the
+        # whole protocol is one Pallas kernel for n >= 1024).
+        width_ok = (not fieldops._cpu_backend()
+                    or field.modulus.bit_length() <= 32)
         if (field.characteristic > 2 and field.ext_deg == 1
-                and self.threshold > 0 and l_eff <= 62 and k <= 62
+                and self.threshold > 0 and width_ok
                 and l_eff + k + 2 <= field.modulus.bit_length()):
             sh = self._share(a)
             if not isinstance(sh.data, np.ndarray):
                 return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
-            from mpyc_tpu.ops import fieldops
             if not fieldops._cpu_backend():
                 # host-resident shares (small arrays computed by the host
                 # kernels): on TPU backends the compiled comparison still
@@ -411,11 +422,12 @@ class SimRuntime(Runtime):
                 return self._np_sgn_fused(stype, a, sh, l_eff, LT, EQ)
         return super().np_sgn(a, l=l, LT=LT, EQ=EQ)
 
-    # Max flat batch per fused comparison call: the program keeps ~60
-    # stream/bit tensors of (m, n, l)-extent live, so n=512Ki blew past
-    # the 16G HBM (measured: 30.3G requested). 64Ki chunks reuse one
-    # compiled program at ~130 ms each.
-    _SGN_CHUNK = 65536
+    # Max flat batch per fused comparison call. The whole-protocol Pallas
+    # kernel (pipelines.make_sgn_step) keeps everything in VMEM per
+    # (8, 128)-element tile, so HBM holds only the input/output shares —
+    # 1M-element chunks are ~50 MB and amortize dispatch (measured
+    # throughput: 64Ki 1.6e7 -> 1M 4.3e7 ops/s at l=14).
+    _SGN_CHUNK = 1 << 20
 
     def _np_sgn_fused(self, stype, a, sh, l, LT, EQ):
         field = stype.field
@@ -449,13 +461,14 @@ class SimRuntime(Runtime):
         m = len(self.parties)
         k = self.options.sec_param
         n, L = data.shape[1], data.shape[2]
-        # coarse shape buckets: all-zero rows are valid sharings of 0.
-        # Tracing the fused program costs ~10 s of host time per variant,
-        # so we bucket by powers of FOUR with a floor of 64 (waste <= 4x
-        # of a small kernel beats another trace).
+        # shape buckets: all-zero rows are valid sharings of 0. Powers of
+        # TWO with a floor of 64 (waste <= 2x; each bucket is one trace +
+        # compile, persisted by the trace/compile caches). Buckets >= 1024
+        # are multiples of 1024, which make_sgn_step routes to the
+        # whole-protocol Pallas kernel.
         n_pad = 64
         while n_pad < n:
-            n_pad *= 4
+            n_pad *= 2
         n_pad = min(n_pad, self._SGN_CHUNK)
         assert n <= n_pad
         if n_pad != n:

@@ -15,7 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# MPYC_TPU_TEST_BACKEND=tpu opts into running the TPU-gated tests (fused
+# SecInt(64) comparison etc.) against the real chip; default stays CPU.
+if os.environ.get("MPYC_TPU_TEST_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # keep runtime.setup() from re-pinning the eager plane to CPU under
+    # the axon tunnel (mpyc_tpu/runtime.py setup())
+    os.environ.setdefault("MPYC_TPU_PARTY_DEVICE", "tpu")
 # NB: no persistent compilation cache — the container's remote-compile
 # service writes entries with mismatched CPU features (SIGILL / wrong
 # results when loaded); in-process jit caching suffices.

@@ -7,6 +7,7 @@ against plaintext signum for all three modes through the public API.
 """
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import mpyc_tpu.sectypes as sectypes
@@ -72,3 +73,59 @@ def test_sgn_fused_matches_eager(sim):
     fused = [int(v) for v in np.asarray(
         mpc.run(mpc.output(mpc.np_sgn(x_dev, LT=True)))).reshape(-1)]
     assert eager == fused
+
+
+def test_sgn_secint64_routed(sim):
+    """SecInt(64) comparisons through np_sgn on whatever plane the backend
+    routes to (CPU: eager host plane — the fused graph is TPU-only there;
+    TPU: the whole-protocol Pallas kernel)."""
+    mpc = sim
+    secint = mpc.SecInt(64)
+    big = 1 << 62
+    vals = [-big, -(1 << 33), -1, 0, 1, (1 << 33) + 5, big - 1, 42]
+    x = _device_input(mpc, secint, vals)
+    got = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x)))).reshape(-1)]
+    assert got == [(v > 0) - (v < 0) for v in vals]
+    got = [int(v) for v in np.asarray(
+        mpc.run(mpc.output(mpc.np_sgn(x, LT=True)))).reshape(-1)]
+    assert got == [1 if v < 0 else 0 for v in vals]
+
+
+needs_tpu = pytest.mark.skipif(
+    jax.default_backend() == 'cpu',
+    reason='fused SecInt(64) comparison needs the TPU compile path; '
+           'run with MPYC_TPU_TEST_BACKEND=tpu')
+
+
+@needs_tpu
+def test_sgn_fused_secint64_tpu(sim):
+    """Bit-exact fused SecInt(64) sgn on the TPU (the l <= 62 cap is
+    lifted): the whole-protocol kernel handles multi-limb fields and
+    values straddling limb boundaries."""
+    mpc = sim
+    secint = mpc.SecInt(64)
+    big = 1 << 62
+    rnd = np.random.default_rng(7)
+    vals = ([-big, -(1 << 33), -1, 0, 1, (1 << 33) + 5, big - 1, 42]
+            * 4 + [int(v) for v in
+                   rnd.integers(-big, big, 2016, dtype=np.int64)])
+    x = _device_input(mpc, secint, vals)
+    z = mpc.np_sgn(x)
+    assert not isinstance(z.share.data, np.ndarray), 'fused path not taken'
+    got = [int(v) for v in np.asarray(mpc.run(mpc.output(z))).reshape(-1)]
+    assert got == [(v > 0) - (v < 0) for v in vals]
+
+
+@needs_tpu
+def test_sgn_fused_secfxp64_tpu(sim):
+    """SecFxp(64, 32) less-than through the fused comparison (f-shifted
+    output bit)."""
+    mpc = sim
+    secfxp = mpc.SecFxp(64, 32)
+    vals = [-2.5, -0.25, 0.0, 0.5, 3.75, -1024.0, 1024.0, 7.0]
+    x = _device_input(mpc, secfxp, vals)
+    z = mpc.np_less(x, 0)
+    assert not isinstance(z.share.data, np.ndarray), 'fused path not taken'
+    got = [float(v) for v in np.asarray(mpc.run(mpc.output(z))).reshape(-1)]
+    assert got == [1.0 if v < 0 else 0.0 for v in vals]
