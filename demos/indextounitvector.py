@@ -1,9 +1,13 @@
 """Demo: secret index to secret unit vector.
 
-Counterpart of the reference demos/indextounitvector.py: generate all
-length-n unit vectors from secret indices, for secure prime fields,
-integers, and fixed-point numbers, using both the built-in iterative
-mpc.unit_vector() and the recursive secret_index() below.
+Counterpart of the reference demos/indextounitvector.py: turn a secret
+index a into the secret a-th unit vector of public length n, for secure
+prime fields, integers, and fixed-point numbers. Two constructions are
+exercised: the built-in mpc.unit_vector(), and bit_kron() below — an
+iterative binary-expansion construction (different from the reference's
+recursive odd/even halving): peel the low bit of a for k = ceil(log2 n)
+levels, then double a one-hot vector back up, each level interleaving
+the (1-b)-selected and b-selected halves.
 
 Usage: python demos/indextounitvector.py [-M m] [n]
 """
@@ -15,55 +19,50 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mpyc_tpu.runtime import mpc
 
 
-def secret_index(a, n):
-    """Return ath unit vector of length n, assuming 0 <= a < n."""
+def bit_kron(a, n):
+    """a-th unit vector of length n (0 <= a < n) via binary expansion.
 
-    def si1(a, n):
-        """(a-1)st unit vector of length n-1 (1 <= a < n), or all-0 (a=0)."""
-        if n == 1:
-            x = []
-        elif n == 2:
-            x = [a]
-        else:
-            a2, b = divmod(a, 2)
-            z = si1(a2, (n + 1) // 2)
-            y = mpc.scalar_mul(b, z)
-            x = [b - sum(y)] + [z[i//2] - y[i//2] if i % 2 == 0 else y[i//2]
-                                for i in range(n - 2)]
-        return x
+    u(a) = kron_{j=k-1..0} (1-b_j, b_j) truncated to n entries: with
+    a = 2q + b, the length-2L one-hot of a interleaves the length-L
+    one-hot of q scaled by 1-b (even slots) and by b (odd slots).
+    """
+    stype = type(a)
+    levels = max((n - 1).bit_length(), 1)
+    low_bits = []
+    for _ in range(levels):
+        a, bit = divmod(a, 2)
+        low_bits.append(bit)
 
-    x = si1(a, n)
-    return [type(a)(1) - sum(x)] + x
+    one_hot = [stype(1)]
+    for bit in reversed(low_bits):
+        odd = mpc.scalar_mul(bit, one_hot)
+        even = mpc.vector_sub(one_hot, odd)
+        one_hot = [v for pair in zip(even, odd) for v in pair]
+    return one_hot[:n]
 
 
-def xprint(n, f, sectype):
-    print(f'Using {f.__name__} with type {sectype.__name__}:')
+def check_all(n, builder, sectype):
+    print(f'Using {builder.__name__} with type {sectype.__name__}:')
     for i in range(n):
-        u = mpc.run(mpc.output(f(sectype(i), n)))
-        print(i, u)
-        expect = [0] * i + [1] + [0] * (n - 1 - i)
-        assert [int(a) for a in u] == expect, (i, u)
+        vec = mpc.run(mpc.output(builder(sectype(i), n)))
+        print(i, vec)
+        assert [int(v) for v in vec] == [int(j == i) for j in range(n)], \
+            (i, vec)
 
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith('-')]
-    if pos:
-        n = int(pos[0])
-    else:
-        n = 10
+    n = int(pos[0]) if pos else 10
+    if not pos:
         print('Setting input to default =', n)
 
-    secfld = mpc.SecFld(min_order=max(len(mpc.parties) + 1, n))
-    secint = mpc.SecInt()
-    secfxp = mpc.SecFxp()
-
     mpc.run(mpc.start())
-    xprint(n, mpc.unit_vector, secfld)
-    # NB: secret_index does not work with secfld (divmod needs integers)
-    xprint(n, mpc.unit_vector, secint)
-    xprint(n, secret_index, secint)
-    xprint(n, mpc.unit_vector, secfxp)
-    xprint(n, secret_index, secfxp)
+    secfld = mpc.SecFld(min_order=max(len(mpc.parties) + 1, n))
+    check_all(n, mpc.unit_vector, secfld)
+    # bit_kron needs integer divmod, so no secfld here
+    for sectype in (mpc.SecInt(), mpc.SecFxp()):
+        check_all(n, mpc.unit_vector, sectype)
+        check_all(n, bit_kron, sectype)
     mpc.run(mpc.shutdown())
 
 

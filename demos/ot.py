@@ -1,11 +1,15 @@
 """Demo: 1-out-of-2 oblivious transfer (OT) via honest-majority MPC.
 
-Counterpart of the reference demos/ot.py: with m = 2t+1 parties, t OTs
-run in parallel.  P[0] is a trusted helper with no input/output; P[i]
-(1<=i<=t) is a sender holding two messages; P[t+i] is the receiver with
-a private choice bit, obtaining x[b] as private output via
-    OT(x[0], x[1]; b) = if_else(b, x[1], x[0])
-one secure multiplication per transfer.
+Counterpart of the reference demos/ot.py. With m = 2t+1 parties, t
+transfers run at once: party i (1 <= i <= t) plays sender number i with
+a private message pair, party t+i plays receiver number i with a private
+choice bit, and party 0 is the non-colluding helper that makes the
+honest majority work. Receiver i obtains x[b] — and nothing about
+x[1-b] — through one secure multiplexer
+
+    selected = x0 + b * (x1 - x0)
+
+opened only towards that receiver.
 
 Usage: python demos/ot.py [-M m]   (m odd)
 """
@@ -18,42 +22,51 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from mpyc_tpu.runtime import mpc
 
 
-def main():
+def my_roles():
+    """(pair, bit) this process contributes: senders hold a message pair,
+    receivers a choice bit, the helper neither. On the co-located plane
+    one process plays everyone."""
     m = len(mpc.parties)
-    if m % 2 == 0:
-        print('OT runs with odd number of parties only.')
-        sys.exit()
-
     t = m // 2
-    message = [(None, None)] * t
-    choice = [None] * t
+    pairs = {}
+    bits = {}
     if getattr(mpc, 'is_simulator', False):
-        # co-located plane: the one program plays every party
-        for j in range(t):
-            message[j] = (random.randint(0, 99), random.randint(0, 99))
-            choice[j] = random.randint(0, 1)
-        print(f'Simulating {t} senders and {t} receivers.')
-    elif mpc.pid == 0:
-        print('You are the trusted third party.')
-    elif 1 <= mpc.pid <= t:
-        message[mpc.pid - 1] = (random.randint(0, 99), random.randint(0, 99))
-        print(f'You are sender {mpc.pid} holding messages '
-              f'{message[mpc.pid - 1][0]} and {message[mpc.pid - 1][1]}.')
+        for i in range(1, t + 1):
+            pairs[i] = (random.randrange(100), random.randrange(100))
+            bits[i] = random.getrandbits(1)
+        print(f'Simulating {t} sender/receiver pairs.')
     else:
-        choice[mpc.pid - t - 1] = random.randint(0, 1)
-        print(f'You are receiver {mpc.pid - t} with random choice '
-              f'bit {choice[mpc.pid - t - 1]}.')
+        pid = mpc.pid
+        if pid == 0:
+            print('You are the helper party (no input, no output).')
+        elif pid <= t:
+            pairs[pid] = (random.randrange(100), random.randrange(100))
+            print(f'Sender {pid}: messages {pairs[pid][0]} / {pairs[pid][1]}')
+        else:
+            bits[pid - t] = random.getrandbits(1)
+            print(f'Receiver {pid - t}: choice bit {bits[pid - t]}')
+    return pairs, bits
+
+
+def main():
+    if len(mpc.parties) % 2 == 0:
+        sys.exit('ot.py needs an odd party count (m = 2t + 1)')
+    t = len(mpc.parties) // 2
+    pairs, bits = my_roles()
 
     mpc.run(mpc.start())
     secint = mpc.SecInt()
     for i in range(1, t + 1):
-        x = mpc.input([secint(message[i-1][0]), secint(message[i-1][1])], i)
-        b = mpc.input(secint(choice[i-1]), t + i)
-        a = mpc.run(mpc.output(mpc.if_else(b, x[1], x[0]), t + i))
-        if a is not None:
-            a = int(a)
-            print(f'You have received message {a}.')
-            assert a == message[i-1][choice[i-1]] if mpc.pid == 0 else True
+        pair = pairs.get(i, (None, None))
+        x0, x1 = mpc.input([secint(pair[0]), secint(pair[1])], senders=i)
+        b = mpc.input(secint(bits.get(i)), senders=t + i)
+        selected = x0 + b * (x1 - x0)
+        got = mpc.run(mpc.output(selected, receivers=t + i))
+        if got is not None:
+            got = int(got)
+            print(f'Transfer {i}: received message {got}.')
+            if i in pairs:  # co-located plane: check against the pair
+                assert got == pairs[i][bits[i]]
     mpc.run(mpc.shutdown())
 
 

@@ -1,9 +1,11 @@
 """Demo: oblivious sorting with full secrecy.
 
-Counterpart of the reference demos/sort.py: randomly shuffled
-secret-shared lists of numbers (integers and fixed-point) are sorted
-with mpc.sorted() (Batcher merge-exchange, key support) and with
-seclist.sort() in-place (descending).
+Counterpart of the reference demos/sort.py: secret-shared lists are
+obliviously shuffled and then sorted (Batcher merge-exchange under the
+hood), exercising three surfaces: mpc.sorted() with a key function,
+seclist.sort() in place, and the array-first mpc.np_sort() — the batched
+path this TPU build favors (one comparison round per Batcher stage for
+the whole vector).
 
 Usage: python demos/sort.py [-M m] [n]
 """
@@ -12,42 +14,59 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
+import numpy as np
+
 from mpyc_tpu.runtime import mpc
+
+
+def demo_sorted_with_key(values):
+    secint = mpc.SecInt()
+    print('Using secure integers:', secint.__name__)
+    xs = [secint(v) for v in values]
+    mpc.random.shuffle(secint, xs)          # oblivious in-place shuffle
+    print('Randomly shuffled input:', mpc.run(mpc.output(xs)))
+    by_abs = mpc.sorted(xs, key=lambda a: a**2)
+    opened = [int(v) for v in mpc.run(mpc.output(by_abs))]
+    print('Sorted by absolute value:', opened)
+    assert opened == sorted(values, key=abs), opened
+
+
+def demo_seclist_descending(values):
+    secfxp = mpc.SecFxp()
+    print('Using secure fixed-point numbers:', secfxp.__name__)
+    xs = [secfxp(v + 0.5) for v in values]
+    mpc.random.shuffle(secfxp, xs)
+    print('Randomly shuffled input:', mpc.run(mpc.output(xs)))
+    lst = mpc.seclist(xs)
+    lst.sort(reverse=True)                  # in-place, descending
+    opened = [float(v) for v in mpc.run(mpc.output(list(lst)))]
+    print('Sorted by descending value:', opened)
+    assert opened == sorted((v + 0.5 for v in values), reverse=True), opened
+
+
+def demo_np_sort(values):
+    secint = mpc.SecInt()
+    print('Using secure integer arrays:', secint.__name__)
+    arr = mpc.input(secint.array(np.array(values, dtype=object)), senders=0)
+    asc = mpc.np_sort(arr)
+    opened = [int(v) for v in np.asarray(mpc.run(mpc.output(asc)))]
+    print('np_sort ascending:', opened)
+    assert opened == sorted(values), opened
 
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith('-')]
-    if pos:
-        n = int(pos[0])
-    else:
-        n = 5
+    n = int(pos[0]) if pos else 5
+    if not pos:
         print('Setting input to default =', n)
 
-    s = [(-1)**i * (i + n//2)**2 for i in range(n)]
+    # alternating-sign ramp, e.g. n=5: [4, -9, 16, -25, 36]
+    values = [(i + n // 2) ** 2 * (1 if i % 2 == 0 else -1) for i in range(n)]
 
     mpc.run(mpc.start())
-
-    secnum = mpc.SecInt()
-    print('Using secure integers:', secnum.__name__)
-    x = list(map(secnum, s))
-    mpc.random.shuffle(secnum, x)  # secret in-place random shuffle
-    print('Randomly shuffled input:', mpc.run(mpc.output(x)))
-    x = mpc.sorted(x, key=lambda a: a**2)  # sort on absolute value
-    got = mpc.run(mpc.output(x))
-    print('Sorted by absolute value:', got)
-    assert [int(a) for a in got] == sorted(s, key=lambda a: a * a), got
-
-    secnum = mpc.SecFxp()
-    print('Using secure fixed-point numbers:', secnum.__name__)
-    x = list(map(secnum, s))
-    mpc.random.shuffle(secnum, x)
-    print('Randomly shuffled input:', mpc.run(mpc.output(x)))
-    x = mpc.seclist(x)
-    x.sort(reverse=True)  # in-place sort in descending order
-    got = mpc.run(mpc.output(list(x)))
-    print('Sorted by descending value:', got)
-    assert [float(a) for a in got] == sorted(map(float, s), reverse=True), got
-
+    demo_sorted_with_key(values)
+    demo_seclist_descending(values)
+    demo_np_sort(values)
     mpc.run(mpc.shutdown())
 
 

@@ -499,9 +499,6 @@ class SimRuntime(Runtime):
         s_field = s_ctype.field
         t_field = t_ctype.field
         s_is_ff = issubclass(s_ctype, sectypes.SecureFiniteField)
-        if is_arr and s_is_ff:
-            raise NotImplementedError(
-                'convert of finite-field arrays not supported')
         sizes = [xi.size if is_arr else 1 for xi in x]
         shapes = [xi.shape if is_arr else None for xi in x]
         n = sum(sizes)
@@ -548,21 +545,18 @@ class SimRuntime(Runtime):
         masked = stacked + offset + s_r
         c = self.output(masked)  # public (n,) values in s_field
         if s_is_ff:
-            c_ints = [int(v) for v in np.asarray(c.value).reshape(-1)]
-            out = []
-            for i in range(n):
-                v = self._share_like(t_field.array(
-                    np.array(c_ints[i], dtype=object))) - t_r[:, i]
-                v = self._share(self._mod(t_type(v),
-                                          int(s_field.modulus)))
-                v = v - offset
-                res = t_type(v)
-                if issubclass(t_type, sectypes.SecureFixedPoint):
-                    res.integral = not s_ctype.frac_length
-                out.append(res)
-            return out
-        emb = self._embed_field_values(c, t_field)   # (n,) public
-        v = self._share_like(emb) - t_r - offset     # (m, n)
+            # batched [GMS10] public-modulus reduction in the target field
+            # (scalars and arrays alike; runtime.py _convert's twin)
+            c_ints = np.array([int(v) for v in
+                               np.asarray(c.value).reshape(-1)],
+                              dtype=object)
+            v = self._share_like(t_field.array(c_ints)) - t_r   # (m, n)
+            sec = self._wrap(t_ctype, v, array=True, integral=True)
+            sec = self._mod(sec, int(s_field.modulus))
+            v = self._share(sec) - offset
+        else:
+            emb = self._embed_field_values(c, t_field)   # (n,) public
+            v = self._share_like(emb) - t_r - offset     # (m, n)
         if d > 0:
             v = v * (1 << d)
         integral = not s_ctype.frac_length

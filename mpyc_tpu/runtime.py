@@ -861,9 +861,6 @@ class Runtime:
         s_field = s_ctype.field
         t_field = t_ctype.field
         s_is_ff = issubclass(s_ctype, sectypes.SecureFiniteField)
-        if is_arr and s_is_ff:
-            raise NotImplementedError(
-                'convert of finite-field arrays not supported')
         sizes = [xi.size if is_arr else 1 for xi in x]
         shapes = [xi.shape if is_arr else None for xi in x]
         n = sum(sizes)
@@ -915,26 +912,21 @@ class Runtime:
         masked = stacked + offset + s_r
         c = self.output(masked)  # public field array in s_field
         if s_is_ff:
-            # scalar-only path with full public-modulus reduction [GMS10]
-            c_ints = [int(v) for v in c.value.reshape(-1)]
-            out = []
-            for i in range(n):
-                v = t_field.array(np.array(c_ints[i], dtype=object)) - \
-                    t_r[i]
-                v = self._share(self._mod(t_type(v.reshape(())),
-                                          int(s_field.modulus))).reshape(())
-                v = v - offset
-                if d > 0:
-                    # scale into the target fxp domain; the reference gets
-                    # this shift from _mod's final <<f (runtime.py:1880)
-                    v = v * (1 << d)
-                res = t_type(v.reshape(()))
-                if issubclass(t_type, sectypes.SecureFixedPoint):
-                    res.integral = not s_ctype.frac_length
-                out.append(res)
-            return out
-        v = self._embed_field_values(c, t_field) - t_r - offset
+            # full public-modulus reduction [GMS10] in the target field,
+            # batched over the whole (n,) flat batch (scalars and arrays
+            # alike; the reference has the scalar case at runtime.py:758-787)
+            c_ints = np.array([int(v) for v in
+                               np.atleast_1d(c.value).reshape(-1)],
+                              dtype=object)
+            v = t_field.array(c_ints) - t_r
+            sec = self._wrap(t_ctype, v, array=True, integral=True)
+            sec = self._mod(sec, int(s_field.modulus))
+            v = self._share(sec) - offset
+        else:
+            v = self._embed_field_values(c, t_field) - t_r - offset
         if d > 0:
+            # scale into the target fxp domain; the reference gets this
+            # shift from _mod's final <<f (runtime.py:1880)
             v = v * (1 << d)
         integral = not s_ctype.frac_length
         out = []

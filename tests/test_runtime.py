@@ -179,6 +179,18 @@ def test_convert_arrays(mpc):
     Z1, Z2 = mpc.convert([A, mpc.input(secint.array(a[0]))[0]], secfxp)
     assert Z1.shape == (2, 2) and Z2.shape == (2,)
     assert (np.asarray(mpc.run(mpc.output(Z2))) == [1.0, -2.0]).all()
+    # finite-field-SOURCE arrays (closed gap: one batched [GMS10] public-
+    # modulus reduction serves the whole batch; scalar parity at
+    # reference runtime.py:758-787)
+    secfld = mpc.SecFld(257)
+    fvals = np.array([[0, 1], [100, 256]], dtype=object)
+    U = mpc.input(secfld.array(fvals))[0]
+    V = mpc.convert(U, secint)
+    assert isinstance(V, mpc.SecureIntegerArray)
+    assert (np.asarray(mpc.run(mpc.output(V))) == fvals).all()
+    # ff scalar through the same batched path
+    u = mpc.input(secfld(123))[0]
+    assert int(mpc.run(mpc.output(mpc.convert(u, secint)))) == 123
 
 
 def test_transfer(mpc):
