@@ -35,32 +35,33 @@ from ridgeregression import linear_solve
 from mpyc_tpu.runtime import mpc
 
 
-class DatumTransformation:
-    """Geographic datum transformations (WGS84)."""
-    a = 6378137.0              # semi-major axis (equatorial radius, m)
-    b = 6356752.31424518       # semi-minor axis (polar radius, m)
-    e2 = (a**2 - b**2) / a**2
-    e_2 = (a**2 - b**2) / b**2
+# --- WGS84 <-> ECEF datum conversions (standard geodesy formulas) ----
+_WGS84_A = 6378137.0             # equatorial radius [m]
+_WGS84_B = 6356752.31424518      # polar radius [m]
+_ECC2 = 1 - (_WGS84_B / _WGS84_A) ** 2          # first eccentricity^2
+_ECC2P = (_WGS84_A / _WGS84_B) ** 2 - 1         # second eccentricity^2
 
-    @classmethod
-    def wgs_to_ecef(cls, latitude, longitude, altitude):
-        phi, lambda_, h = radians(latitude), radians(longitude), altitude
-        N = cls.a / sqrt(1 - cls.e2 * sin(phi)**2)
-        x = (N + h) * cos(phi) * cos(lambda_)
-        y = (N + h) * cos(phi) * sin(lambda_)
-        z = (N * (1 - cls.e2) + h) * sin(phi)
-        return x, y, z
 
-    @classmethod
-    def ecef_to_wgs(cls, x, y, z):
-        p = hypot(x, y)
-        theta = atan2(z * cls.a, p * cls.b)
-        phi = atan2(z + cls.e_2 * cls.b * sin(theta)**3,
-                    p - cls.e2 * cls.a * cos(theta)**3)
-        lambda_ = atan2(y, x)
-        N = cls.a / sqrt(1 - cls.e2 * sin(phi)**2)
-        h = p / cos(phi) - N
-        return degrees(phi), degrees(lambda_), h
+def wgs84_to_ecef(lat_deg, lon_deg, height):
+    """Geodetic coordinates -> earth-centered earth-fixed XYZ [m]."""
+    lat, lon = radians(lat_deg), radians(lon_deg)
+    prime_vertical = _WGS84_A / sqrt(1 - _ECC2 * sin(lat) ** 2)
+    rho = (prime_vertical + height) * cos(lat)
+    return (rho * cos(lon),
+            rho * sin(lon),
+            (prime_vertical * (1 - _ECC2) + height) * sin(lat))
+
+
+def ecef_to_wgs84(x, y, z):
+    """ECEF XYZ [m] -> geodetic (lat deg, lon deg, height m), via the
+    closed-form Bowring approximation."""
+    rho = hypot(x, y)
+    beta = atan2(z * _WGS84_A, rho * _WGS84_B)
+    lat = atan2(z + _ECC2P * _WGS84_B * sin(beta) ** 3,
+                rho - _ECC2 * _WGS84_A * cos(beta) ** 3)
+    prime_vertical = _WGS84_A / sqrt(1 - _ECC2 * sin(lat) ** 2)
+    return (degrees(lat), degrees(atan2(y, x)),
+            rho / cos(lat) - prime_vertical)
 
 
 def schmidt_multilateration(secint, locations, toas):
@@ -100,6 +101,31 @@ def schmidt_multilateration(secint, locations, toas):
     return x / det, y / det, z / det
 
 
+def _sensor_inputs(measurement, sensors, scale, secint):
+    """Share each sensor's scaled ECEF position and ToA into the MPC.
+
+    ``measurement`` is the parsed [(sensor_id, toa_ns), ...] list of one
+    row; sensor i's values are input by party i mod m (on the co-located
+    plane the single process supplies every sender's data).
+    """
+    sim = getattr(mpc, 'is_simulator', False)
+    m = len(mpc.parties)
+    locations, toas = [], []
+    for i, (sensor_id, toa_ns, *_rest) in enumerate(measurement):
+        owner = i % m
+        pos_fx = [None] * 3
+        toa_fx = None
+        if sim or mpc.pid == owner:
+            lat, lon, h = sensors.loc[sensor_id][
+                ['latitude', 'longitude', 'height']]
+            pos_fx = [round(c * scale) for c in wgs84_to_ecef(lat, lon, h)]
+            toa_fx = round(toa_ns * (SPEED_OF_LIGHT / 1e9) * scale)
+        locations.append(mpc.input([secint(c) for c in pos_fx],
+                                   senders=owner))
+        toas.append(mpc.input(secint(toa_fx), senders=owner))
+    return locations, toas
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('-i', '--datasets', metavar='I', nargs='+',
@@ -113,67 +139,43 @@ def main():
     parser.set_defaults(datasets=('1', '3'), accuracy=3)
     args, _ = parser.parse_known_args()
 
-    datadir = os.path.join(DEMO_DIR, 'data', 'mlat')
-    sensors = pd.read_csv(os.path.join(datadir, 'sensors.csv'), index_col=0)
+    mlat_dir = os.path.join(DEMO_DIR, 'data', 'mlat')
+    sensors = pd.read_csv(os.path.join(mlat_dir, 'sensors.csv'), index_col=0)
+    frames = pd.concat(pd.read_csv(os.path.join(mlat_dir, f'set_{i}.csv'))
+                       for i in args.datasets)
+    if args.rows:
+        frames = frames.head(args.rows)
+
+    bits = args.bit_length or 200 + args.accuracy * 45
+    scale = 10**args.accuracy
 
     mpc.run(mpc.start())
+    secint = mpc.SecInt(bits)
+    print(f'Using secure {bits}-bit integers: {secint.__name__} '
+          f'(scale factor={scale})')
 
-    df = pd.concat(pd.read_csv(os.path.join(datadir, f'set_{i}.csv'))
-                   for i in args.datasets)
-    if args.rows:
-        df = df.iloc[:args.rows]
-    nrows = len(df)
-
-    l = args.bit_length
-    if l is None:
-        l = 200 + args.accuracy * 45
-    secint = mpc.SecInt(l)
-    scaling = 10**args.accuracy
-    print(f'Using secure {l}-bit integers: {secint.__name__} '
-          f'(scale factor={scaling})')
-    distances = [None] * nrows
-    for ix, row in enumerate(df.itertuples()):
-        # five sensors (parties i=0..4) input location and timestamp:
-        locations = [None] * 5
-        toas = [None] * 5
-        for i, sensor_id in enumerate(list(zip(*eval(row.measurements)))[0]):
-            sender_pid = i % len(mpc.parties)
-            # on --sim the one process provides every sender's value
-            if mpc.pid == sender_pid or getattr(mpc, 'is_simulator', False):
-                lla_i = sensors.loc[sensor_id][
-                    ['latitude', 'longitude', 'height']].values
-                x_i, y_i, z_i = DatumTransformation.wgs_to_ecef(*lla_i)
-                position_i = [int(x_i * scaling), int(y_i * scaling),
-                              int(z_i * scaling)]
-                toas_i = list(zip(*eval(row.measurements)))[1][i]
-                toas_i *= SPEED_OF_LIGHT / 1e9
-                toas_i = int(toas_i * scaling)
-            else:
-                position_i = [None] * 3
-                toas_i = None
-            locations[i] = mpc.input(list(map(secint, position_i)),
-                                     senders=sender_pid)
-            toas[i] = mpc.input(secint(toas_i), senders=sender_pid)
-
-        x, y, z = schmidt_multilateration(secint, locations, toas)
-        x, y, z = x / scaling, y / scaling, z / scaling
-        latitude, longitude, _ = DatumTransformation.ecef_to_wgs(x, y, z)
-        altitude = row.geoAltitude  # fix altitude to reported altitude
-        d = dist(DatumTransformation.wgs_to_ecef(latitude, longitude, altitude),
-                 DatumTransformation.wgs_to_ecef(row.latitude, row.longitude,
-                                                 altitude))
-        distances[ix] = d
-        print(f'Processing {nrows} measurements from sets '
-              f'{"+".join(args.datasets)}: {round(100*(ix + 1)/nrows)}%',
-              end='\r')
+    tag = '+'.join(args.datasets)
+    total = len(frames)
+    errors = []
+    for row in frames.itertuples():
+        measurement = list(eval(row.measurements))
+        locations, toas = _sensor_inputs(measurement, sensors, scale, secint)
+        ecef = schmidt_multilateration(secint, locations, toas)
+        est_lat, est_lon, _ = ecef_to_wgs84(*(c / scale for c in ecef))
+        # compare at the aircraft's reported altitude
+        alt = row.geoAltitude
+        errors.append(dist(wgs84_to_ecef(est_lat, est_lon, alt),
+                           wgs84_to_ecef(row.latitude, row.longitude, alt)))
+        done = len(errors)
+        print(f'Processing {total} measurements from sets {tag}: '
+              f'{round(100 * done / total)}%', end='\r')
     print()
-
     mpc.run(mpc.shutdown())
 
-    distances = pd.Series(distances)
+    stats = pd.Series(errors)
     print('Location Error [m]:')
-    print(distances.describe())
-    assert distances.median() < 2000, 'median location error too large'
+    print(stats.describe())
+    assert stats.median() < 2000, 'median location error too large'
 
 
 if __name__ == '__main__':

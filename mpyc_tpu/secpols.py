@@ -44,21 +44,22 @@ class secpoly(SecureObject):
         required), a secure finite field array, or None (placeholder of
         the given shape; sectype required).
         """
-        if isinstance(value, Polynomial):
-            if sectype is None:
-                sectype = runtime.SecFld(value.p)
-            value = sectype.array(np.array(list(value), dtype=object))
+        if value is None:
+            assert shape is not None and len(shape) == 1
+            coeffs = sectype.array(shape=shape)
+        elif isinstance(value, SecureFiniteFieldArray):
+            coeffs = value
+        elif isinstance(value, Polynomial):
+            sectype = sectype or runtime.SecFld(value.p)
+            coeffs = sectype.array(np.array(list(value), dtype=object))
         elif isinstance(value, (np.ndarray, list, tuple)):
             if sectype is None:
                 raise TypeError('sectype required for plain coefficients')
-            value = sectype.array(np.asarray(value, dtype=object))
-        elif value is None:
-            assert shape is not None and len(shape) == 1
-            value = sectype.array(shape=shape)
-        elif not isinstance(value, SecureFiniteFieldArray):
-            raise TypeError('None, polynomial, int array, or secure field array required')
-
-        super().__init__(value)
+            coeffs = sectype.array(np.asarray(value, dtype=object))
+        else:
+            raise TypeError(
+                'None, polynomial, int array, or secure field array required')
+        super().__init__(coeffs)
         if self.sectype is None:
             raise ValueError('sectype missing')
 
@@ -71,12 +72,11 @@ class secpoly(SecureObject):
         self.share.set_share(value.share)
 
     def _coerce(self, other):
-        if not isinstance(other, secpoly):
-            other = secpoly(other, self.sectype)
-        elif self.sectype != other.sectype:
-            raise TypeError('inconsistent sectypes')
-
-        return other
+        if isinstance(other, secpoly):
+            if self.sectype != other.sectype:
+                raise TypeError('inconsistent sectypes')
+            return other
+        return secpoly(other, self.sectype)
 
     # -- ring operations (on secure arrays) --------------------------------
 
@@ -114,44 +114,6 @@ class secpoly(SecureObject):
     def __pos__(self):
         return secpoly(self.share)
 
-    def __add__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._add(self.share, other.share))
-
-    __radd__ = __add__
-
-    def __sub__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._sub(self.share, other.share))
-
-    def __rsub__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._sub(other.share, self.share))
-
-    def __mul__(self, other):
-        if isinstance(other, (int, sectypes.SecureNumber)):
-            return secpoly(self.share * other)
-
-        other = self._coerce(other)
-        return secpoly(secpoly._mul(self.share, other.share))
-
-    __rmul__ = __mul__
-
-    @staticmethod
-    def add(a, b):
-        """Add polynomials a and b of secret degree."""
-        return secpoly(secpoly._add(a.share, b.share))
-
-    @staticmethod
-    def sub(a, b):
-        """Subtract polynomial b from a, degrees secret."""
-        return secpoly(secpoly._sub(a.share, b.share))
-
-    @staticmethod
-    def mul(a, b):
-        """Multiply polynomials a and b of secret degree."""
-        return secpoly(secpoly._mul(a.share, b.share))
-
     # -- selection ---------------------------------------------------------
 
     @staticmethod
@@ -162,23 +124,12 @@ class secpoly(SecureObject):
         return secpoly._add(c * secpoly._sub(a, b), b)
 
     @staticmethod
-    def if_else(c, a, b):
-        """Secure selection between polynomials a and b by condition c."""
-        return secpoly(secpoly._if_else(c, a.share, b.share))
-
-    @staticmethod
     def _if_swap(c, a, b):
         if len(a) == len(b):
             return runtime.np_if_swap(c, a, b)
 
         d = c * secpoly._sub(a, b)
         return secpoly._sub(a, d), secpoly._add(b, d)
-
-    @staticmethod
-    def if_swap(c, a, b):
-        """Secure conditional swap of polynomials a and b by condition c."""
-        a, b = secpoly._if_swap(c, a.share, b.share)
-        return secpoly(a), secpoly(b)
 
     # -- indexing / shifts / truncation ------------------------------------
 
@@ -364,39 +315,6 @@ class secpoly(SecureObject):
         q = secpoly._div(a, b)
         return secpoly._sub(a, secpoly._mul(q, b))[:len(b) - 1]
 
-    def __floordiv__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._div(self.share, other.share))
-
-    def __rfloordiv__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._div(other.share, self.share))
-
-    def __mod__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._mod(self.share, other.share))
-
-    def __rmod__(self, other):
-        other = self._coerce(other)
-        return secpoly(secpoly._mod(other.share, self.share))
-
-    def __divmod__(self, other):
-        other = self._coerce(other)
-        a, b = self.share, other.share
-        q = secpoly._div(a, b)
-        return secpoly(q), secpoly(secpoly._sub(a, secpoly._mul(q, b))[:len(b) - 1])
-
-    def __rdivmod__(self, other):
-        other = self._coerce(other)
-        a, b = other.share, self.share
-        q = secpoly._div(a, b)
-        return secpoly(q), secpoly(secpoly._sub(a, secpoly._mul(q, b))[:len(b) - 1])
-
-    @staticmethod
-    def mod(a, b):
-        """Reduce polynomial a modulo nonzero polynomial b."""
-        return secpoly(secpoly._mod(a.share, b.share))
-
     # -- modular powers ----------------------------------------------------
 
     @staticmethod
@@ -535,11 +453,6 @@ class secpoly(SecureObject):
         return secpoly._gcdext(a, b)[1]
 
     @staticmethod
-    def gcd(a, b):
-        """Greatest common divisor of polynomials a and b."""
-        return secpoly(secpoly._gcd(a.share, b.share))
-
-    @staticmethod
     def gcdext(a, b):
         """Extended GCD: (g, u, v) with g = gcd(a, b) = u*a + v*b."""
         f, u, v = secpoly._gcdext(a.share, b.share)
@@ -582,22 +495,6 @@ class secpoly(SecureObject):
         secint = runtime.SecInt(l=secfld.field.order.bit_length() + 2)
         av, bv = runtime.convert([av, bv], secint)
         return runtime.convert(av < bv, secfld)
-
-    def __lt__(self, other):
-        other = self._coerce(other)
-        return secpoly._lt(self.share, other.share)
-
-    def __le__(self, other):
-        other = self._coerce(other)
-        return 1 - secpoly._lt(other.share, self.share)
-
-    def __gt__(self, other):
-        other = self._coerce(other)
-        return secpoly._lt(other.share, self.share)
-
-    def __ge__(self, other):
-        other = self._coerce(other)
-        return 1 - secpoly._lt(self.share, other.share)
 
     def __eq__(self, other):
         other = self._coerce(other)
@@ -650,3 +547,86 @@ class secpoly(SecureObject):
             else:
                 out.append(poly([int(c) for c in y.value.tolist()]))
         return out
+
+
+# ---------------------------------------------------------------------------
+# generated operator / wrapper surface
+#
+# The protocol code above works on raw secure coefficient arrays; the
+# public dunders and named helpers are stamped out from the tables below
+# (forward + reflected variants share one factory).
+# ---------------------------------------------------------------------------
+
+def _poly_binop(impl, post, swapped):
+    def op(self, other):
+        other = self._coerce(other)
+        a, b = (other.share, self.share) if swapped \
+            else (self.share, other.share)
+        return post(impl(a, b))
+    return op
+
+
+def _qr(a, b):
+    """(quotient, remainder) pair on raw coefficient arrays."""
+    q = secpoly._div(a, b)
+    rem = secpoly._sub(a, secpoly._mul(q, b))[:len(b) - 1]
+    return secpoly(q), secpoly(rem)
+
+
+def _mul_op(self, other):
+    if isinstance(other, (int, sectypes.SecureNumber)):
+        return secpoly(self.share * other)           # scalar scaling
+    other = self._coerce(other)
+    return secpoly(secpoly._mul(self.share, other.share))
+
+
+def _install_surface():
+    ident = lambda r: r                              # noqa: E731
+    complement = lambda r: 1 - r                     # noqa: E731
+    dunders = {
+        '__add__': (secpoly._add, secpoly, False),
+        '__radd__': (secpoly._add, secpoly, False),
+        '__sub__': (secpoly._sub, secpoly, False),
+        '__rsub__': (secpoly._sub, secpoly, True),
+        '__floordiv__': (secpoly._div, secpoly, False),
+        '__rfloordiv__': (secpoly._div, secpoly, True),
+        '__mod__': (secpoly._mod, secpoly, False),
+        '__rmod__': (secpoly._mod, secpoly, True),
+        '__divmod__': (_qr, ident, False),
+        '__rdivmod__': (_qr, ident, True),
+        '__lt__': (secpoly._lt, ident, False),
+        '__gt__': (secpoly._lt, ident, True),
+        '__le__': (secpoly._lt, complement, True),
+        '__ge__': (secpoly._lt, complement, False),
+    }
+    for name, (impl, post, swapped) in dunders.items():
+        setattr(secpoly, name, _poly_binop(impl, post, swapped))
+    secpoly.__mul__ = _mul_op
+    secpoly.__rmul__ = _mul_op
+
+    def named(impl, doc):
+        def op(a, b):
+            return secpoly(impl(a.share, b.share))
+        op.__doc__ = doc
+        return staticmethod(op)
+
+    secpoly.add = named(secpoly._add, 'Add polynomials a and b of secret degree.')
+    secpoly.sub = named(secpoly._sub, 'Subtract polynomial b from a, degrees secret.')
+    secpoly.mul = named(secpoly._mul, 'Multiply polynomials a and b of secret degree.')
+    secpoly.mod = named(secpoly._mod, 'Reduce polynomial a modulo nonzero polynomial b.')
+    secpoly.gcd = named(secpoly._gcd, 'Greatest common divisor of polynomials a and b.')
+
+    def if_else(c, a, b):
+        """Secure selection between polynomials a and b by condition c."""
+        return secpoly(secpoly._if_else(c, a.share, b.share))
+
+    def if_swap(c, a, b):
+        """Secure conditional swap of polynomials a and b by condition c."""
+        x, y = secpoly._if_swap(c, a.share, b.share)
+        return secpoly(x), secpoly(y)
+
+    secpoly.if_else = staticmethod(if_else)
+    secpoly.if_swap = staticmethod(if_swap)
+
+
+_install_surface()
