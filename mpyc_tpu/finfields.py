@@ -20,8 +20,8 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils import lazyjax as _lazyjax
+from mpyc_tpu.utils.lazyjax import jax, jnp
 
 from mpyc_tpu import gmpy as gmpy2
 from mpyc_tpu import gfpx
@@ -655,7 +655,8 @@ class FiniteFieldArray:
 
     def __init__(self, value, _internal=False, check=True):
         if _internal:
-            self._data = value if isinstance(value, (jax.Array, np.ndarray)) \
+            self._data = value if isinstance(value, np.ndarray) \
+                or _lazyjax.is_jax_array(value) \
                 else jnp.asarray(value)
             return
         if not check and isinstance(value, np.ndarray) and \
@@ -667,9 +668,11 @@ class FiniteFieldArray:
         enc = self._encode(value)
         # tiny arrays stay host-side (numpy): the elementwise kernels have a
         # bit-identical host fast path, so no device_put is needed until a
-        # genuinely large op lifts the data
-        self._data = enc if isinstance(enc, np.ndarray) and enc.size <= 256 \
-            else jnp.asarray(enc)
+        # genuinely large op lifts the data. While jax has not been
+        # imported at all (host-only scalar plane), EVERY array stays host:
+        # a single device_put would cost the whole jax import.
+        self._data = enc if isinstance(enc, np.ndarray) and \
+            (enc.size <= 256 or not _lazyjax.loaded()) else jnp.asarray(enc)
 
     # -- construction ----------------------------------------------------
 
@@ -1241,10 +1244,12 @@ class FiniteFieldArray:
 
 
 def _as_pytree(cls):
-    jax.tree_util.register_pytree_node(
+    # deferred: registering a pytree node needs jax, which the host-only
+    # scalar plane never imports (utils/lazyjax.py)
+    _lazyjax.on_jax_load(lambda: jax.tree_util.register_pytree_node(
         cls,
         lambda a: ((a._data,), None),
-        lambda aux, ch: cls.from_data(ch[0]))
+        lambda aux, ch: cls.from_data(ch[0])))
     return cls
 
 
@@ -1261,7 +1266,7 @@ class PrimeFieldArray(FiniteFieldArray):
         ctx = cls.ctx
         if isinstance(value, FiniteFieldArray):
             return value._data
-        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+        if _lazyjax.is_jax_array(value) and value.dtype == np.uint32:
             # raw limbs passed explicitly; must already be Montgomery form
             return value
         if isinstance(value, np.ndarray) and value.dtype != object and \
@@ -1539,7 +1544,7 @@ class BinaryFieldArray(FiniteFieldArray):
     def _encode(cls, value):
         if isinstance(value, FiniteFieldArray):
             return value._data
-        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+        if _lazyjax.is_jax_array(value) and value.dtype == np.uint32:
             return value
         arr = np.asarray(value, dtype=object)
         if arr.size and isinstance(arr.reshape(-1)[0], FiniteFieldElement):
@@ -1672,7 +1677,7 @@ class ExtensionFieldArray(FiniteFieldArray):
     def _encode(cls, value):
         if isinstance(value, FiniteFieldArray):
             return value._data
-        if isinstance(value, (jnp.ndarray, jax.Array)) and value.dtype == jnp.uint32:
+        if _lazyjax.is_jax_array(value) and value.dtype == np.uint32:
             return value
         arr = np.asarray(value, dtype=object)
         conv = np.vectorize(

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from mpyc_tpu import finfields, thresha
+from mpyc_tpu.utils.lazyjax import flush_on_load as _flush_jax
+_flush_jax()  # this module imports jax directly: run deferred registrations
 from mpyc_tpu.ops import keccak, limb
 from mpyc_tpu.ops import rng as rng_mod
 from mpyc_tpu.ops.fieldops import prime_field_ctx

@@ -17,8 +17,8 @@ import functools
 import os as _os
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils import lazyjax as _lazyjax
+from mpyc_tpu.utils.lazyjax import jax, jnp
 
 # Host fast-path cutoffs (see ops/fieldops.py): Python-int/numpy twins of
 # the kernels serve tiny batches where jax dispatch dominates; vectorized
@@ -42,7 +42,7 @@ def _host_resident(arrays) -> bool:
                or np.isscalar(a) or not hasattr(a, 'devices')
                for a in arrays)
 
-U32 = jnp.uint32
+U32 = np.uint32
 
 
 @functools.cache
@@ -73,15 +73,24 @@ class BinaryFieldCtx:
         self._jit_cache = {}
 
     def _jit(self, name, fn):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+        """Deferred jit: jits on first call (keeps kernel construction
+        jax-free on the host-only scalar plane, utils/lazyjax.py)."""
+        wrapper = self._jit_cache.get(name)
+        if wrapper is None:
+            real_key = name + '/jitted'
+
+            def wrapper(*args, _rk=real_key, _fn=fn):
+                real = self._jit_cache.get(_rk)
+                if real is None:
+                    real = jax.jit(_fn)
+                    self._jit_cache[_rk] = real
+                return real(*args)
+            self._jit_cache[name] = wrapper
+        return wrapper
 
     def _ew(self, name, fn, nargs):
         """Elementwise kernel with flatten+pad-to-pow2 shape bucketing."""
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        jf = self._jit_cache[name]
+        jf = self._jit(name, fn)
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
         # all binary host kernels are numpy-vectorized (no per-element
         # Python), so the large cutoff applies across the board; only the
@@ -99,7 +108,7 @@ class BinaryFieldCtx:
             for s in batch:
                 n *= int(s)
             if host_fn is not None and 0 < n <= host_lim and \
-                    not any(isinstance(a, jax.core.Tracer) for a in arrays) \
+                    not any(_lazyjax.is_tracer(a) for a in arrays) \
                     and _host_resident(arrays):
                 out = host_fn([np.asarray(a, dtype=np.uint32)
                                for a in arrays])
@@ -323,7 +332,7 @@ class BinaryFieldCtx:
             for s in a.shape[:-1]:
                 work *= int(s)
             work *= int(b.shape[-1]) if b.ndim else 1
-            tracers = any(isinstance(x, jax.core.Tracer) for x in (a, b))
+            tracers = any(_lazyjax.is_tracer(x) for x in (a, b))
             host_res = _host_resident((a, b))
             if _HOST_N and not tracers and host_res and self.d == 1 and \
                     work * a.shape[-1] <= 1 << 22:

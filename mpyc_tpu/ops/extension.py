@@ -15,8 +15,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils.lazyjax import jax, jnp
 
 from mpyc_tpu.ops import limb
 from mpyc_tpu.ops.fieldops import prime_field_ctx
@@ -59,9 +58,20 @@ class ExtFieldCtx:
         self._jit_cache = {}
 
     def _jit(self, name, fn):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+        """Deferred jit: jits on first call (keeps kernel construction
+        jax-free on the host-only scalar plane, utils/lazyjax.py)."""
+        wrapper = self._jit_cache.get(name)
+        if wrapper is None:
+            real_key = name + '/jitted'
+
+            def wrapper(*args, _rk=real_key, _fn=fn):
+                real = self._jit_cache.get(_rk)
+                if real is None:
+                    real = jax.jit(_fn)
+                    self._jit_cache[_rk] = real
+                return real(*args)
+            self._jit_cache[name] = wrapper
+        return wrapper
 
     # data: (..., d, L) uint32 Montgomery-form coefficients
 

@@ -17,8 +17,8 @@ import functools
 import weakref
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils import lazyjax as _lazyjax
+from mpyc_tpu.utils.lazyjax import jax, jnp
 
 from mpyc_tpu import gmpy
 from mpyc_tpu.ops import limb
@@ -33,9 +33,16 @@ _ON_CPU = None
 
 
 def _cpu_backend() -> bool:
-    """True when jax's default backend is the host CPU (lazy probe)."""
+    """True when jax's default backend is the host CPU (lazy probe).
+
+    Before jax has been imported at all (host-only scalar plane), report
+    True WITHOUT importing it — the host kernels are the fast path there,
+    and the answer is re-probed once jax actually loads."""
     global _ON_CPU
     if _ON_CPU is None:
+        import sys
+        if 'jax' not in sys.modules:
+            return True
         try:
             _ON_CPU = jax.default_backend() == 'cpu'
         except Exception:
@@ -109,9 +116,20 @@ class PrimeFieldCtx:
     # -- cached jitted kernels ----------------------------------------------
 
     def _jit(self, name, fn, **jit_kwargs):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn, **jit_kwargs)
-        return self._jit_cache[name]
+        """Deferred jit: the wrapper jits on first call, so constructing a
+        kernel never imports jax (host-only scalar plane, lazyjax)."""
+        wrapper = self._jit_cache.get(name)
+        if wrapper is None:
+            real_key = name + '/jitted'
+
+            def wrapper(*args, _rk=real_key, _fn=fn, **kw):
+                real = self._jit_cache.get(_rk)
+                if real is None:
+                    real = jax.jit(_fn, **jit_kwargs)
+                    self._jit_cache[_rk] = real
+                return real(*args, **kw)
+            self._jit_cache[name] = wrapper
+        return wrapper
 
     def _ew(self, name, fn, in_elem, out_batchdims_like=0):
         """Elementwise kernel dispatcher.
@@ -126,9 +144,7 @@ class PrimeFieldCtx:
         in_elem: per-argument count of trailing element axes (e.g. 1 for
         (..., L) Montgomery operands).
         """
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        jf = self._jit_cache[name]
+        jf = self._jit(name, fn)
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
         host_lim = _HOST_N
         if host_fn is not None and not _os.getenv('MPYC_TPU_NOHOSTOPS'):
@@ -150,7 +166,7 @@ class PrimeFieldCtx:
             n = 1
             for s in batch:
                 n *= int(s)
-            tracing = any(isinstance(a, jax.core.Tracer) for a in arrays)
+            tracing = any(_lazyjax.is_tracer(a) for a in arrays)
             if host_fn is not None and 0 < n <= host_lim and not tracing \
                     and (_cpu_backend()
                          or all(isinstance(a, np.ndarray)
@@ -572,7 +588,7 @@ class PrimeFieldCtx:
 
         def call(a):
             if a.size <= 4096 * self.L and _cpu_backend() and \
-                    not isinstance(a, jax.core.Tracer):
+                    not _lazyjax.is_tracer(a):
                 ints = self._mont_ints(np.asarray(a)).reshape(a.shape[:-1])
                 return self._mont_out(
                     (int(v) % self.p for v in ints.sum(axis=0).reshape(-1)),
@@ -628,8 +644,8 @@ class PrimeFieldCtx:
             work = int(np.prod(a.shape[:-1], dtype=np.int64)) * \
                 int(b.shape[-2])
             if 0 < work <= 4096 and _cpu_backend() and \
-                    not isinstance(a, jax.core.Tracer) and \
-                    not isinstance(b, jax.core.Tracer):
+                    not _lazyjax.is_tracer(a) and \
+                    not _lazyjax.is_tracer(b):
                 # tiny protocol matmuls: object-int contraction on the
                 # host; Montgomery linearity folds the R^-1 once per entry
                 p, Rinv = self.p, self.Rinv

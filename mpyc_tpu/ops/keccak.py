@@ -19,10 +19,9 @@ import functools
 from hashlib import shake_128
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils.lazyjax import jax, jnp, jit as _lazy_jit
 
-U32 = jnp.uint32
+U32 = np.uint32
 
 RATE = 168  # shake128 rate in bytes (1344 bits); 21 lanes
 N_LANES = 25
@@ -168,7 +167,7 @@ def _absorb_host(data: bytes):
     return hi, lo
 
 
-@jax.jit
+@_lazy_jit
 def _keccak_f_state(state):
     """keccak_f on a (2, 25) scalar state (hi row 0, lo row 1)."""
     hi, lo = keccak_f([state[0, i] for i in range(N_LANES)],
@@ -176,7 +175,7 @@ def _keccak_f_state(state):
     return jnp.stack([jnp.stack(hi), jnp.stack(lo)])
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(_lazy_jit, static_argnums=(1, 2, 3))
 def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int,
                  base: int = 0):
     """Counter-mode parallel squeeze.
@@ -212,7 +211,7 @@ def _squeeze_ctr(state_words, n_instances: int, ctr_lane: int,
     return jnp.stack(words, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(_lazy_jit, static_argnums=(1, 2, 3))
 def _squeeze_ctr_pallas(state_words, n_instances: int, ctr_lane: int,
                         base: int = 0):
     """Counter-mode squeeze as a Pallas TPU kernel.
@@ -353,6 +352,9 @@ _PALLAS_OK = None
 def _pallas_available():
     global _PALLAS_OK
     if _PALLAS_OK is None:
+        import sys
+        if 'jax' not in sys.modules:
+            return False        # host-only plane: don't force the import
         try:
             _PALLAS_OK = jax.default_backend() not in ('cpu',)
         except Exception:
@@ -402,7 +404,7 @@ def shake128_ctr_blocks(prefix: bytes, n_instances: int):
     return out[:n_instances]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(_lazy_jit, static_argnums=(1,))
 def _squeeze_seq(state_words, n_blocks: int):
     """Sequential squeeze of n_blocks rate-blocks (bit-exact hashlib stream).
 

@@ -26,10 +26,9 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax.numpy as jnp
-from jax import lax
+from mpyc_tpu.utils.lazyjax import jnp, lax
 
-U32 = jnp.uint32
+U32 = np.uint32
 _MASK16 = np.uint32(0xFFFF)
 
 

@@ -20,8 +20,7 @@ import functools
 import secrets
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+from mpyc_tpu.utils.lazyjax import jax, jnp
 
 from mpyc_tpu.ops import keccak
 from mpyc_tpu.ops.fieldops import prime_field_ctx

@@ -31,6 +31,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mpyc_tpu import sectypes, thresha
+from mpyc_tpu.utils.lazyjax import flush_on_load as _flush_jax
+_flush_jax()  # this module imports jax directly: run deferred registrations
 from mpyc_tpu.runtime import Runtime, Party, _concat_field
 
 

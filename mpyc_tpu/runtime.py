@@ -31,7 +31,8 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
+from mpyc_tpu.utils import lazyjax as _lazyjax
+from mpyc_tpu.utils.lazyjax import jnp
 
 from mpyc_tpu import finfields, gfpx, sectypes, thresha
 from mpyc_tpu import asyncoro
@@ -2526,9 +2527,10 @@ class Runtime:
             e_last = self._logical_reshape(s_sign - 1 + total * 3, (n, 1))
             E = _concat_axis(Zp, [e_bits, e_last], -1)       # (P?, n, l+1)
             prod_e = self._prod_last_axis(E)
-            g = self._is_zero_public_dev(prod_e)     # bool device (n,)
+            g = self._is_zero_public_dev(prod_e)     # bool (n,) host/device
+            xp = jnp if _lazyjax.is_jax_array(g) else np
             g_pm = Zp.array.from_uint32(
-                jnp.where(g, jnp.uint32(1), jnp.uint32(0)))  # 0/1 public
+                xp.where(g, xp.uint32(1), xp.uint32(0)))     # 0/1 public
             # h = 3 + s - 2*g*s
             h = s_sign - (s_sign * g_pm) * 2 + 3
             z = (z + (h << (l - 1))) >> l
@@ -3459,7 +3461,8 @@ class Runtime:
     def _as_array(self, stype, a, n):
         sh = self._share(a)
         lead = sh.shape[:self._pax]
-        data = jnp.broadcast_to(
+        xp = np if isinstance(sh.data, np.ndarray) else jnp
+        data = xp.broadcast_to(
             sh.data.reshape(lead + (1,) + sh.data.shape[len(lead):]),
             lead + (n,) + sh.data.shape[len(lead):])
         res = self._wrap(stype, sh.from_data(data), array=True,
@@ -4171,7 +4174,7 @@ def _field_det_public(field, arr):
 
 def _concat_field(field, arrays):
     """Concatenate 1-D field arrays (numpy-aware: host data stays host)."""
-    import jax.numpy as jnp
+    from mpyc_tpu.utils.lazyjax import jnp
     datas = [a.data for a in arrays]
     xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp
     return field.array.from_data(xp.concatenate(datas, axis=0))
@@ -4179,7 +4182,7 @@ def _concat_field(field, arrays):
 
 def _concat_axis(field, arrays, axis):
     """Concatenate field arrays along a logical axis (negative = from end)."""
-    import jax.numpy as jnp
+    from mpyc_tpu.utils.lazyjax import jnp
     datas = [a.data for a in arrays]
     nd_elem = field.array._elem_ndim
     ax = axis if axis >= 0 else axis - nd_elem
@@ -4383,12 +4386,17 @@ def setup(argv=None):
         # batched TPU plane, where whole protocol rounds compile into one
         # program (models/pipelines.py make_reshare_step) and the tunnel
         # round trip amortizes over the batch. Set MPYC_TPU_PARTY_DEVICE=tpu
-        # to override here.
-        import jax
-        try:
-            jax.config.update('jax_platforms', 'cpu')
-        except Exception:
-            pass
+        # to override here. When jax has not even been imported yet (the
+        # host-only scalar plane is jax-free, utils/lazyjax.py), pin the
+        # platform via the environment instead of forcing the import.
+        if 'jax' in sys.modules:
+            import jax
+            try:
+                jax.config.update('jax_platforms', 'cpu')
+            except Exception:
+                pass
+        else:
+            os.environ['JAX_PLATFORMS'] = 'cpu'
     elif os.getenv('MPYC_TPU_PARTY_DEVICE') == 'tpu':
         import mpyc_tpu
         mpyc_tpu.enable_compile_cache(probe_backend=False)

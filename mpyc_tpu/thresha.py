@@ -22,7 +22,7 @@ from math import prod
 import secrets
 
 import numpy as np
-import jax.numpy as jnp
+from mpyc_tpu.utils.lazyjax import jnp
 
 from mpyc_tpu.ops import keccak, rng as rng_mod
 from mpyc_tpu.ops.fieldops import prime_field_ctx
