@@ -115,7 +115,25 @@ def _xp(*arrays):
 
 def _pair_broadcast(ad, bd):
     """Broadcast two data arrays to a common shape, staying in numpy when
-    both operands are host-side (so the kernels' host fast path applies)."""
+    both operands are host-side (so the kernels' host fast path applies).
+
+    Mixed host representations (object rep (..., 1) vs uint32 limbs
+    (..., L), see fieldops._mont_out) are unified first — broadcasting
+    the element axis across representations would corrupt values."""
+    a_obj = getattr(ad, 'dtype', None) == object
+    b_obj = getattr(bd, 'dtype', None) == object
+    if a_obj != b_obj:
+        from mpyc_tpu.ops import limb as _limb
+        if a_obj:
+            if isinstance(bd, np.ndarray):
+                bd = _limb.limbs_to_ints(bd)[..., None]
+            else:
+                ad = _limb.ints_to_limbs(ad[..., 0], bd.shape[-1])
+        else:
+            if isinstance(ad, np.ndarray):
+                ad = _limb.limbs_to_ints(ad)[..., None]
+            else:
+                bd = _limb.ints_to_limbs(bd[..., 0], ad.shape[-1])
     if ad.shape == bd.shape:
         return ad, bd
     shape = np.broadcast_shapes(ad.shape, bd.shape)

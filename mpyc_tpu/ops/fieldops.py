@@ -100,11 +100,17 @@ class PrimeFieldCtx:
             enc = np.empty(flat.shape[0], dtype=object)
             for i in range(flat.shape[0]):
                 enc[i] = (int(flat[i]) % p) * R % p
+        if not _lazyjax.loaded():
+            return enc.reshape(arr.shape + (1,)).astype(object)
         return limb.ints_to_limbs(enc, self.L).reshape(arr.shape + (self.L,))
 
     def decode_ints(self, mont) -> np.ndarray:
-        """(..., L) uint32 Mont -> object ndarray of ints in [0, p)."""
-        vals = limb.limbs_to_ints(np.asarray(mont))
+        """Host Montgomery data (limbs or object rep) -> ints in [0, p)."""
+        mont = np.asarray(mont)
+        if mont.dtype == object:
+            vals = mont[..., 0]
+        else:
+            vals = limb.limbs_to_ints(mont)
         p, Rinv = self.p, self.Rinv
         flat = vals.reshape(-1)
         return (flat * Rinv % p).reshape(vals.shape)
@@ -178,6 +184,8 @@ class PrimeFieldCtx:
                 # TPU tunnel, nor under an enclosing jit trace
                 out = host_fn([np.asarray(a) for a in arrays])
                 return out  # numpy result: stays on the host
+            arrays = tuple(self.pack_limbs(a) if getattr(a, 'dtype', None)
+                           == object else a for a in arrays)
             if not tracing and _cpu_backend():
                 # CPU backend: flatten + pad to a power of two so one XLA
                 # compilation serves a whole bucket of protocol shapes
@@ -220,7 +228,13 @@ class PrimeFieldCtx:
         self._host_ints[key] = (wr, ints)
 
     def _mont_ints(self, a):
-        """(..., L) uint32 -> flat object array of Montgomery-domain ints."""
+        """Host Montgomery data -> flat object array of Montgomery ints.
+
+        Accepts both representations: (..., L) uint32 limbs, and the
+        jax-free plane's object rep (..., 1) of Python ints (see
+        _mont_out) — the latter is a free view."""
+        if a.dtype == object:
+            return a.reshape(-1)
         hit = self._host_ints.get(id(a))
         if hit is not None and hit[0]() is a:
             return hit[1]
@@ -229,13 +243,35 @@ class PrimeFieldCtx:
         return ints
 
     def _mont_out(self, vals, shape):
-        """Iterable/ndarray of Montgomery-domain ints -> (shape, L) uint32."""
+        """Iterable/ndarray of Montgomery-domain ints -> host field data.
+
+        While jax is not loaded (host-only scalar plane), the result is
+        the OBJECT representation: shape (*shape, 1) object ndarray whose
+        single trailing slot holds the Montgomery int — chained host ops
+        then skip the ints->limbs->ints packing entirely (measured: the
+        packing was ~40% of scalar protocol time). Once jax is loaded the
+        canonical (*shape, L) uint32 limb form is produced so device
+        paths see uint32 data."""
         if isinstance(vals, np.ndarray):
             arr = vals
         else:
             arr = np.array(list(vals), dtype=object)
+        if not _lazyjax.loaded():
+            if arr.dtype != object:
+                arr = arr.astype(object)
+            return arr.reshape(shape + (1,))
         out = limb.ints_to_limbs(arr, self.L).reshape(shape + (self.L,))
         self._cache_host_ints(out, arr.reshape(-1))
+        return out
+
+    def pack_limbs(self, a):
+        """Object-rep host data -> canonical (..., L) uint32 limbs."""
+        if a.dtype != object:
+            return a
+        ints = a.reshape(-1)
+        out = limb.ints_to_limbs(ints, self.L).reshape(
+            a.shape[:-1] + (self.L,))
+        self._cache_host_ints(out, ints)
         return out
 
     def _host_kernel(self, name):

@@ -69,8 +69,13 @@ def ints_to_limbs(xs, L: int) -> np.ndarray:
 
 
 def limbs_to_ints(v) -> np.ndarray:
-    """(..., L) uint32 -> object ndarray of ints (host-side)."""
+    """(..., L) uint32 -> object ndarray of ints (host-side).
+
+    Also accepts the jax-free plane's object representation (..., 1)
+    of Python ints (fieldops._mont_out), where decoding is a view."""
     v = np.asarray(v)
+    if v.dtype == object:
+        return v[..., 0]
     L = v.shape[-1]
     if L == 1:
         return v[..., 0].astype(object)

@@ -214,7 +214,7 @@ def np_random_split(field, s, t, m, rng=None):
         # host-int fast path: all m Horner rows fused into one int pass
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
-        s_mont = ctx._mont_ints(np.asarray(s.data).reshape((n, ctx.L)))
+        s_mont = ctx._mont_ints(np.asarray(s.data).reshape((n, -1)))
         coefs = rng.field_uniform_mont_ints(ctx, t * n).reshape(t, n)
         rows = []
         for i in range(1, m + 1):
@@ -223,7 +223,7 @@ def np_random_split(field, s, t, m, rng=None):
                 y = (y + coefs[k]) * i
             rows.append((y + s_mont) % p)
         mont = ctx._mont_out(np.concatenate(rows), (m, n))
-        return acls.from_data(mont.reshape((m,) + tuple(s.shape) + (ctx.L,)))
+        return acls.from_data(mont.reshape((m,) + tuple(s.shape) + mont.shape[-1:]))
     coefs = rng.field_uniform(field, (t,) + shape)
     rows = []
     for i in range(1, m + 1):
@@ -258,7 +258,7 @@ def np_recombine(field, points, x_rs=0):
         # host-int fast path: one fused Lagrange dot per evaluation point
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
-        mis = [ctx._mont_ints(np.asarray(sh.data).reshape((n, ctx.L)))
+        mis = [ctx._mont_ints(np.asarray(sh.data).reshape((n, -1)))
                for sh in shares]
         outs = []
         for x_r in x_rs:
@@ -268,7 +268,7 @@ def np_recombine(field, points, x_rs=0):
                 acc = acc + c * mi
             mont = ctx._mont_out(acc % p, (n,))
             outs.append(acls.from_data(
-                mont.reshape(tuple(shares[0].shape) + (ctx.L,))))
+                mont.reshape(tuple(shares[0].shape) + mont.shape[-1:])))
         return outs[0] if single else outs
     outs = []
     for x_r in x_rs:
@@ -344,7 +344,8 @@ class DevicePRF:
             # Montgomery int views seeded so downstream host-plane ops
             # never decode limbs. Bit-identical with the device reduction.
             mont = ctx._mont_out(self._host_mont_vals(ctx, s, n, l), (n,))
-            return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+            return field.array.from_data(
+                mont.reshape(tuple(shape) + mont.shape[-1:]))
         blocks = keccak.shake128_ctr_blocks(
             self.key + s, max(rng_mod.blocks_needed(n, l), 1))
         wide = rng_mod.words_to_elements(blocks, n, l, ctx.L)
