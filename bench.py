@@ -246,6 +246,55 @@ def bench_secure_cmp():
     return n / dt, None
 
 
+def bench_party_plane():
+    """Deployment-plane secure mul ops/s: 3 real localhost TCP processes
+    (the reference's trust model, mpyc/runtime.py:5156-5193), via
+    tools/bench_party.py. Runs on the host CPU plane — local parties
+    share this host's cores, so this measures protocol+transport, not
+    the TPU."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, 'tools', 'bench_party.py'),
+         '-M3', '-n', '18'],
+        capture_output=True, text=True, timeout=280)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith('{'):
+            return json.loads(line)
+    raise RuntimeError(f'no result line: {out.stdout[-200:]}'
+                       f' {out.stderr[-200:]}')
+
+
+def bench_scaling_rows():
+    """Batch-axis scaling rows (parallel/scaling.py).
+
+    On this 1-chip environment: the real-TPU single-device row, plus the
+    8-virtual-CPU-device partition-validation rows (marked virtual: the
+    virtual devices share physical cores, so efficiency there only
+    proves the sharded program compiles and runs)."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = []
+    if jax.default_backend() not in ('cpu',):
+        from mpyc_tpu.parallel import scaling
+        for r in scaling.measure(dev_counts=[1], n_per_device=1 << 20,
+                                 iters=10):
+            r['virtual'] = False
+            rows.append(r)
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS=(os.environ.get('XLA_FLAGS', '')
+                          + ' --xla_force_host_platform_device_count=8'))
+    out = subprocess.run(
+        [sys.executable, '-m', 'mpyc_tpu.parallel.scaling', str(1 << 14)],
+        capture_output=True, text=True, timeout=280, env=env, cwd=here)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith('{'):
+            rows.append(json.loads(line))
+    return rows
+
+
 def main():
     mul_ops, err = bench_secure_mul()
     sr_ops, err2 = (None, None)
@@ -284,6 +333,15 @@ def main():
             out["secure_cmp_error"] = err4
     except Exception as e:
         out["secure_cmp_error"] = str(e)
+    try:
+        party = bench_party_plane()
+        out["party_plane_mul_m3_ops_s"] = party['party_plane_mul_ops_s']
+    except Exception as e:
+        out["party_plane_error"] = str(e)[:200]
+    try:
+        out["scaling_rows"] = bench_scaling_rows()
+    except Exception as e:
+        out["scaling_error"] = str(e)[:200]
     print(json.dumps(out))
 
 

@@ -673,9 +673,14 @@ class FiniteFieldArray:
 
     def __init__(self, value, _internal=False, check=True):
         if _internal:
-            self._data = value if isinstance(value, np.ndarray) \
-                or _lazyjax.is_jax_array(value) \
-                else jnp.asarray(value)
+            if isinstance(value, np.ndarray) or _lazyjax.is_jax_array(value):
+                self._data = value
+            elif isinstance(value, np.generic) or not _lazyjax.loaded():
+                # numpy scalars (indexing results) and everything on the
+                # jax-free plane stay host-side
+                self._data = np.asarray(value)
+            else:
+                self._data = jnp.asarray(value)
             return
         if not check and isinstance(value, np.ndarray) and \
                 value.dtype != object:
@@ -1480,8 +1485,7 @@ class PrimeFieldArray(FiniteFieldArray):
             out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(
                 np.asarray(s, dtype=object))
             res = type(self).from_data(
-                limb.ints_to_limbs(out.reshape(-1), ctx.L).reshape(
-                    out.shape + (ctx.L,)))
+                ctx._mont_out(out.reshape(-1), out.shape))
         else:
             if axis is None:
                 d = d.reshape(-1, self.ctx.L)
@@ -1507,8 +1511,7 @@ class PrimeFieldArray(FiniteFieldArray):
             out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(
                 np.asarray(cs, dtype=object))
             return type(self).from_data(
-                limb.ints_to_limbs(out.reshape(-1), ctx.L).reshape(
-                    out.shape + (ctx.L,)))
+                ctx._mont_out(out.reshape(-1), out.shape))
         # device: Hillis-Steele doubling (log n modular adds)
         cur = self
         n = self.shape[ax]

@@ -629,7 +629,7 @@ class PrimeFieldCtx:
                 return self._mont_out(
                     (int(v) % self.p for v in ints.sum(axis=0).reshape(-1)),
                     a.shape[1:-1])
-            return jf(a)
+            return jf(self.pack_limbs(a) if a.dtype == object else a)
         return call
 
     @property
@@ -694,7 +694,8 @@ class PrimeFieldCtx:
                 return self._mont_out(
                     (int(v) * Rinv % p for v in ci.reshape(-1)),
                     ci.shape)
-            return jf(a, b)
+            return jf(self.pack_limbs(a) if a.dtype == object else a,
+                      self.pack_limbs(b) if b.dtype == object else b)
         return call
 
     def _matmul_mxu(self, a, b):

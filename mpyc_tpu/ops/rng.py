@@ -274,7 +274,8 @@ class KeccakRNG:
         blocks = self._draw_blocks(max(blocks_needed(n, l), 1))
         wide = words_to_elements(blocks, n, l, ctx.L)
         mont = ctx.reduce_chunks(wide.shape[-2])(wide)
-        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+        return field.array.from_data(
+            mont.reshape(tuple(shape) + mont.shape[-1:]))
 
     def _draw_host_bytes(self, nbytes: int):
         """nbytes of SHAKE stream as a host uint8 array (pooled refills:
@@ -385,7 +386,8 @@ class FastRNG:
             bits = bits.at[:, top_w].set(bits[:, top_w] & np.uint32((1 << (8 * rem)) - 1))
         wide = bits.reshape(n, n_chunks, ctx.L)
         mont = ctx.reduce_chunks(n_chunks)(wide)
-        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+        return field.array.from_data(
+            mont.reshape(tuple(shape) + mont.shape[-1:]))
 
     def randbits_uint32(self, shape, k: int):
         bits = jax.random.bits(self._next_key(), tuple(shape), dtype=jnp.uint32)

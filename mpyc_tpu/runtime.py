@@ -2271,8 +2271,9 @@ class Runtime:
         while True:
             U = self._np_randoms(field, n * n)
             U = self._logical_reshape(U, (n, n))
-            dd = jnp.diagonal(U.data, axis1=pax, axis2=pax + 1)
-            dd = jnp.moveaxis(dd, -1, pax)
+            xp = np if isinstance(U.data, np.ndarray) else jnp
+            dd = xp.diagonal(U.data, axis1=pax, axis2=pax + 1)
+            dd = xp.moveaxis(dd, -1, pax)
             diag_raw = U.from_data(dd)
             sel = (slice(None),) * pax
             diag = [self._wrap(sctype, diag_raw[sel + (i,)],
@@ -2284,12 +2285,13 @@ class Runtime:
 
         # share-wise triangular split: slicing shares slices the secrets
         low = np.tril(np.ones((n, n), dtype=bool), -1)
-        lowm = jnp.asarray(low).reshape(
+        xp = np if isinstance(U.data, np.ndarray) else jnp
+        lowm = xp.asarray(low).reshape(
             (1,) * pax + low.shape + (1,) * (U.data.ndim - 2 - pax))
-        zero = jnp.zeros_like(U.data)
+        zero = xp.zeros_like(U.data)
         eye = self._encode_public(sctype, np.eye(n, dtype=object))
-        L_raw = U.from_data(jnp.where(lowm, U.data, zero)) + eye
-        U_raw = U.from_data(jnp.where(lowm, zero, U.data))
+        L_raw = U.from_data(xp.where(lowm, U.data, zero)) + eye
+        U_raw = U.from_data(xp.where(lowm, zero, U.data))
         L = self._wrap(sctype, L_raw, array=True, integral=True)
         Uu = self._wrap(sctype, U_raw, array=True, integral=True)
         LUA = self.np_matmul(L, self.np_matmul(Uu, A))
@@ -2898,9 +2900,11 @@ class Runtime:
                          if i not in set(keep)]
         # assemble in order
         field_cls = field.array
-        total = jnp.zeros(parts[0][1].data.shape[:self._pax] + (n, lb)
-                          + parts[0][1].data.shape[len(parts[0][1].shape):],
-                          dtype=jnp.uint32)
+        d0 = parts[0][1].data
+        xp = np if isinstance(d0, np.ndarray) else jnp
+        total = xp.zeros(d0.shape[:self._pax] + (n, lb)
+                         + d0.shape[len(parts[0][1].shape):],
+                         dtype=d0.dtype if d0.dtype == object else np.uint32)
         assembled = field_cls.from_data(total)
         for idxs, kept in parts:
             for slot, i in enumerate(idxs):
@@ -3021,10 +3025,15 @@ class Runtime:
         r_modl = self._dot_pow2_last(r_bits)
         a_sh = self._logical_reshape(self._share(a), (n,))
         c = self.output(a_sh + r_modl)
-        c_ints = np.array([int(v) for v in
-                           np.atleast_1d(c.value.reshape(-1))])
-        c_bits = np.stack([(c_ints >> i) & 1 for i in range(l)], axis=-1)
-        c_dev = field.array(c_bits.astype(object))
+        # public bit extraction stays where the data is: packed GF(2^l)
+        # values hold bit j at 2^j, so (c >> j) & 1 IS the j-th bit as a
+        # {0,1} field element (a device pull here cost ~160 ms per call
+        # through the TPU tunnel — 12 s of a warm 17 s np_aes encrypt)
+        d = c.data.reshape((-1,))
+        xp = np if isinstance(d, np.ndarray) else jnp
+        c_bits = xp.stack([(d >> xp.uint32(i)) & xp.uint32(1)
+                           for i in range(l)], axis=-1)
+        c_dev = field.array.from_data(c_bits.astype(xp.uint32))
         out = r_bits + c_dev
         out = self._logical_reshape(out, shape + (l,))
         return self._wrap(stype, out, array=True, integral=True)

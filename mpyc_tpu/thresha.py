@@ -355,7 +355,8 @@ class DevicePRF:
         elif self.max == 1:
             wide = jnp.zeros_like(wide)
         mont = ctx.reduce_chunks(wide.shape[-2])(wide)
-        return field.array.from_data(mont.reshape(tuple(shape) + (ctx.L,)))
+        return field.array.from_data(
+            mont.reshape(tuple(shape) + mont.shape[-1:]))
 
     def _host_mont_vals(self, ctx, s: bytes, n: int, l: int):
         """PRF values as a list of Montgomery-domain Python ints.

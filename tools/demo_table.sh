@@ -1,6 +1,12 @@
 #!/bin/bash
 # Honest same-host wall-clock comparison: every common demo at -M3,
-# this framework (per-party CPU plane) vs the reference (/root/reference).
+# this framework (per-party scalar plane) vs the reference
+# (/root/reference), in a CLEAN environment: PYTHONPATH is stripped for
+# both sides, so neither pays this container's jax sitecustomize preload
+# (~2 s/process) — the repo's scalar plane is jax-free (utils/lazyjax.py)
+# and the reference never imports jax, so this matches what a user's
+# machine would measure. The reference gets /root/reference on its path
+# (its package location), nothing else.
 # Usage: tools/demo_table.sh [out.tsv]
 OUT=${1:-/tmp/demo_table.tsv}
 : > "$OUT"
@@ -10,13 +16,11 @@ DEMOS="helloworld oneliners parallelsort sort secretsanta unanimous \
   np_lpsolver np_lpsolverfxp np_kmsurvival np_onewayhashchains"
 for d in $DEMOS; do
     t0=$(date +%s.%N)
-    (cd /root/repo/demos && timeout 300 python "$d.py" -M3 >/dev/null 2>&1)
+    (cd /root/repo/demos && PYTHONPATH= \
+        timeout 300 python "$d.py" -M3 >/dev/null 2>&1)
     rc1=$?
     t1=$(date +%s.%N)
-    # keep the container's sitecustomize preload on PYTHONPATH so both
-    # frameworks pay identical interpreter startup (~2.3 s/process here)
-    (cd /root/reference/demos && \
-        PYTHONPATH="$PYTHONPATH:/root/reference" \
+    (cd /root/reference/demos && PYTHONPATH=/root/reference \
         timeout 300 python "$d.py" -M3 >/dev/null 2>&1)
     rc2=$?
     t2=$(date +%s.%N)

@@ -1,0 +1,84 @@
+"""Pre-seed the persistent trace/compile caches for the demo shape set.
+
+Run ONCE after install (or let CI do it): populates
+``~/.cache/mpyc_tpu`` — the jax.export trace cache (utils/tracecache.py)
+and the persistent XLA compilation cache (mpyc_tpu.enable_compile_cache)
+— with every fused protocol program the batched demos touch, so the
+first real run executes at warm speed. Compilation on remote-attached
+TPUs is a network round trip per program; a cold np_aes -b 64 run paid
+~440 of them (measured: 150 s cold vs 13 s seeded).
+
+The shapes covered (all through the public API, m=3, t=1):
+  * secure mul/reshare buckets for SecInt(32) (64..1M, powers of two)
+  * fused comparisons (sgn/LT/EQ) for SecInt(32) at the np_sgn buckets
+  * GF(2^8) / GF(2) rounds at the np_aes / sha3 block shapes
+  * the np_aes demo itself at -b 64 and -b 2048 (key expansion etc.)
+
+Usage: python tools/warm_caches.py [--quick]
+  --quick: only the small buckets (useful in CI; ~2 min on a warm chip)
+"""
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+os.environ.setdefault('MPYC_TPU_PARTY_DEVICE', 'tpu')
+
+import numpy as np  # noqa: E402
+
+
+def log(msg):
+    print(f'[warm {time.strftime("%H:%M:%S")}] {msg}', flush=True)
+
+
+def warm_runtime(quick):
+    from mpyc_tpu.runtime import _Options
+    from mpyc_tpu.parallel.simulator import SimRuntime
+
+    rt = SimRuntime(3, _Options())
+    rt._wire_modules()
+    rt.start()
+    secint = rt.SecInt(32)
+    max_log = 14 if quick else 20
+    sizes = [1 << k for k in range(6, max_log + 1)]
+    for n in sizes:
+        vals = np.arange(n, dtype=np.int64).astype(object)
+        A = rt.input(secint.array(vals))[0]
+        B = rt.input(secint.array((vals + 1) % 1000))[0]
+        t0 = time.time()
+        rt.output(rt.np_multiply(A, B))        # mul + reshare bucket
+        log(f'mul bucket n={n}: {time.time()-t0:.1f}s')
+    for n in sizes:
+        vals = ((np.arange(n, dtype=np.int64) % 13) - 6).astype(object)
+        X = rt.input(secint.array(vals))[0]
+        t0 = time.time()
+        rt.output(rt.np_sgn(X, LT=True))
+        rt.output(rt.np_sgn(X))
+        log(f'sgn buckets n={n}: {time.time()-t0:.1f}s')
+    rt.shutdown()
+
+
+def warm_demo(args):
+    t0 = time.time()
+    subprocess.run([sys.executable, os.path.join(REPO, 'demos', args[0])]
+                   + args[1:], cwd=os.path.join(REPO, 'demos'),
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   timeout=1200)
+    log(f'{" ".join(args)}: {time.time()-t0:.1f}s')
+
+
+def main():
+    quick = '--quick' in sys.argv
+    warm_runtime(quick)
+    warm_demo(['np_aes.py', '-M3', '--sim', '-b', '64'])
+    if not quick:
+        warm_demo(['np_aes.py', '-M3', '--sim', '-b', '2048'])
+        warm_demo(['sha3.py', '-M3', '--sim'])
+    log('done')
+
+
+if __name__ == '__main__':
+    main()
