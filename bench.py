@@ -334,6 +334,22 @@ def main():
     except Exception as e:
         out["secure_cmp_error"] = str(e)
     try:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, 'demos', 'np_sha3.py'),
+             '-M3', '--sim', '-b', '256', '--bench'],
+            capture_output=True, text=True, timeout=580,
+            cwd=os.path.join(here, 'demos'))
+        for line in r.stdout.splitlines():
+            if line.strip().startswith('{'):
+                row = json.loads(line)
+                if row.get('ok'):
+                    out["np_sha3_ms_per_digest_b256"] = \
+                        row['np_sha3_ms_per_digest']
+    except Exception as e:
+        out["np_sha3_error"] = str(e)[:200]
+    try:
         party = bench_party_plane()
         out["party_plane_mul_m3_ops_s"] = party['party_plane_mul_ops_s']
     except Exception as e:

@@ -490,14 +490,21 @@ class SimRuntime(Runtime):
         m = len(self.parties)
         k = self.options.sec_param
         n, L = data.shape[1], data.shape[2]
-        # shape buckets: all-zero rows are valid sharings of 0. Powers of
-        # TWO with a floor of 64 (waste <= 2x; each bucket is one trace +
-        # compile, persisted by the trace/compile caches). Buckets >= 1024
-        # are multiples of 1024, which make_sgn_step routes to the
-        # whole-protocol Pallas kernel.
-        n_pad = 64
+        # shape buckets: all-zero rows are valid sharings of 0. Each
+        # bucket is one trace + compile, persisted by the trace/compile
+        # caches — and a fused-comparison compile costs ~2 min through
+        # the remote compile service, so buckets are COARSE on TPU:
+        # floor 1024 (every small comparison rides the one whole-protocol
+        # Pallas program at sub-ms), then powers of FOUR (compute waste
+        # <= 4x of a fast kernel beats another 2-minute compile). CPU
+        # keeps fine powers-of-two buckets from a floor of 64.
+        from mpyc_tpu.ops import keccak
+        if keccak._pallas_available():
+            n_pad, growth = 1024, 4
+        else:
+            n_pad, growth = 64, 2
         while n_pad < n:
-            n_pad *= 2
+            n_pad *= growth
         n_pad = min(n_pad, self._SGN_CHUNK)
         assert n <= n_pad
         if n_pad != n:
