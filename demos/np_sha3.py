@@ -62,7 +62,7 @@ def keccak_rounds_batch(A):
         # iota: public round constant into lane (0, 0)
         rc = np.zeros((5, 5, 64), dtype=object)
         rc[0, 0] = [(RC[rnd] >> z) & 1 for z in range(64)]
-        A = A + secfld.field.array(rc)
+        A = A + secfld.array(rc)
     return A
 
 
@@ -79,7 +79,7 @@ def sponge_batch(r, N, d):
     b, n = N.shape
     pad = np.tile(np.array([1] + [0] * ((-(n + 2)) % r) + [1],
                            dtype=object), (b, 1))
-    P = mpc.np_concatenate((N, secfld.field.array(pad)), axis=1)
+    P = mpc.np_concatenate((N, secfld.array(pad)), axis=1)
     blocks = P.shape[1] // r
 
     # first absorbed block XORs into the all-zero state directly
@@ -101,16 +101,15 @@ def np_sha3(M, d=256, c=None):
     if c is None:
         c = 2 * d
     b = M.shape[0]
-    dom = secfld.field.array(np.tile(np.array([0, 1], dtype=object),
-                                     (b, 1)))
+    dom = secfld.array(np.tile(np.array([0, 1], dtype=object), (b, 1)))
     return sponge_batch(1600 - c, mpc.np_concatenate((M, dom), axis=1), d)
 
 
 def np_shake(M, d, c=256):
     """SHAKE[c//2] over a batch of equal-length secure bit arrays."""
     b = M.shape[0]
-    dom = secfld.field.array(np.tile(np.array([1, 1, 1, 1], dtype=object),
-                                     (b, 1)))
+    dom = secfld.array(np.tile(np.array([1, 1, 1, 1], dtype=object),
+                            (b, 1)))
     return sponge_batch(1600 - c, mpc.np_concatenate((M, dom), axis=1), d)
 
 

@@ -102,7 +102,15 @@ def measure(dev_counts=None, n_per_device=1 << 16, t=1, m=3, iters=10,
 
 
 def main():
+    import os
     import sys
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # env alone does not stick when a sitecustomize preload already
+        # initialized another backend; force it (same as tests/conftest)
+        try:
+            jax.config.update('jax_platforms', 'cpu')
+        except Exception:
+            pass
     n_per_device = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
     virtual = jax.default_backend() == 'cpu'
     for row in measure(n_per_device=n_per_device):

@@ -1655,10 +1655,18 @@ class Runtime:
         sec = [x for x in arrays if isinstance(x, sectypes.SecureObject)]
         stype = self._sectype(*sec)
         field = stype.field
+
+        def pub(x):
+            if isinstance(x, finfields.FiniteFieldArray):
+                # already-encoded public field array: use its data as-is
+                # (np.asarray(x, object) would pull a device array back
+                # element by element)
+                return self._share_like(x)
+            return self._share_like(self._encode_public(
+                stype, np.asarray(x, dtype=object)))
+
         shares = [self._share(x) if isinstance(x, sectypes.SecureObject)
-                  else self._share_like(self._encode_public(
-                      stype, np.asarray(x, dtype=object)))
-                  for x in arrays]
+                  else pub(x) for x in arrays]
         nd_elem = field.array._elem_ndim
         if axis is None:  # numpy semantics: flatten all inputs first
             shares = [self._logical_flat(s) for s in shares]
