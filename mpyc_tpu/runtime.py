@@ -2659,12 +2659,13 @@ class Runtime:
         is_z = Zp.array.ctx.is_zero(c.data)
         leg = Zp.array.ctx.legendre(c.data)           # (k, n) in {-1,0,1}
         sq = leg >= 0
-        sq_f = Zp.array.from_uint32(jnp.where(sq, jnp.uint32(1),
-                                              jnp.uint32(0)))
+        xp = np if isinstance(sq, np.ndarray) else jnp
+        sq_f = Zp.array.from_uint32(xp.where(sq, xp.uint32(1),
+                                             xp.uint32(0)))
         # e_{i,j} = z or 1-z per sq; then force 1 where c==0
         cand = sq_f + z - (sq_f * z) * 2  # sq XOR z? want: sq-> 1-z, !sq-> z
-        isz_f = Zp.array.from_uint32(jnp.where(is_z, jnp.uint32(1),
-                                               jnp.uint32(0)))
+        isz_f = Zp.array.from_uint32(xp.where(is_z, xp.uint32(1),
+                                              xp.uint32(0)))
         cand = cand * (ones - isz_f) + isz_f  # c==0 -> 1
         # AND over k: move k last and multiply down
         sw = cand.swapaxes(self._pax + 0, self._pax + 1)  # (P?, n, k)
@@ -2696,11 +2697,11 @@ class Runtime:
         else:
             axes = (axis % nd,) if isinstance(axis, int) else \
                 tuple(sorted(i % nd for i in axis))
-            import jax.numpy as _jnp
             data = s.data
+            _xp = np if isinstance(data, np.ndarray) else jnp
             for off, ax in enumerate(axes):
-                data = _jnp.moveaxis(data, ax + self._pax - off,
-                                     self._pax + nd - 1)
+                data = _xp.moveaxis(data, ax + self._pax - off,
+                                    self._pax + nd - 1)
             s = s.from_data(data)
             keep = s.shape[self._pax:self._pax + nd - len(axes)]
             s = self._logical_reshape(s, tuple(keep) + (-1,))
@@ -2842,8 +2843,10 @@ class Runtime:
         bc_bits = np.stack([((b - np.array([int(v) for v in c_vals],
                                            dtype=object)) >> i) & 1
                             for i in range(lb)], axis=-1)  # (n, lb) 0/1
+        host = isinstance(r_bits.data, np.ndarray)
         bc_dev = Zp.array.from_uint32(
-            jnp.asarray(bc_bits.astype(np.uint32)))
+            bc_bits.astype(np.uint32) if host
+            else jnp.asarray(bc_bits.astype(np.uint32)))
         xor = bc_dev + r_bits - (bc_dev * r_bits) * 2
         for i in range(lb - 1, -1, -1):
             sums[i] = sum_acc
@@ -2860,8 +2863,9 @@ class Runtime:
         E = _concat_axis(Zp, [self._logical_reshape(x, (n, 1))
                               for x in e_list], -1)
         g = self._is_zero_public_dev(self._prod_last_axis(E))
-        g_f = Zp.array.from_uint32(jnp.where(g, jnp.uint32(1),
-                                             jnp.uint32(0)))
+        xp = np if isinstance(g, np.ndarray) else jnp
+        g_f = Zp.array.from_uint32(xp.where(g, xp.uint32(1),
+                                            xp.uint32(0)))
         # z = (1 - s)/2 if g else (1 + s)/2  ->  z = (1 + s - 2 g s)/2
         z = (s_sign - (s_sign * g_f) * 2 + 1) >> 1
         c_dev = Zp.array(np.array(list(c_vals), dtype=object))
@@ -3019,8 +3023,11 @@ class Runtime:
             a_bits = a_bits << f  # fxp bits are proper 0/1 fxp values
         if rshift_f:
             zshape = a_bits.shape[:self._pax] + (n, f)
-            zeros = field.array.from_data(
-                jnp.zeros(zshape + (field.array.ctx.L,), dtype=jnp.uint32))
+            if isinstance(a_bits.data, np.ndarray):
+                zeros = field.array(np.zeros(zshape, dtype=object))
+            else:
+                zeros = field.array.from_data(jnp.zeros(
+                    zshape + (field.array.ctx.L,), dtype=jnp.uint32))
             a_bits = _concat_axis(field, [zeros, a_bits], -1)
         out = self._logical_reshape(a_bits, shape + (l,))
         return self._wrap(stype, out, array=True, integral=True)
