@@ -789,17 +789,22 @@ def SecFld(order=None, modulus=None, char=None, ext_deg=None, min_order=None,
 
     field = finfields.GF(modulus)
     field.is_signed = signed
-    return _SecFld(field)
+    # cache key includes the runtime's (m, t): whether the field needs a
+    # Shamir extension depends on the party count, and one process can
+    # host several runtimes (tests switch m=1 / sim m=3 fixtures)
+    if runtime is None:
+        m, t = 1, 0
+    else:
+        m, t = len(runtime.parties), runtime.threshold
+    return _SecFld(field, m, t)
 
 
 @functools.cache
-def _SecFld(field):
+def _SecFld(field, m, t):
     l = (field.order - 1).bit_length()
     name = f'SecFld{l}({field.__name__})'
     secfld = type(name, (SecureFiniteField,), {'__slots__': ()})
     secfld.__doc__ = 'Class of secret-shared finite field elements.'
-    t = runtime.threshold
-    m = len(runtime.parties)
     q = field.order
     if t == 0 or m < q:
         secfld.subfield = None
