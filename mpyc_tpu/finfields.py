@@ -1477,7 +1477,8 @@ class PrimeFieldArray(FiniteFieldArray):
                 res = res.sum(axis=ax) if res.ndim > 1 else res.sum()
             return res
         d = self._data
-        if isinstance(d, np.ndarray) and d.size <= 4096:
+        if isinstance(d, np.ndarray) and (d.size <= 4096
+                                          or d.dtype == object):
             # host fast path: Montgomery sums are plain modular sums
             ctx = self.ctx
             vals = limb.limbs_to_ints(d)  # object ints, Montgomery domain
@@ -1505,7 +1506,8 @@ class PrimeFieldArray(FiniteFieldArray):
         ctx = self.ctx
         ax = axis % self.ndim
         d = self._data
-        if isinstance(d, np.ndarray) and d.size <= 4096:
+        if isinstance(d, np.ndarray) and (d.size <= 4096
+                                          or d.dtype == object):
             vals = limb.limbs_to_ints(d)  # Montgomery ints (linear in sums)
             cs = np.cumsum(vals, axis=ax)
             out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(

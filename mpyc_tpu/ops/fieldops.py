@@ -173,7 +173,10 @@ class PrimeFieldCtx:
             for s in batch:
                 n *= int(s)
             tracing = any(_lazyjax.is_tracer(a) for a in arrays)
-            if host_fn is not None and 0 < n <= host_lim and not tracing \
+            # jax-free plane: host ints serve EVERY size (a single large
+            # op must not pull in the jax import + XLA-CPU compiles)
+            lim = host_lim if _lazyjax.loaded() else (1 << 62)
+            if host_fn is not None and 0 < n <= lim and not tracing \
                     and (_cpu_backend()
                          or all(isinstance(a, np.ndarray)
                                 or not hasattr(a, 'devices')
@@ -623,8 +626,8 @@ class PrimeFieldCtx:
             return jf
 
         def call(a):
-            if a.size <= 4096 * self.L and _cpu_backend() and \
-                    not _lazyjax.is_tracer(a):
+            if (a.size <= 4096 * self.L or not _lazyjax.loaded()) \
+                    and _cpu_backend() and not _lazyjax.is_tracer(a):
                 ints = self._mont_ints(np.asarray(a)).reshape(a.shape[:-1])
                 return self._mont_out(
                     (int(v) % self.p for v in ints.sum(axis=0).reshape(-1)),
@@ -679,9 +682,9 @@ class PrimeFieldCtx:
         def call(a, b):
             work = int(np.prod(a.shape[:-1], dtype=np.int64)) * \
                 int(b.shape[-2])
-            if 0 < work <= 4096 and _cpu_backend() and \
-                    not _lazyjax.is_tracer(a) and \
-                    not _lazyjax.is_tracer(b):
+            if 0 < work and (work <= 4096 or not _lazyjax.loaded()) \
+                    and _cpu_backend() and not _lazyjax.is_tracer(a) \
+                    and not _lazyjax.is_tracer(b):
                 # tiny protocol matmuls: object-int contraction on the
                 # host; Montgomery linearity folds the R^-1 once per entry
                 p, Rinv = self.p, self.Rinv

@@ -391,7 +391,12 @@ def shake128_ctr_blocks(prefix: bytes, n_instances: int):
         return _squeeze_ctr_hashlib(msg0, int(n_instances), ctr_off)
     hi, lo = _absorb_host(msg0)
     state = np.stack([np.array(hi, np.uint32), np.array(lo, np.uint32)])
-    if n_instances <= _HOST_SHAKE_N:
+    import sys
+    if n_instances <= _HOST_SHAKE_N or \
+            ('jax' not in sys.modules and _HOST_SHAKE_N):
+        # jax-free plane: the vectorized numpy permutation serves every
+        # size (~0.3 ms/100 blocks) — a single large draw must not drag
+        # in the jax import + XLA-CPU compiles
         return _squeeze_ctr_host(state, int(n_instances), ctr_off // 8)
     n_pad = max(8, 1 << (int(n_instances) - 1).bit_length())
     if _pallas_available() and n_pad >= 1024:

@@ -31,6 +31,20 @@ from mpyc_tpu.ops.fieldops import prime_field_ctx
 # Python-int reduction); larger draws run the batched device kernels
 _HOST_PRF_N = 0 if __import__('os').getenv('MPYC_TPU_NOHOSTOPS') else 256
 
+
+def _host_prf_n():
+    """Effective host-PRF batch cutoff.
+
+    While jax has not been imported (jax-free scalar plane), the host
+    path serves EVERY size: the hashlib counter-mode sponge is C-speed
+    and a single mid-sized draw would otherwise pull in the whole jax
+    import plus per-shape XLA-CPU compiles (measured: one kmsurvival
+    division cost 16 s of compiles through this path)."""
+    import sys
+    if _HOST_PRF_N and 'jax' not in sys.modules:
+        return 1 << 30
+    return _HOST_PRF_N
+
 __all__ = ['random_split', 'recombine', 'pseudorandom_share',
            'pseudorandom_share_zero', 'np_random_split', 'np_recombine',
            'np_pseudorandom_share', 'np_pseudorandom_share_0', 'PRF',
@@ -206,7 +220,7 @@ def np_random_split(field, s, t, m, rng=None):
         return acls.from_data(data)
     shape = s.shape if s.shape else (1,)
     n = prod(shape)
-    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+    if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1 and isinstance(s.data, np.ndarray)
             and hasattr(rng, 'field_uniform_mont_ints')
             and n * t * ((field.modulus.bit_length() + 7 >> 3) + 16)
@@ -252,7 +266,7 @@ def np_recombine(field, points, x_rs=0):
     if single:
         x_rs = (x_rs,)
     n = prod(shares[0].shape) if shares[0].shape else 1
-    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+    if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1
             and all(isinstance(sh.data, np.ndarray) for sh in shares)):
         # host-int fast path: one fused Lagrange dot per evaluation point
@@ -339,7 +353,7 @@ class DevicePRF:
         ctx = prime_field_ctx(field.modulus)
         n = prod(shape) if shape else 1
         l = max(self.byte_length, 1)
-        if 0 < n <= _HOST_PRF_N and l <= keccak.RATE:
+        if 0 < n <= _host_prf_n() and l <= keccak.RATE:
             # Small protocol draws: C-speed sponge + Python-int reduction,
             # Montgomery int views seeded so downstream host-plane ops
             # never decode limbs. Bit-identical with the device reduction.
@@ -418,7 +432,7 @@ def _mask_bits(wide, k: int):
 
 def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
     """Party i's PRSS shares of n pseudorandom secrets, on device."""
-    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+    if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1):
         # host-int fast path: one fused weighted sum over all key subsets
         # (scalar coefficients keep the Montgomery domain), one encode
@@ -461,7 +475,7 @@ def np_pseudorandom_share_host(field, m, i, prfs, uci: bytes, n):
 def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
     """Party i's PRSS shares of n zero-sharings (degree 2t), on device."""
     i1 = i + 1
-    if (0 < n <= _HOST_PRF_N and field.characteristic != 2
+    if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1):
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
