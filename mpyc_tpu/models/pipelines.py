@@ -12,7 +12,6 @@ the north-star kernels (BASELINE.md).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

@@ -23,7 +23,6 @@ Internally limbs are handled as Python lists of ``(...)``-shaped arrays
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 from mpyc_tpu.utils.lazyjax import jnp, lax
