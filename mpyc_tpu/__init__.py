@@ -20,6 +20,28 @@ Typical use::
 
 __version__ = '0.1.0'
 
+# Environments that export PYTHONDONTWRITEBYTECODE=1 recompile every
+# imported source file in every process (~0.3 s of pure `compile()` per
+# party for numpy + asyncio + this package). Python still READS existing
+# bytecode caches, so `tools/warm_caches.py` pre-builds one under the
+# install tree; point the interpreter at it before the heavy imports
+# below. No-op when bytecode writing is enabled (normal installs cache
+# themselves) or when the user already set a pycache prefix.
+def _use_prebuilt_pycache():
+    import os
+    import sys
+    if not sys.dont_write_bytecode or sys.pycache_prefix:
+        return
+    prebuilt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.pycache')
+    if os.path.isdir(prebuilt):
+        sys.pycache_prefix = prebuilt
+
+
+_use_prebuilt_pycache()
+del _use_prebuilt_pycache
+
 runtime = None  # the singleton Runtime, set by mpyc_tpu.runtime.setup()
 
 

@@ -105,6 +105,17 @@ def _unpickle_field_array(elt, values):
 
 
 
+@functools.lru_cache(maxsize=8192)
+def _coerce_int_const(cls, v):
+    """Shared scalar field array for a public int constant.
+
+    All field-array update paths copy (see _data_at_set), so handing the
+    same instance to every ``x * 2``-style op is safe; the cache is keyed
+    on the array class, which pins the field (and its runtime, for
+    runtime-scoped SecFld classes)."""
+    return cls(np.array(v, dtype=object))
+
+
 def _xp(*arrays):
     """Array namespace for shape plumbing: numpy while every operand is
     host-resident (keeps tiny protocol data off the device so the kernels'
@@ -1196,7 +1207,10 @@ class FiniteFieldArray:
             return cls(np.array(other.value if isinstance(other.value, int)
                                 else int(other.value), dtype=object))
         if isinstance(other, (int, np.integer)):
-            return cls(np.array(int(other), dtype=object))
+            # public protocol constants (2, 3, 1<<f, ...) recur on every
+            # op; encoding one is ~100 us of kernel dispatch, so share a
+            # cached immutable instance per (field, value)
+            return _coerce_int_const(cls, int(other))
         if isinstance(other, (list, tuple, np.ndarray)):
             return cls(other)
         return NotImplemented
@@ -1294,12 +1308,22 @@ class PrimeFieldArray(FiniteFieldArray):
             return value
         if isinstance(value, np.ndarray) and value.dtype != object and \
                 issubclass(value.dtype.type, (np.integer, np.bool_)):
+            if not _lazyjax.loaded():
+                # jax-free plane: vectorized object-int encode writes the
+                # object rep directly — cheaper than limb packing + the
+                # from_std kernel dispatch of _encode_i64
+                return ctx.encode_ints(value)
             enc = cls._encode_i64(value.astype(np.int64))
             if enc is not None:
                 return enc
             return ctx.encode_ints(value)      # rare fallback (INT64_MIN)
         arr = np.asarray(value, dtype=object)
         if arr.size and isinstance(arr.reshape(-1)[0], (int, np.integer)):
+            if not _lazyjax.loaded():
+                try:
+                    return ctx.encode_ints(arr)
+                except (TypeError, AttributeError, OverflowError):
+                    pass
             # common case: plain-int object array — int64-cast when it fits
             # (kernel-side Montgomery encode beats host bigint arithmetic)
             try:

@@ -79,6 +79,7 @@ class PrimeFieldCtx:
         self.one_mont = _limbify(R % p, L)
         self.r2_limbs = _limbify(self.R2, L)
         self._jit_cache = {}
+        self._call_cache = {}  # kernel name -> built dispatcher closure
         self._host_ints = {}   # id(limb array) -> (weakref, int view)
 
     # -- host encode / decode ----------------------------------------------
@@ -149,33 +150,46 @@ class PrimeFieldCtx:
         array was 1.7 s of the 3.9 s np_multiply round).
         in_elem: per-argument count of trailing element axes (e.g. 1 for
         (..., L) Montgomery operands).
+
+        The built dispatcher is memoized per kernel name: the ctx op
+        properties re-invoke _ew on every access, and rebuilding the
+        host-kernel closures dominated tiny-batch op latency (~15 us of
+        the ~50 us/op measured round 4).
         """
+        cached = self._call_cache.get(name)
+        if cached is not None:
+            return cached
         jf = self._jit(name, fn)
         host_fn = None if _HOST_N == 0 else self._host_kernel(name)
-        host_lim = _HOST_N
-        if host_fn is not None and not _os.getenv('MPYC_TPU_NOHOSTOPS'):
-            # Cost-aware cutoffs on the CPU backend: vectorized object-int
-            # kernels beat a jitted dispatch (~0.1 ms of Python) up to
-            # ~1K elements; big-exponent ops (one modexp per element) stay
-            # on the host at ANY size — the native CIOS batch kernel
-            # (ops/native_modexp.py, ~2-4 us/element) beats the
-            # XLA-emulated u32 pow ladder on CPU outright. Device
-            # backends keep the tiny cutoff: their compute is far faster
-            # once dispatched, and pulling operands costs a tunnel trip.
-            expensive = name in ('div', 'inv') or \
-                name.startswith(('pow_', 'sqrt_ts_', 'legendre'))
-            host_lim = ((1 << 30 if expensive else 4096)
-                        if _cpu_backend() else _HOST_N)
+        # Cost-aware cutoffs on the CPU backend: vectorized object-int
+        # kernels beat a jitted dispatch (~0.1 ms of Python) up to
+        # ~1K elements; big-exponent ops (one modexp per element) stay
+        # on the host at ANY size — the native CIOS batch kernel
+        # (ops/native_modexp.py, ~2-4 us/element) beats the
+        # XLA-emulated u32 pow ladder on CPU outright. Device
+        # backends keep the tiny cutoff: their compute is far faster
+        # once dispatched, and pulling operands costs a tunnel trip.
+        # (Computed per call via _cpu_backend(), a cached probe: the
+        # backend answer can change once, when jax first loads.)
+        expensive = name in ('div', 'inv') or \
+            name.startswith(('pow_', 'sqrt_ts_', 'legendre'))
+
+        ie0 = in_elem[0]
 
         def call(*arrays):
-            batch = arrays[0].shape[:arrays[0].ndim - in_elem[0]]
+            batch = arrays[0].shape[:arrays[0].ndim - ie0]
             n = 1
             for s in batch:
                 n *= int(s)
             tracing = any(_lazyjax.is_tracer(a) for a in arrays)
             # jax-free plane: host ints serve EVERY size (a single large
             # op must not pull in the jax import + XLA-CPU compiles)
-            lim = host_lim if _lazyjax.loaded() else (1 << 62)
+            if not _lazyjax.loaded():
+                lim = 1 << 62
+            elif _cpu_backend():
+                lim = (1 << 30) if expensive else 4096
+            else:
+                lim = _HOST_N
             if host_fn is not None and 0 < n <= lim and not tracing \
                     and (_cpu_backend()
                          or all(isinstance(a, np.ndarray)
@@ -211,6 +225,7 @@ class PrimeFieldCtx:
                                  for o in out)
                 return out[:n].reshape(batch + out.shape[1:])
             return jf(*arrays)
+        self._call_cache[name] = call
         return call
 
     # -- host fast path (small batches) --------------------------------------

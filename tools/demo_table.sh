@@ -7,7 +7,13 @@
 # and the reference never imports jax, so this matches what a user's
 # machine would measure. The reference gets /root/reference on its path
 # (its package location), nothing else.
+# Both sides read the prebuilt bytecode cache (tools/warm_caches.py):
+# this container exports PYTHONDONTWRITEBYTECODE=1, which otherwise makes
+# every process re-compile() all imported sources (~0.3 s/party of numpy
+# + asyncio); a normal machine caches bytecode on first run, so reading a
+# prebuilt cache is what a user's second run would measure anyway.
 # Usage: tools/demo_table.sh [out.tsv]
+export PYTHONPYCACHEPREFIX=/root/repo/.pycache
 OUT=${1:-/tmp/demo_table.tsv}
 : > "$OUT"
 DEMOS="helloworld oneliners parallelsort sort secretsanta unanimous \

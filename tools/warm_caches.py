@@ -70,8 +70,38 @@ def warm_demo(args):
     log(f'{" ".join(args)}: {time.time()-t0:.1f}s')
 
 
+def warm_bytecode():
+    """Pre-build bytecode caches (see mpyc_tpu.__init__._use_prebuilt_pycache).
+
+    Under PYTHONDONTWRITEBYTECODE=1 every process re-`compile()`s all
+    imported sources (~0.3 s/party of numpy + asyncio + this package);
+    compileall writes .pyc explicitly, so one pass here makes every later
+    process start at cached speed. The package tree is compiled in place
+    (normal __pycache__ layout); third-party/stdlib modules go under
+    <repo>/.pycache, which mpyc_tpu's import hook activates via
+    sys.pycache_prefix when bytecode writing is disabled."""
+    import compileall
+    import asyncio
+    t0 = time.time()
+    # single-process: compileall's worker pool would not inherit the
+    # in-process sys.pycache_prefix set below
+    for tree in (os.path.join(REPO, 'mpyc_tpu'), os.path.join(REPO, 'demos')):
+        compileall.compile_dir(tree, quiet=2, workers=1)
+    sys.pycache_prefix = os.path.join(REPO, '.pycache')
+    trees = [os.path.dirname(np.__file__), os.path.dirname(asyncio.__file__)]
+    if os.path.isdir('/root/reference/mpyc'):
+        # benchmark fairness: the read-only reference checkout can't cache
+        # its own bytecode; compile it into the shared prefix so
+        # tools/demo_table.sh compares protocol speed, not compile() tax
+        trees.append('/root/reference/mpyc')
+    for tree in trees:
+        compileall.compile_dir(tree, quiet=2, workers=1)
+    log(f'bytecode caches: {time.time()-t0:.1f}s')
+
+
 def main():
     quick = '--quick' in sys.argv
+    warm_bytecode()
     warm_runtime(quick)
     warm_demo(['np_aes.py', '-M3', '--sim', '-b', '64'])
     if not quick:
