@@ -89,6 +89,12 @@ def warm_bytecode():
         compileall.compile_dir(tree, quiet=2, workers=1)
     sys.pycache_prefix = os.path.join(REPO, '.pycache')
     trees = [os.path.dirname(np.__file__), os.path.dirname(asyncio.__file__)]
+    for heavy in ('sklearn', 'scipy', 'joblib'):  # ridgeregression et al
+        try:
+            mod = __import__(heavy)
+            trees.append(os.path.dirname(mod.__file__))
+        except ImportError:
+            pass
     if os.path.isdir('/root/reference/mpyc'):
         # benchmark fairness: the read-only reference checkout can't cache
         # its own bytecode; compile it into the shared prefix so
