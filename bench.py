@@ -256,7 +256,7 @@ def bench_party_plane():
     here = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
         [sys.executable, os.path.join(here, 'tools', 'bench_party.py'),
-         '-M3', '-n', '18'],
+         '-M3', '-n', '20'],
         capture_output=True, text=True, timeout=280)
     for line in out.stdout.splitlines():
         line = line.strip()

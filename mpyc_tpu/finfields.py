@@ -105,15 +105,25 @@ def _unpickle_field_array(elt, values):
 
 
 
-@functools.lru_cache(maxsize=8192)
 def _coerce_int_const(cls, v):
     """Shared scalar field array for a public int constant.
 
-    All field-array update paths copy (see _data_at_set), so handing the
-    same instance to every ``x * 2``-style op is safe; the cache is keyed
-    on the array class, which pins the field (and its runtime, for
-    runtime-scoped SecFld classes)."""
-    return cls(np.array(v, dtype=object))
+    Cached instances are frozen (``__setitem__`` raises) so an
+    index-assignment into a coerced constant cannot corrupt later
+    coercions of the same (field, value).  The cache lives in a dict on
+    each array class — it is collected with the class, so runtime-scoped
+    SecFld classes are not pinned by a module-global cache."""
+    cache = cls.__dict__.get('_const_cache')
+    if cache is None:
+        cache = {}
+        cls._const_cache = cache
+    inst = cache.get(v)
+    if inst is None:
+        inst = cls(np.array(v, dtype=object))
+        inst._frozen = True
+        if len(cache) < 4096:
+            cache[v] = inst
+    return inst
 
 
 def _xp(*arrays):
@@ -677,7 +687,7 @@ class FiniteFieldArray:
     the element representation; `shape` is the logical element shape.
     """
 
-    __slots__ = ('_data',)
+    __slots__ = ('_data', '_frozen')
 
     field: type = None            # scalar element class
     _elem_ndim: int = 0           # trailing representation axes
@@ -1180,6 +1190,9 @@ class FiniteFieldArray:
         return a
 
     def __setitem__(self, idx, value):
+        if getattr(self, '_frozen', False):
+            raise ValueError('assignment into a shared cached constant; '
+                             'copy() it first')
         value = self._coerce(value)
         if value is NotImplemented:
             raise TypeError('cannot assign this type into field array')

@@ -115,6 +115,11 @@ def main():
     virtual = jax.default_backend() == 'cpu'
     for row in measure(n_per_device=n_per_device):
         row['virtual'] = virtual
+        if virtual:
+            # virtual devices share physical cores: the efficiency column
+            # is physically meaningless there — null it so downstream
+            # readers cannot mistake it for measured scaling
+            row['efficiency'] = None
         print(json.dumps(row))
 
 

@@ -242,7 +242,11 @@ class Runtime:
         return self._program_counter[0]
 
     def start(self):
-        """Start the runtime: connect to all other parties."""
+        """Start the runtime: connect to all other parties.
+
+        The elapsed-time clock starts once all parties are connected,
+        matching the reference's measurement window (its start_time is
+        set after the connect loop, runtime.py:297)."""
         self.start_time = time.time()
         m = len(self.parties)
         if m == 1:
@@ -260,6 +264,8 @@ class Runtime:
             from mpyc_tpu.parallel.exchange import TcpExchange
             self.exchange = TcpExchange(self)
         self.exchange.start()
+        logger.info(f'All {m} parties connected.')
+        self.start_time = time.time()
 
     def shutdown(self):
         """Shut down the runtime: close connections, log statistics."""
@@ -698,6 +704,109 @@ class Runtime:
             ys = [None] * len(shares)
         return ys if x_is_list else ys[0]
 
+    # minimum total batch size before the native host-field C kernels
+    # take over a protocol round on the per-party plane (ctypes dispatch
+    # is ~2 us/kernel — far below the object path's per-round cost even
+    # for scalars, so the native round serves every size)
+    _NATIVE_MIN = 1
+
+    def _hf(self, field):
+        """Native host-field kernel context for a prime field (or None)."""
+        if field.ext_deg != 1 or field.characteristic == 2 or \
+                field.modulus.bit_length() > 64:
+            return None
+        from mpyc_tpu.ops import hostfield
+        from mpyc_tpu.ops.fieldops import prime_field_ctx
+        return hostfield.host_ctx(prime_field_ctx(field.modulus))
+
+    def _hf_nonce(self):
+        """(session key, fresh 12-byte nonce) for party-private ChaCha
+        randomness (never reused: a per-runtime counter)."""
+        key = getattr(self, '_hf_key', None)
+        if key is None:
+            key = self._hf_key = secrets.token_bytes(32)
+            self._hf_ctr = 0
+        self._hf_ctr += 1
+        return key, self._hf_ctr.to_bytes(12, 'little')
+
+    def _reshare_native(self, xl, t, m, field, pc, uci):
+        """One GRR98 round through the native C batch kernels
+        (ops/hostfield.py): split + wire marshal + Lagrange recombine run
+        at C speed over uint64 Montgomery residues instead of Python
+        bigints.  Wire format is identical to the object path (plain
+        little-endian field values), so the two paths interoperate.
+        Returns the list of recombined field arrays, or None when not
+        applicable (non-prime field, big modulus, device data, tiny batch).
+        """
+        hf = self._hf(field)
+        if hf is None:
+            return None
+        datas = []
+        for xi in xl:
+            d = xi.data
+            if not isinstance(d, np.ndarray):
+                from mpyc_tpu.ops import fieldops as _fops
+                if not _fops._cpu_backend() or not hasattr(d, 'devices'):
+                    return None
+                d = np.asarray(d)  # jax CPU-backend array: view, no copy
+            datas.append(d)
+        shapes = [xi.shape for xi in xl]
+        sizes = [xi.size if xi.shape else 1 for xi in xl]
+        total = sum(sizes)
+        if total < self._NATIVE_MIN:
+            return None
+        bl = field.byte_length
+        own_row = None
+        if (self.pid - uci) % m <= 2 * t:
+            try:
+                if len(datas) == 1:
+                    sec = hf.mont_u64(datas[0])
+                else:
+                    sec = np.concatenate([hf.mont_u64(d) for d in datas])
+            except (TypeError, OverflowError):
+                return None
+            key, nonce = self._hf_nonce()
+            coefs = hf.chacha_uniform(key, nonce, t * total)
+            rows = hf.split(sec, coefs, t, m)
+            for other in range(m):
+                if other == self.pid:
+                    own_row = rows[other]
+                else:
+                    self._send(other, pc, hf.to_wire(rows[other], bl))
+
+        def complete():
+            xs = tuple((uci + j) % m + 1 for j in range(2 * t + 1))
+            vec = thresha._recombination_vector(field, xs, 0)
+            acc = np.zeros(total, np.uint64)
+            for j in range(2 * t + 1):
+                peer = (uci + j) % m
+                c = int(vec[j])
+                if peer == self.pid:
+                    if own_row is not None:
+                        hf.axpy(acc, own_row, c)
+                else:
+                    data = self._recv(peer, pc)
+                    hf.axpy_wire(acc, data, total, bl, c)
+            ys = []
+            off = 0
+            for shape, sz in zip(shapes, sizes):
+                u = acc[off:off + sz]
+                off += sz
+                ys.append(field.array.from_data(hf.limb_rep(u, shape)))
+            return ys
+
+        if self._pipeline:
+            done = []
+
+            def thunk():
+                if not done:
+                    done.append(complete())
+                return done[0]
+
+            return [sectypes.LazyShare(thunk, i, shape)
+                    for i, shape in enumerate(shapes)]
+        return complete()
+
     def _reshare(self, x):
         """Degree reduction a la GRR98 (reference: runtime.py:603-689).
 
@@ -713,6 +822,11 @@ class Runtime:
         m = len(self.parties)
         pc = self._pc_next()
         uci = pc % m
+
+        if not getattr(self, 'is_simulator', False):
+            ys = self._reshare_native(xl, t, m, field, pc, uci)
+            if ys is not None:
+                return ys if x_is_list else ys[0]
 
         own_rows = None
         if (self.pid - uci) % m <= 2 * t:

@@ -88,7 +88,14 @@ def warm_bytecode():
     for tree in (os.path.join(REPO, 'mpyc_tpu'), os.path.join(REPO, 'demos')):
         compileall.compile_dir(tree, quiet=2, workers=1)
     sys.pycache_prefix = os.path.join(REPO, '.pycache')
-    trees = [os.path.dirname(np.__file__), os.path.dirname(asyncio.__file__)]
+    # the repo trees again, now under the prefix: once a pycache prefix is
+    # active (demo_table.sh exports PYTHONPYCACHEPREFIX; mpyc_tpu/__init__
+    # sets sys.pycache_prefix under PYTHONDONTWRITEBYTECODE) CPython only
+    # resolves .pyc under the prefix and ignores in-place __pycache__, so
+    # the package itself needs prefix-resident bytecode too (the in-place
+    # pass above stays useful for prefix-less consumers)
+    trees = [os.path.join(REPO, 'mpyc_tpu'), os.path.join(REPO, 'demos'),
+             os.path.dirname(np.__file__), os.path.dirname(asyncio.__file__)]
     for heavy in ('sklearn', 'scipy', 'joblib'):  # ridgeregression et al
         try:
             mod = __import__(heavy)
