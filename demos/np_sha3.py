@@ -132,15 +132,22 @@ def main():
     mpc.run(mpc.start())
     M = mpc.input(secfld.array(bits), senders=0)
 
+    def run_once():
+        if args.shake:
+            return np_shake(M, d, c=256), 'SHAKE128', \
+                [hashlib.shake_128(m).digest(d // 8) for m in msgs]
+        return np_sha3(M, d), f'SHA3-{d}', \
+            [getattr(hashlib, f'sha3_{d}')(m).digest() for m in msgs]
+
+    if args.bench:
+        # warm pass: first-call costs (trace-cache loads, per-shape
+        # executable deserialization, ~25 ms x ~200 programs) are
+        # startup, not digest throughput — report steady state, so the
+        # committed number reproduces in any warmed process
+        digests, name, expect = run_once()
+        mpc.run(mpc.output(digests, raw=True))
     t0 = time.time()
-    if args.shake:
-        digests = np_shake(M, d, c=256)
-        expect = [hashlib.shake_128(m).digest(d // 8) for m in msgs]
-        name = 'SHAKE128'
-    else:
-        digests = np_sha3(M, d)
-        expect = [getattr(hashlib, f'sha3_{d}')(m).digest() for m in msgs]
-        name = f'SHA3-{d}'
+    digests, name, expect = run_once()
     opened = mpc.run(mpc.output(digests, raw=True)).value
     dt = time.time() - t0
     got = [bits_to_bytes(opened[i]) for i in range(b)]

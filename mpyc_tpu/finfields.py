@@ -162,6 +162,26 @@ def _pair_broadcast(ad, bd):
         return (np.broadcast_to(ad, shape), np.broadcast_to(bd, shape))
     return (jnp.broadcast_to(ad, shape), jnp.broadcast_to(bd, shape))
 
+def _unify_host_reps(datas):
+    """Unify mixed host data representations to uint32 limbs.
+
+    On the jax-free plane, prime-field data is either the object rep
+    (..., 1) of Montgomery ints or the canonical uint32 limb rep (..., L)
+    (the native kernels produce the latter).  Structural ops (concat,
+    stack) must not mix them — the element axis widths differ."""
+    if not any(isinstance(d, np.ndarray) and d.dtype == object
+               for d in datas):
+        return datas
+    Ls = [d.shape[-1] for d in datas
+          if getattr(d, 'dtype', None) != object]
+    if not Ls:
+        return datas
+    L = max(Ls)
+    from mpyc_tpu.ops import limb as _limb
+    return [_limb.ints_to_limbs(d[..., 0], L)
+            if getattr(d, 'dtype', None) == object else d for d in datas]
+
+
 def _data_at_set(data, idx, value):
     """Functional indexed update working for both jax and numpy data."""
     if isinstance(data, np.ndarray):
@@ -841,11 +861,10 @@ class FiniteFieldArray:
         """Functional update: new array with self[idx] = value."""
         value = self._coerce(value)
         idx = self._expand_idx(idx)
-        target_shape = self._data[idx].shape
+        sd, vd = _unify_host_reps([self._data, value._data])
+        target_shape = sd[idx].shape
         return type(self).from_data(_data_at_set(
-            self._data, idx,
-            _xp(self._data, value._data).broadcast_to(value._data,
-                                                       target_shape)))
+            sd, idx, _xp(sd, vd).broadcast_to(vd, target_shape)))
 
     def roll(self, shift, axis):
         """Circular shift along a logical axis."""
@@ -936,9 +955,9 @@ class FiniteFieldArray:
             h = n // 2
             head = cur[:h] * cur[h:2 * h]
             if n % 2:
+                tail = _unify_host_reps([head._data, cur._data[2 * h:]])
                 head = type(self).from_data(
-                    _xp(head._data, cur._data).concatenate(
-                        [head._data, cur._data[2 * h:]], axis=0))
+                    _xp(*tail).concatenate(tail, axis=0))
             cur = head
         return cur[0] if cur.shape else cur
 
@@ -1196,10 +1215,9 @@ class FiniteFieldArray:
         value = self._coerce(value)
         if value is NotImplemented:
             raise TypeError('cannot assign this type into field array')
+        sd, vd = _unify_host_reps([self._data, value._data])
         self._data = _data_at_set(
-            self._data, idx,
-            _xp(self._data, value._data).broadcast_to(
-                value._data, self._data[idx].shape))
+            sd, idx, _xp(sd, vd).broadcast_to(vd, sd[idx].shape))
 
     def __iter__(self):
         for i in range(len(self)):
@@ -1845,9 +1863,9 @@ class ExtensionFieldArray(FiniteFieldArray):
             h = n // 2
             head = cur[:h] + cur[h:2 * h]
             if n % 2:
+                tail = _unify_host_reps([head._data, cur._data[2 * h:]])
                 head = type(self).from_data(
-                    _xp(head._data, cur._data).concatenate(
-                        [head._data, cur._data[2 * h:]], axis=0))
+                    _xp(*tail).concatenate(tail, axis=0))
             cur = head
         return cur[0] if cur.shape else cur
 

@@ -18,6 +18,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 #include <fcntl.h>
+#include <atomic>
 #include <cerrno>
 #include <chrono>
 #include <cstdint>
@@ -62,6 +63,8 @@ struct Mesh {
     int wake_fds[2] = {-1, -1};
     std::thread loop_thread;
     bool stopping = false;
+    std::atomic<bool> loop_exit{false};
+    bool single = false;   // post-connect: protocol thread pumps inline
 
     std::mutex mu;
     std::condition_variable cv;
@@ -84,6 +87,9 @@ void set_nodelay(int fd) {
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
 }
 
+// NB: callers of send_all_queued / enqueue_write must hold mx->mu —
+// peer out-queues are written both by the epoll loop thread and (direct
+// send fast path) by the protocol thread in mx_send.
 bool send_all_queued(Mesh* mx, Peer& p) {
     while (!p.outq.empty()) {
         auto& buf = p.outq.front();
@@ -147,13 +153,13 @@ void process_inbuf(Mesh* mx, Peer& p) {
             mx->fd_by_pid[p.pid] = p.fd;
             mx->peer_keys[p.pid].assign(b.begin() + 8, b.begin() + need);
             mx->connected++;
-        }
-        off = need;
-        p.handshaken = true;
-        if (p.pid < mx->pid) {
-            // mesh rule: we accept from lower pids; reply with our handshake
-            // (dialed peers got ours synchronously at connect)
-            enqueue_write(mx, p, make_handshake(mx, p.pid));
+            off = need;
+            p.handshaken = true;
+            if (p.pid < mx->pid) {
+                // mesh rule: we accept from lower pids; reply with our
+                // handshake (dialed peers got ours at connect)
+                enqueue_write(mx, p, make_handshake(mx, p.pid));
+            }
         }
         mx->cv.notify_all();
     }
@@ -174,10 +180,10 @@ void process_inbuf(Mesh* mx, Peer& p) {
     if (off) b.erase(b.begin(), b.begin() + off);
 }
 
-void loop_main(Mesh* mx) {
+void process_events(Mesh* mx, int timeout_ms) {
     epoll_event evs[64];
-    while (!mx->stopping) {
-        int n = epoll_wait(mx->epfd, evs, 64, 100);
+    {
+        int n = epoll_wait(mx->epfd, evs, 64, timeout_ms);
         for (int i = 0; i < n; i++) {
             int fd = evs[i].data.fd;
             if (fd == mx->wake_fds[0]) {
@@ -190,14 +196,10 @@ void loop_main(Mesh* mx) {
                     q.swap(mx->sendq);
                 }
                 for (auto& item : q) {
-                    int pfd;
-                    {
-                        std::lock_guard<std::mutex> lk(mx->mu);
-                        auto it = mx->fd_by_pid.find(item.first);
-                        if (it == mx->fd_by_pid.end()) continue;
-                        pfd = it->second;
-                    }
-                    auto pit = mx->peers_by_fd.find(pfd);
+                    std::lock_guard<std::mutex> lk(mx->mu);
+                    auto it = mx->fd_by_pid.find(item.first);
+                    if (it == mx->fd_by_pid.end()) continue;
+                    auto pit = mx->peers_by_fd.find(it->second);
                     if (pit != mx->peers_by_fd.end())
                         enqueue_write(mx, pit->second, std::move(item.second));
                 }
@@ -209,9 +211,12 @@ void loop_main(Mesh* mx) {
                     if (cfd < 0) break;
                     set_nonblock(cfd);
                     set_nodelay(cfd);
-                    Peer p;
-                    p.fd = cfd;
-                    mx->peers_by_fd[cfd] = std::move(p);
+                    {
+                        std::lock_guard<std::mutex> lk(mx->mu);
+                        Peer p;
+                        p.fd = cfd;
+                        mx->peers_by_fd[cfd] = std::move(p);
+                    }
                     epoll_event ev{};
                     ev.events = EPOLLIN;
                     ev.data.fd = cfd;
@@ -223,6 +228,7 @@ void loop_main(Mesh* mx) {
             if (it == mx->peers_by_fd.end()) continue;
             Peer& p = it->second;
             if (evs[i].events & EPOLLOUT) {
+                std::lock_guard<std::mutex> lk(mx->mu);
                 send_all_queued(mx, p);
                 if (p.outq.empty()) {
                     epoll_event ev{};
@@ -249,6 +255,16 @@ void loop_main(Mesh* mx) {
             }
         }
     }
+}
+
+void loop_main(Mesh* mx) {
+    // Background pump: runs only during connection setup.  Once the mesh
+    // is up, mx_wait_connected joins this thread and every send/receive
+    // pumps epoll inline on the protocol thread (asyncio-style single
+    // threading: no cross-thread wakeups, which cost 50-150 us per
+    // protocol round on a host running m party processes).
+    while (!mx->stopping && !mx->loop_exit)
+        process_events(mx, 100);
 }
 
 }  // namespace
@@ -355,10 +371,20 @@ void* mx_create(int pid, int m, const char** hosts, const int* ports,
 
 int mx_wait_connected(void* h, int timeout_ms) {
     auto* mx = static_cast<Mesh*>(h);
-    std::unique_lock<std::mutex> lk(mx->mu);
-    bool ok = mx->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
-                              [&] { return mx->connected >= mx->m - 1; });
-    return ok ? 0 : -1;
+    {
+        std::unique_lock<std::mutex> lk(mx->mu);
+        bool ok = mx->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                                  [&] { return mx->connected >= mx->m - 1; });
+        if (!ok) return -1;
+    }
+    // switch to single-threaded inline pumping (see loop_main)
+    mx->loop_exit = true;
+    uint8_t one = 1;
+    ssize_t r = write(mx->wake_fds[1], &one, 1);
+    (void)r;
+    if (mx->loop_thread.joinable()) mx->loop_thread.join();
+    mx->single = true;
+    return 0;
 }
 
 int mx_send(void* h, int peer, int64_t pc, const uint8_t* data,
@@ -369,8 +395,44 @@ int mx_send(void* h, int peer, int64_t pc, const uint8_t* data,
     memcpy(frame.data() + 8, &len, 4);
     if (len) memcpy(frame.data() + 12, data, len);
     {
-        std::lock_guard<std::mutex> lk(mx->mu);
+        std::unique_lock<std::mutex> lk(mx->mu);
         mx->nbytes_sent += len;
+        // direct-send fast path: write on the caller's thread when the
+        // peer is connected — saves a wake + thread hop per frame (the
+        // hop costs tens of microseconds per protocol round on a busy
+        // host).  Falls back to the queue + wake when not yet connected
+        // or when a partial write leaves bytes pending (EPOLLOUT armed
+        // here; the loop thread drains under the same mutex).
+        auto it = mx->fd_by_pid.find(peer);
+        if (it != mx->fd_by_pid.end()) {
+            auto pit = mx->peers_by_fd.find(it->second);
+            if (pit != mx->peers_by_fd.end() && pit->second.handshaken) {
+                Peer& p = pit->second;
+                int pfd = p.fd;
+                p.outq.push_back(std::move(frame));
+                send_all_queued(mx, p);
+                if (!p.outq.empty()) {
+                    epoll_event ev{};
+                    ev.events = EPOLLIN | EPOLLOUT;
+                    ev.data.fd = pfd;
+                    epoll_ctl(mx->epfd, EPOLL_CTL_MOD, pfd, &ev);
+                    if (mx->single) {
+                        // no background pump: flush inline so peers are
+                        // never starved if we exit without receiving
+                        while (true) {
+                            auto pit2 = mx->peers_by_fd.find(pfd);
+                            if (pit2 == mx->peers_by_fd.end() ||
+                                pit2->second.outq.empty())
+                                break;
+                            lk.unlock();
+                            process_events(mx, 1);
+                            lk.lock();
+                        }
+                    }
+                }
+                return 0;
+            }
+        }
         mx->sendq.emplace_back(peer, std::move(frame));
     }
     uint8_t one = 1;
@@ -385,8 +447,24 @@ int64_t mx_recv(void* h, int peer, int64_t pc, uint8_t* buf,
     auto* mx = static_cast<Mesh*>(h);
     std::unique_lock<std::mutex> lk(mx->mu);
     auto key = std::make_pair(peer, pc);
-    bool ok = mx->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
-                              [&] { return mx->msgs.count(key) > 0; });
+    bool ok = mx->msgs.count(key) > 0;
+    if (!ok && mx->single) {
+        // single-threaded mode: pump the event loop inline until the
+        // frame lands (asyncio-style; no cross-thread handoff)
+        auto deadline = std::chrono::steady_clock::now() +
+                        std::chrono::milliseconds(timeout_ms);
+        while (!ok) {
+            lk.unlock();
+            process_events(mx, 1);
+            lk.lock();
+            ok = mx->msgs.count(key) > 0;
+            if (!ok && std::chrono::steady_clock::now() > deadline)
+                return -1;
+        }
+    }
+    if (!ok)
+        ok = mx->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                             [&] { return mx->msgs.count(key) > 0; });
     if (!ok) return -1;
     auto& v = mx->msgs[key];
     int64_t n = static_cast<int64_t>(v.size());

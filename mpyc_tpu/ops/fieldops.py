@@ -248,8 +248,8 @@ class PrimeFieldCtx:
         element vs ~1-10 us through Python bigints.  Returns the
         canonical (..., L) uint32 limb result, or None when the kernel /
         field / representation is not covered (caller falls back)."""
-        if self.L > 2 or not (name in ('add', 'sub', 'neg', 'mul')
-                              or name.startswith('mulc_')):
+        if not (name in ('add', 'sub', 'neg', 'mul')
+                or name.startswith('mulc_')):
             return None
         from mpyc_tpu.ops import hostfield
         hf = hostfield.host_ctx(self)
@@ -271,8 +271,14 @@ class PrimeFieldCtx:
         elif name == 'neg':
             out = hf.neg(us[0])
         else:
-            c = int(name[5:])
-            out = hf.mulc(us[0], c * (1 << (32 * self.L)) % self.p)
+            out = hf.mulc_int(us[0], int(name[5:]))
+        n = 1
+        for s in batch:
+            n *= int(s)
+        if not _lazyjax.loaded() and n < 4096:
+            # jax-free plane, small batch: return the object rep so
+            # chained host ops skip the limb decode
+            return hf.obj_rep(out, batch)
         return hf.limb_rep(out, batch)
 
     # -- host fast path (small batches) --------------------------------------

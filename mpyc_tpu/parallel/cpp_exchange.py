@@ -152,7 +152,19 @@ class CppExchange:
     def send(self, peer, pc, payload: bytes):
         self.lib.mx_send(self._h, peer, pc, payload, len(payload))
 
-    def receive(self, peer, pc, timeout=120) -> bytes:
+    def receive(self, peer, pc, timeout=120, nbytes=None) -> bytes:
+        if nbytes:
+            # known frame size (native protocol rounds): one call, one
+            # buffer — skips the size-query round trip into the library
+            buf = ctypes.create_string_buffer(nbytes)
+            got = self.lib.mx_recv(self._h, peer, pc, buf, nbytes,
+                                   int(timeout * 1000))
+            if got >= 0:
+                return buf.raw[:int(got)]
+            if got == -1:
+                raise TimeoutError(
+                    f'no message from party {peer} with pc={pc} (native)')
+            # -2: larger than expected — fall through to the generic path
         n = self.lib.mx_recv(self._h, peer, pc, None, 0,
                              int(timeout * 1000))
         if n < 0:

@@ -225,7 +225,9 @@ class TcpExchange:
         self.nbytes_sent += len(payload)
         self._loop.call_soon_threadsafe(proto.send_frame, pc, payload)
 
-    def receive(self, peer_pid, pc, timeout=120):
+    def receive(self, peer_pid, pc, timeout=120, nbytes=None):
+        # nbytes (expected frame size) is a native-transport fast-path
+        # hint; the asyncio backend buffers whole frames anyway
         key = (peer_pid, pc)
         deadline = time.time() + timeout
         with self._cond:

@@ -146,6 +146,7 @@ class Runtime:
         self._rng = rng_mod.KeccakRNG()
         self._pipeline = 0
         self._nz_pool = {}  # field modulus -> verified-nonzero random shares
+        self._bit_pool = {}  # field modulus -> (bit-share array, offset)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -159,6 +160,8 @@ class Runtime:
         self._threshold = t
         if getattr(self, '_nz_pool', None):
             self._nz_pool.clear()  # pool entries are t-degree sharings
+        if getattr(self, '_bit_pool', None):
+            self._bit_pool.clear()
         if self.options.no_prss:
             self._prss_keys = {}
             return
@@ -270,6 +273,7 @@ class Runtime:
     def shutdown(self):
         """Shut down the runtime: close connections, log statistics."""
         self._nz_pool.clear()
+        self._bit_pool.clear()
         elapsed = time.time() - (self.start_time or time.time())
         nbytes = self.exchange.nbytes_sent if self.exchange else 0
         logger.info(f'Stop MPyC-TPU -- elapsed time: {elapsed:.4f}s '
@@ -434,8 +438,8 @@ class Runtime:
     def _send(self, peer, pc, data: bytes):
         self.exchange.send(peer, pc, data)
 
-    def _recv(self, peer, pc) -> bytes:
-        return self.exchange.receive(peer, pc)
+    def _recv(self, peer, pc, nbytes=None) -> bytes:
+        return self.exchange.receive(peer, pc, nbytes=nbytes)
 
     # -- share bookkeeping -------------------------------------------------
 
@@ -667,6 +671,17 @@ class Runtime:
             shares = xl
 
         pc = self._pc_next()
+        rec = self._output_native(field, shares, receivers, t, m, pc)
+        if rec is not None:
+            ys = rec
+            if self.pid in receivers:
+                if sctype is not None and not raw:
+                    conv = stype._output_conversion
+                    if conv is not None:
+                        ys = [conv(a) for a in ys]
+                elif sctype is not None and not is_arr:
+                    ys = [field(int(a.value[()])) for a in ys]
+            return ys if x_is_list else ys[0]
         # send share to <= t successors among receivers
         payload = None
         for peer in receivers:
@@ -713,7 +728,7 @@ class Runtime:
     def _hf(self, field):
         """Native host-field kernel context for a prime field (or None)."""
         if field.ext_deg != 1 or field.characteristic == 2 or \
-                field.modulus.bit_length() > 64:
+                field.modulus.bit_length() > 512:
             return None
         from mpyc_tpu.ops import hostfield
         from mpyc_tpu.ops.fieldops import prime_field_ctx
@@ -729,6 +744,75 @@ class Runtime:
         self._hf_ctr += 1
         return key, self._hf_ctr.to_bytes(12, 'little')
 
+    # below this size, native-kernel results re-enter the jax-free
+    # plane's object representation (chained small host ops then skip the
+    # limb decode); larger arrays stay in the limb rep the kernels use
+    _NATIVE_OBJ_N = 4096
+
+    def _hf_rep(self, hf, total):
+        from mpyc_tpu.utils import lazyjax as _lazyjax
+        if not _lazyjax.loaded() and total < self._NATIVE_OBJ_N:
+            return hf.obj_rep
+        return hf.limb_rep
+
+    def _hf_host_u64(self, hf, field_arrays):
+        """Concatenated uint64 Montgomery view of host field arrays, or
+        None when any lives on a non-CPU device / has an unsupported rep."""
+        us = []
+        for s in field_arrays:
+            if not isinstance(s, finfields.FiniteFieldArray):
+                return None  # scalar field elements: object path
+            d = s.data
+            if not isinstance(d, np.ndarray):
+                from mpyc_tpu.ops import fieldops as _fops
+                if not _fops._cpu_backend() or not hasattr(d, 'devices'):
+                    return None
+                d = np.asarray(d)
+            try:
+                us.append(hf.mont_u64(d))
+            except (TypeError, OverflowError):
+                return None
+        return us[0] if len(us) == 1 else np.concatenate(us)
+
+    def _output_native(self, field, shares, receivers, t, m, pc):
+        """Native-kernel open: wire marshal + Lagrange recombination at C
+        speed (wire format identical to the object path).  Returns the
+        list of recombined field arrays (or Nones for non-receivers), or
+        None when not applicable."""
+        hf = self._hf(field)
+        if hf is None:
+            return None
+        sec = self._hf_host_u64(hf, shares)
+        if sec is None:
+            return None
+        sizes = [s.size if s.shape else 1 for s in shares]
+        total = sum(sizes)
+        bl = field.byte_length
+        payload = None
+        for peer in receivers:
+            if 0 < (peer - self.pid) % m <= t:
+                if payload is None:
+                    payload = hf.to_wire(sec, bl)
+                self._send(peer, pc, payload)
+        if self.pid not in receivers:
+            return [None] * len(shares)
+        preds = [(self.pid - t + j) % m for j in range(t)]
+        xs = tuple(q + 1 for q in preds) + (self.pid + 1,)
+        vec = thresha._recombination_vector(field, xs, 0)
+        wires = [self._recv(q, pc, nbytes=total * bl) for q in preds]
+        acc = hf.recombine_rows(sec, int(vec[t]), wires,
+                                [int(v) for v in vec[:t]], total, bl)
+        rep = self._hf_rep(hf, total)
+        ys = []
+        off = 0
+        st = hf.stride
+        for s, sz in zip(shares, sizes):
+            u = acc[off * st:(off + sz) * st]
+            off += sz
+            shape = s.shape
+            ys.append(field.array.from_data(rep(u, shape)))
+        return ys
+
     def _reshare_native(self, xl, t, m, field, pc, uci):
         """One GRR98 round through the native C batch kernels
         (ops/hostfield.py): split + wire marshal + Lagrange recombine run
@@ -743,6 +827,8 @@ class Runtime:
             return None
         datas = []
         for xi in xl:
+            if not isinstance(xi, finfields.FiniteFieldArray):
+                return None  # scalar field elements: object path
             d = xi.data
             if not isinstance(d, np.ndarray):
                 from mpyc_tpu.ops import fieldops as _fops
@@ -766,33 +852,35 @@ class Runtime:
             except (TypeError, OverflowError):
                 return None
             key, nonce = self._hf_nonce()
-            coefs = hf.chacha_uniform(key, nonce, t * total)
-            rows = hf.split(sec, coefs, t, m)
+            own_row, wire = hf.reshare_send(sec, t, m, self.pid,
+                                            key, nonce, bl)
             for other in range(m):
-                if other == self.pid:
-                    own_row = rows[other]
-                else:
-                    self._send(other, pc, hf.to_wire(rows[other], bl))
+                if other != self.pid:
+                    self._send(other, pc, wire[other].tobytes())
 
         def complete():
             xs = tuple((uci + j) % m + 1 for j in range(2 * t + 1))
             vec = thresha._recombination_vector(field, xs, 0)
-            acc = np.zeros(total, np.uint64)
+            own_c = 0
+            wires = []
+            wire_cs = []
             for j in range(2 * t + 1):
                 peer = (uci + j) % m
-                c = int(vec[j])
                 if peer == self.pid:
-                    if own_row is not None:
-                        hf.axpy(acc, own_row, c)
+                    own_c = int(vec[j])
                 else:
-                    data = self._recv(peer, pc)
-                    hf.axpy_wire(acc, data, total, bl, c)
+                    wires.append(self._recv(peer, pc, nbytes=total * bl))
+                    wire_cs.append(int(vec[j]))
+            acc = hf.recombine_rows(own_row, own_c, wires, wire_cs,
+                                    total, bl)
+            rep = self._hf_rep(hf, total)
             ys = []
             off = 0
+            st = hf.stride
             for shape, sz in zip(shapes, sizes):
-                u = acc[off:off + sz]
+                u = acc[off * st:(off + sz) * st]
                 off += sz
-                ys.append(field.array.from_data(hf.limb_rep(u, shape)))
+                ys.append(field.array.from_data(rep(u, shape)))
             return ys
 
         if self._pipeline:
@@ -1179,8 +1267,6 @@ class Runtime:
             empty = field.array(np.array([], dtype=object))
             return sftype.array(empty) if is_sec else empty
 
-        m = len(self.parties)
-        t = self.threshold
         p = field.characteristic
         if p == 2:
             if self.options.no_prss:
@@ -1189,7 +1275,48 @@ class Runtime:
                     field, n, lambda: [secrets.randbits(1) for _ in range(n)])
             else:
                 bits = self._prss_bits_char2(field, n)
-        elif self.options.no_prss:
+        else:
+            if not getattr(self, 'is_simulator', False) and \
+                    n <= self._BIT_POOL_REFILL:
+                bits_pm1 = self._pooled_bits(field, n)
+            else:
+                bits_pm1 = self._random_bits_pm1(field, n)
+            if signed:
+                bits = bits_pm1
+            else:
+                ones = field.array(np.ones(n, dtype=object))
+                bits = (bits_pm1 + ones) >> 1  # map {-1,1} -> {0,1}
+        if f:
+            bits = bits << f
+        return sftype.array(bits) if is_sec else bits
+
+    # small random-bit draws are served from a per-field pool refilled in
+    # one batched round (each pooled bit is used once; same deterministic
+    # pop/refill sequence at every party, so pc-tagged rounds stay aligned)
+    _BIT_POOL_REFILL = 4096
+
+    def _pooled_bits(self, field, n):
+        """n secure +-1 bits from the per-field pool (refill batched)."""
+        pool, off = self._bit_pool.get(field.modulus, (None, 0))
+        if pool is None or pool.shape[-1] - off < n:
+            parts = []
+            have = 0
+            if pool is not None and pool.shape[-1] > off:
+                parts.append(pool[..., off:])
+                have = pool.shape[-1] - off
+            parts.append(self._random_bits_pm1(
+                field, n - have + self._BIT_POOL_REFILL))
+            pool = _concat_field(field, parts) if len(parts) > 1 else parts[0]
+            off = 0
+        self._bit_pool[field.modulus] = (pool, off + n)
+        return pool[..., off:off + n]
+
+    def _random_bits_pm1(self, field, n):
+        """n secure uniform +-1 values over odd-char field (the raw
+        protocol; reference runtime.py:4104-4273)."""
+        m = len(self.parties)
+        t = self.threshold
+        if self.options.no_prss:
             # Multiply t+1 uniformly random +-1 private inputs in log2(t+1)
             # resharing rounds (reference runtime.py:4142-4158).
             rows = self._np_input_rows(
@@ -1203,45 +1330,31 @@ class Runtime:
                 if len(rows) % 2:
                     prods.append(rows[-1])
                 rows = prods
-            bits_pm1 = rows[0]
-            if signed:
-                bits = bits_pm1
+            return rows[0]
+        prfs = self.prfs(field.order)
+        parts_r, parts_r2 = [], []
+        need = n
+        while need:
+            _r = thresha.np_pseudorandom_share(field, m, self.pid, prfs,
+                                               self._prss_uci(), need)
+            z = thresha.np_pseudorandom_share_0(field, m, self.pid, prfs,
+                                                self._prss_uci(), need)
+            r2_open = self.output(_r * _r + z, threshold=2 * t)
+            good = np.array([int(v) != 0
+                             for v in r2_open.value.reshape(-1)])
+            idx = np.nonzero(good)[0]
+            if len(idx) == need and not parts_r:
+                parts_r, parts_r2 = [_r], [r2_open]
+                need = 0
             else:
-                ones = field.array(np.ones(n, dtype=object))
-                bits = (bits_pm1 + ones) >> 1
-        else:
-            prfs = self.prfs(field.order)
-            parts_r, parts_r2 = [], []
-            need = n
-            while need:
-                _r = thresha.np_pseudorandom_share(field, m, self.pid, prfs,
-                                                   self._prss_uci(), need)
-                z = thresha.np_pseudorandom_share_0(field, m, self.pid, prfs,
-                                                    self._prss_uci(), need)
-                r2_open = self.output(_r * _r + z, threshold=2 * t)
-                good = np.array([int(v) != 0
-                                 for v in r2_open.value.reshape(-1)])
-                idx = np.nonzero(good)[0]
-                if len(idx) == need and not parts_r:
-                    parts_r, parts_r2 = [_r], [r2_open]
-                    need = 0
-                else:
-                    # keep only the good draws, retry the rest
-                    parts_r.append(_r[idx])
-                    parts_r2.append(r2_open[idx])
-                    need -= len(idx)
-            r = _concat_field(field, parts_r) if len(parts_r) > 1 else parts_r[0]
-            r2o = _concat_field(field, parts_r2) if len(parts_r2) > 1 \
-                else parts_r2[0]
-            bits_pm1 = r * r2o._sqrt_unchecked(INV=True)  # in {-1, +1}
-            if signed:
-                bits = bits_pm1
-            else:
-                ones = field.array(np.ones(n, dtype=object))
-                bits = (bits_pm1 + ones) >> 1  # map {-1,1} -> {0,1}
-        if f:
-            bits = bits << f
-        return sftype.array(bits) if is_sec else bits
+                # keep only the good draws, retry the rest
+                parts_r.append(_r[idx])
+                parts_r2.append(r2_open[idx])
+                need -= len(idx)
+        r = _concat_field(field, parts_r) if len(parts_r) > 1 else parts_r[0]
+        r2o = _concat_field(field, parts_r2) if len(parts_r2) > 1 \
+            else parts_r2[0]
+        return r * r2o._sqrt_unchecked(INV=True)  # in {-1, +1}
 
     def _prss_bits_char2(self, field, n):
         """Char-2 PRSS bits: direct PRF bits path (exact, on device)."""
@@ -2637,46 +2750,99 @@ class Runtime:
         r_divl = self._np_randoms(Zp, n, 1 << k)
         a_sh = self._logical_reshape(self._share(a), (n,))
         a_r = a_sh + ((1 << l) + r_modl)
-        c = self.output(a_r + (r_divl << l))         # public (n,)
-        c = c.mod_pow2(l)
-        z = c - a_r
-        c_bits_u = c.to_bits_public(l)               # uint32 (n, l)
-        c_bits = Zp.array.from_uint32(c_bits_u)      # public field (n, l)
-        xor = c_bits + rb - (c_bits * rb) * 2        # secure (P?, n, l)
+        c_full = self.output(a_r + (r_divl << l))    # public (n,)
+        nat = self._sgn_prepare_native(
+            Zp, c_full, rb, None if EQ else s_sign, n, l,
+            want_e=not EQ, want_x1=not LT)
+        if nat is not None:
+            # the whole between-rounds bit algebra ran as one C pass
+            E, X1, cl = nat
+            z = cl - a_r
+            if not EQ:
+                prod_e = self._prod_last_axis(E)
+                g = self._is_zero_public_dev(prod_e)
+                g_pm = Zp.array.from_uint32(
+                    np.where(np.asarray(g), np.uint32(1), np.uint32(0)))
+                h = s_sign - (s_sign * g_pm) * 2 + 3
+                z = (z + (h << (l - 1))) >> l
+            if not LT:
+                h_all = self._prod_last_axis(X1)
+                if EQ:
+                    z = h_all
+                else:
+                    z = (h_all - 1) * (z * 2 - 1)
+                    z = self._reshare(z)
+        else:
+            c = c_full.mod_pow2(l)
+            z = c - a_r
+            c_bits_u = c.to_bits_public(l)           # uint32 (n, l)
+            c_bits = Zp.array.from_uint32(c_bits_u)  # public field (n, l)
+            xor = c_bits + rb - (c_bits * rb) * 2    # secure (P?, n, l)
 
-        if not EQ:  # Toft trick, fully vectorized over the bit axis
-            last_ax = len(xor.shape) - 1
-            incl = xor.cumsum(axis=last_ax)                  # (P?, n, l)
-            total = incl[..., l - 1]                         # (P?, n)
-            total_col = self._logical_reshape(total, (n, 1))
-            suffix = total_col - incl          # sums[i] = sum_{j>i} xor_j
-            s_col = self._logical_reshape(s_sign, (n, 1))
-            e_bits = s_col + (rb - c_bits) + suffix * 3      # (P?, n, l)
-            e_last = self._logical_reshape(s_sign - 1 + total * 3, (n, 1))
-            E = _concat_axis(Zp, [e_bits, e_last], -1)       # (P?, n, l+1)
-            prod_e = self._prod_last_axis(E)
-            g = self._is_zero_public_dev(prod_e)     # bool (n,) host/device
-            xp = jnp if _lazyjax.is_jax_array(g) else np
-            g_pm = Zp.array.from_uint32(
-                xp.where(g, xp.uint32(1), xp.uint32(0)))     # 0/1 public
-            # h = 3 + s - 2*g*s
-            h = s_sign - (s_sign * g_pm) * 2 + 3
-            z = (z + (h << (l - 1))) >> l
+            if not EQ:  # Toft trick, fully vectorized over the bit axis
+                last_ax = len(xor.shape) - 1
+                incl = xor.cumsum(axis=last_ax)              # (P?, n, l)
+                total = incl[..., l - 1]                     # (P?, n)
+                total_col = self._logical_reshape(total, (n, 1))
+                suffix = total_col - incl     # sums[i] = sum_{j>i} xor_j
+                s_col = self._logical_reshape(s_sign, (n, 1))
+                e_bits = s_col + (rb - c_bits) + suffix * 3  # (P?, n, l)
+                e_last = self._logical_reshape(s_sign - 1 + total * 3,
+                                               (n, 1))
+                E = _concat_axis(Zp, [e_bits, e_last], -1)   # (P?, n, l+1)
+                prod_e = self._prod_last_axis(E)
+                g = self._is_zero_public_dev(prod_e)  # bool (n,)
+                xp = jnp if _lazyjax.is_jax_array(g) else np
+                g_pm = Zp.array.from_uint32(
+                    xp.where(g, xp.uint32(1), xp.uint32(0)))  # 0/1 public
+                # h = 3 + s - 2*g*s
+                h = s_sign - (s_sign * g_pm) * 2 + 3
+                z = (z + (h << (l - 1))) >> l
 
-        if not LT:
-            ones = Zp.array(np.ones(1, dtype=object))
-            h_all = self._prod_last_axis(ones - xor)  # (P?, n)
-            if EQ:
-                z = h_all
-            else:
-                z = (h_all - 1) * (z * 2 - 1)
-                z = self._reshare(z)
+            if not LT:
+                ones = Zp.array(np.ones(1, dtype=object))
+                h_all = self._prod_last_axis(ones - xor)  # (P?, n)
+                if EQ:
+                    z = h_all
+                else:
+                    z = (h_all - 1) * (z * 2 - 1)
+                    z = self._reshare(z)
 
         if f:
             z = z << f
         z = self._logical_reshape(z, shape) if shape else \
             self._logical_reshape(z, (1,))[..., 0]
         return self._wrap(stype, z, array=bool(shape), integral=True)
+
+    def _sgn_prepare_native(self, Zp, c_open, rb, s_sign, n, l,
+                            want_e, want_x1):
+        """One-pass native bit algebra for np_sgn (hfg_sgn_prepare):
+        returns (E, X1, cl) field arrays (None where not requested), or
+        None when the native path does not apply."""
+        if getattr(self, 'is_simulator', False) or l > 64 or n == 0:
+            return None
+        hf = self._hf(Zp)
+        if hf is None:
+            return None
+        flats = []
+        for a in (c_open, rb) + ((s_sign,) if s_sign is not None else ()):
+            if not isinstance(a, finfields.FiniteFieldArray) or \
+                    not isinstance(a.data, np.ndarray):
+                return None
+            try:
+                flats.append(hf.mont_u64(a.data))
+            except (TypeError, OverflowError):
+                return None
+        from mpyc_tpu.ops import hostfield as _hfm
+        sf = flats[2] if s_sign is not None else None
+        E, X1, cl = _hfm.sgn_prepare(hf, flats[0], flats[1], sf, n, l,
+                                     want_e, want_x1)
+        rep = self._hf_rep(hf, n * (l + 1))
+        acls = Zp.array
+        return (acls.from_data(rep(E, (n, l + 1))) if E is not None
+                else None,
+                acls.from_data(rep(X1, (n, l))) if X1 is not None else None,
+                acls.from_data(rep(cl, (n,))))
 
     def _prod_last_axis(self, s):
         """Secure product along the last logical axis (log depth, reshared)."""
@@ -2705,8 +2871,8 @@ class Runtime:
             K = 32
             rs = self._np_randoms(field, 2 * K)
             r, s = rs[..., :K], rs[..., K:]
-            prod = self._reshare(r * s)
-            opened = self.output(prod, threshold=self.threshold)
+            # degree-2t product opened directly: ONE round per refill
+            opened = self.output(r * s, threshold=2 * self.threshold)
             vals = opened.value.reshape(-1)
             pool = [r[..., i] for i in range(K) if int(vals[i]) != 0]
             self._nz_pool[field.modulus] = pool
@@ -2730,8 +2896,10 @@ class Runtime:
         pad = len(share.shape) - len(r.shape)
         if pad:
             r = r.reshape(r.shape + (1,) * pad)
-        b = self._reshare(share * r)
-        c = self.output(b, threshold=self.threshold)
+        # open the degree-2t blinded product directly (threshold 2t, no
+        # degree reduction — reference runtime.py:879-929): ONE round
+        b = share * r
+        c = self.output(b, threshold=2 * self.threshold)
         return c.field.array.ctx.is_zero(c.data)
 
     def sgn(self, a, l=None, LT=False, EQ=False):
@@ -4336,7 +4504,7 @@ def _field_det_public(field, arr):
 def _concat_field(field, arrays):
     """Concatenate 1-D field arrays (numpy-aware: host data stays host)."""
     from mpyc_tpu.utils.lazyjax import jnp
-    datas = [a.data for a in arrays]
+    datas = finfields._unify_host_reps([a.data for a in arrays])
     xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp
     return field.array.from_data(xp.concatenate(datas, axis=0))
 
@@ -4344,7 +4512,7 @@ def _concat_field(field, arrays):
 def _concat_axis(field, arrays, axis):
     """Concatenate field arrays along a logical axis (negative = from end)."""
     from mpyc_tpu.utils.lazyjax import jnp
-    datas = [a.data for a in arrays]
+    datas = finfields._unify_host_reps([a.data for a in arrays])
     nd_elem = field.array._elem_ndim
     ax = axis if axis >= 0 else axis - nd_elem
     xp = np if all(isinstance(d, np.ndarray) for d in datas) else jnp

@@ -354,6 +354,12 @@ class DevicePRF:
         n = prod(shape) if shape else 1
         l = max(self.byte_length, 1)
         if 0 < n <= _host_prf_n() and l <= keccak.RATE:
+            hf = _native_hf(field)
+            if hf is not None:
+                # native C fold of the counter-block stream
+                vals = _native_prf_vals(hf, self, s, n)
+                return field.array.from_data(
+                    _native_rep(hf, vals, tuple(shape)))
             # Small protocol draws: C-speed sponge + Python-int reduction,
             # Montgomery int views seeded so downstream host-plane ops
             # never decode limbs. Bit-identical with the device reduction.
@@ -430,10 +436,57 @@ def _mask_bits(wide, k: int):
     return jnp.stack(cols, axis=-1).reshape(wide.shape)
 
 
+def _native_hf(field):
+    """Native host-field facade for a prime field, or None."""
+    if field.characteristic == 2 or field.ext_deg != 1 or \
+            field.modulus.bit_length() > 512:
+        return None
+    from mpyc_tpu.ops import hostfield
+    return hostfield.host_ctx(prime_field_ctx(field.modulus))
+
+
+def _native_rep(hf, flat, shape):
+    """Native flat mont array -> host field data in the plane's rep."""
+    import sys
+    n = prod(shape) if shape else 1
+    if 'jax' not in sys.modules and n < 4096:
+        return hf.obj_rep(flat, shape)
+    return hf.limb_rep(flat, shape)
+
+
+def _prf_mask_bits(prf):
+    """mask_bits argument of the native PRF fold for a PRF's bound."""
+    if not getattr(prf, 'is_pow2', False):
+        return -1
+    if prf.max == 1:
+        return 0
+    return (prf.max - 1).bit_length()
+
+
+def _native_prf_vals(hf, prf, uci: bytes, count: int):
+    """PRF values as native mont residues (the _host_mont_vals stream
+    convention, folded at C speed)."""
+    l = max(prf.byte_length, 1)
+    blocks = np.asarray(keccak.shake128_ctr_blocks(
+        prf.key + uci, max(rng_mod.blocks_needed(count, l), 1)))
+    raw = np.frombuffer(blocks.astype('<u4').tobytes(), np.uint8)
+    return hf.prf_fold(raw, count, l, keccak.RATE, _prf_mask_bits(prf))
+
+
 def np_pseudorandom_share(field, m, i, prfs, uci: bytes, n):
     """Party i's PRSS shares of n pseudorandom secrets, on device."""
     if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1):
+        hf = _native_hf(field)
+        if hf is not None and all(max(prf.byte_length, 1) <= keccak.RATE
+                                  for prf in prfs.values()):
+            # native path: C-kernel PRF fold + weighted accumulate
+            acc = None
+            for S, prf_S in prfs.items():
+                f = int(_f_S_i(field, m, i, S))
+                term = hf.mulc_int(_native_prf_vals(hf, prf_S, uci, n), f)
+                acc = term if acc is None else hf.add(acc, term)
+            return field.array.from_data(_native_rep(hf, acc, (n,)))
         # host-int fast path: one fused weighted sum over all key subsets
         # (scalar coefficients keep the Montgomery domain), one encode
         ctx = prime_field_ctx(field.modulus)
@@ -477,6 +530,30 @@ def np_pseudorandom_share_0(field, m, i, prfs, uci: bytes, n):
     i1 = i + 1
     if (0 < n <= _host_prf_n() and field.characteristic != 2
             and field.ext_deg == 1):
+        hf = _native_hf(field)
+        if hf is not None and all(max(prf.byte_length, 1) <= keccak.RATE
+                                  for prf in prfs.values()):
+            # native path: C-kernel PRF fold + per-subset Horner in i+1
+            acc = None
+            st = hf.stride
+            for S, prf_S in prfs.items():
+                f = int(_f_S_i(field, m, i, S))
+                d = m - len(S)
+                if d == 0:      # m == 1, t == 0: zero-sharing is 0
+                    continue
+                vals = _native_prf_vals(hf, prf_S, uci, n * d)
+                cols = vals.reshape(n, d * st)
+                y = np.ascontiguousarray(cols[:, :st]).reshape(-1)
+                for k in range(1, d):
+                    vk = np.ascontiguousarray(
+                        cols[:, k * st:(k + 1) * st]).reshape(-1)
+                    y = hf.add(hf.mulc_int(y, i1), vk)
+                y = hf.mulc_int(y, i1 * f)
+                acc = y if acc is None else hf.add(acc, y)
+            if acc is None:
+                acc = np.zeros(n * st,
+                               np.uint64 if st == 1 else np.uint32)
+            return field.array.from_data(_native_rep(hf, acc, (n,)))
         ctx = prime_field_ctx(field.modulus)
         p = ctx.p
         acc = 0

@@ -136,6 +136,66 @@ def test_chacha_rfc8439_block():
     assert out[64:128].tobytes() == exp  # counter-1 block (we start at 0)
 
 
+@pytest.mark.parametrize('bits', [68, 96, 160, 335])
+def test_generic_width_kernels(bits):
+    """CIOS generic-limb kernels (fields beyond 64 bits: fxp/SecInt(64)/
+    multilateration widths), bit-exact vs Python ints."""
+    p, hf = _hf(bits)
+    L = hf.L
+    assert hf.stride == L
+    R = 1 << (32 * L)
+    rnd = np.random.default_rng(bits)
+    n = 400
+    a = [int.from_bytes(rnd.bytes(L * 4), 'little') % p for _ in range(n)]
+    b = [int.from_bytes(rnd.bytes(L * 4), 'little') % p for _ in range(n)]
+
+    def enc(vals):
+        out = np.empty(len(vals) * L, np.uint32)
+        for i, v in enumerate(vals):
+            mv = v * R % p
+            for j in range(L):
+                out[i * L + j] = (mv >> (32 * j)) & 0xFFFFFFFF
+        return out
+
+    def dec(flat):
+        out = []
+        Rinv = pow(R, -1, p)
+        for i in range(len(flat) // L):
+            v = sum(int(flat[i * L + j]) << (32 * j) for j in range(L))
+            out.append(v * Rinv % p)
+        return out
+
+    am, bm = enc(a), enc(b)
+    assert dec(hf.mul(am, bm)) == [x * y % p for x, y in zip(a, b)]
+    assert dec(hf.add(am, bm)) == [(x + y) % p for x, y in zip(a, b)]
+    assert dec(hf.sub(am, bm)) == [(x - y) % p for x, y in zip(a, b)]
+    assert dec(hf.neg(am)) == [-x % p for x in a]
+    assert dec(hf.mulc_int(am, 98765)) == [x * 98765 % p for x in a]
+    # wire roundtrip matches the object-plane marshaling
+    F = finfields.GF(p)
+    bl = F.byte_length
+    wire = hf.to_wire(am, bl)
+    assert wire == F.to_bytes(a)
+    assert (hf.from_wire(wire, n, bl) == am).all()
+    # stream fold exactness
+    l = hf._uniform_l
+    stream = rnd.integers(0, 256, n * l, dtype=np.int64).astype(np.uint8)
+    raw = stream.tobytes()
+    got = dec(hf.stream_uniform(stream, n))
+    assert got == [int.from_bytes(raw[i * l:(i + 1) * l], 'little') % p
+                   for i in range(n)]
+    # fused reshare send + recombine cycle (t=1, m=3)
+    t, m = 1, 3
+    own, wire3 = hf.reshare_send(am, t, m, 1, b'\x07' * 32, b'nonce-g-0001',
+                                 bl)
+    # rows: party0 from wire, party1 own (mont), recombine at x=1,2
+    from mpyc_tpu import thresha
+    vec = thresha._recombination_vector(F, (1, 2), 0)
+    acc = hf.recombine_rows(own, int(vec[1]), [wire3[0]], [int(vec[0])],
+                            n, bl)
+    assert (acc == am).all()
+
+
 MP_SCRIPT = r"""
 import sys
 sys.path.insert(0, %r)
@@ -144,7 +204,7 @@ from mpyc_tpu.runtime import mpc
 
 mpc.run(mpc.start())
 secint = mpc.SecInt(32)
-n = 5000   # above the native-path cutoff (runtime._NATIVE_MIN)
+n = 5000   # above the large-batch native cutoffs
 vals = np.arange(n, dtype=object)
 other = ((vals * 7) + 3) %% 1001
 A = mpc.input(secint.array(vals), senders=0)
@@ -156,6 +216,29 @@ assert (got == vals * other + vals).all(), 'native-path mul/add mismatch'
 E = mpc.np_multiply(C, B)          # chained second round
 got2 = np.asarray(mpc.run(mpc.output(E)))
 assert (got2 == vals * other * other).all(), 'chained native round mismatch'
+
+# comparisons over the native sgn path (fused hfg_sgn_prepare + pooled
+# random bits), small arrays + scalars
+sm = np.array([-5, -1, 0, 1, 3, -8000, 8000, 2], dtype=object)
+S = mpc.input(secint.array(sm), senders=2)
+lt = np.asarray(mpc.run(mpc.output(mpc.np_sgn(S, LT=True))))
+assert (lt == (sm.astype(np.int64) < 0)).all(), 'native sgn LT mismatch'
+sg = np.asarray(mpc.run(mpc.output(mpc.np_sgn(S))))
+assert (sg == np.sign(sm.astype(np.int64))).all(), 'native sgn mismatch'
+eq = np.asarray(mpc.run(mpc.output(mpc.np_sgn(S, EQ=True))))
+assert (eq == (sm.astype(np.int64) == 0)).all(), 'native sgn EQ mismatch'
+x = mpc.input(secint(-7), senders=0)
+y = mpc.input(secint(5), senders=1)
+assert mpc.run(mpc.output(x < y)) == 1, 'scalar lt mismatch'
+
+# fixed-point (68-bit field: generic-width native kernels)
+secfxp = mpc.SecFxp(24, 12)
+fv = np.array([1.5, -2.25, 0.0, 3.0], dtype=float)
+Fv = mpc.input(secfxp.array(fv), senders=0)
+prod = np.asarray(mpc.run(mpc.output(mpc.np_multiply(Fv, Fv))))
+assert np.allclose(prod, fv * fv, atol=2**-11), 'fxp square mismatch'
+flt = np.asarray(mpc.run(mpc.output(mpc.np_less(Fv, 0))))
+assert (flt == (fv < 0)).all(), 'fxp less mismatch'
 mpc.run(mpc.shutdown())
 print('HF-MP-OK', mpc.pid)
 """
