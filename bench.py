@@ -246,6 +246,48 @@ def bench_secure_cmp():
     return n / dt, None
 
 
+def bench_secure_cmp64():
+    """End-to-end mpc.np_sgn(LT) comparisons/s at m=3, t=1 for
+    SecInt(64) — the 'l <= 62 cap lifted' artifact: the same fused
+    whole-protocol kernel over the 96-bit (3-limb) field
+    (models/pipelines.py make_sgn_step; reference protocol
+    mpyc/runtime.py:3622-3693).  Cache-cold this pays a one-time ~5 min
+    remote compile (tools/warm_caches.py seeds it at install)."""
+    from mpyc_tpu.runtime import _Options
+    from mpyc_tpu.parallel.simulator import SimRuntime
+
+    rt = SimRuntime(3, _Options())
+    rt._wire_modules()
+    rt.start()
+    secint = rt.SecInt(64)
+
+    on_tpu = jax.default_backend() not in ('cpu',)
+    if not on_tpu:
+        return None, 'needs TPU (multi-limb fused comparison)'
+    # in-run correctness incl. values beyond 32 bits
+    small = np.array([-5, -1, 0, 1, 3, -(1 << 62), (1 << 62) - 1,
+                      (1 << 40) + 7], dtype=object)
+    S = rt.input(secint.array(small))[0]
+    got = np.asarray(rt.output(rt.np_sgn(S, LT=True)))
+    if not (got == np.array([int(v) < 0 for v in small])).all():
+        return None, 'secure_cmp64 mismatch'
+
+    n = 1 << 18
+    vals = ((np.arange(n, dtype=np.int64) % 13) - 6).astype(object)
+    X = rt.input(secint.array(vals))[0]
+    Z = rt.np_sgn(X, LT=True)
+    np.asarray(Z.share.data[:1, :1, :1])     # sync: compile done
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            Z = rt.np_sgn(X, LT=True)
+        np.asarray(Z.share.data[:1, :1, :1])
+        trials.append((time.perf_counter() - t0) / 3)
+    dt = sorted(trials)[2]
+    return n / dt, None
+
+
 def bench_party_plane():
     """Deployment-plane secure mul ops/s: 3 real localhost TCP processes
     (the reference's trust model, mpyc/runtime.py:5156-5193), via
@@ -333,6 +375,14 @@ def main():
             out["secure_cmp_error"] = err4
     except Exception as e:
         out["secure_cmp_error"] = str(e)
+    try:
+        cmp64_ops, err5 = bench_secure_cmp64()
+        if cmp64_ops is not None:
+            out["secure_cmp_secint64_ops_s"] = round(cmp64_ops)
+        elif err5:
+            out["secure_cmp64_skip"] = err5
+    except Exception as e:
+        out["secure_cmp64_error"] = str(e)[:200]
     try:
         import subprocess
         here = os.path.dirname(os.path.abspath(__file__))

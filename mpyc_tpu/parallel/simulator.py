@@ -467,11 +467,22 @@ class SimRuntime(Runtime):
             n *= int(s)
         L = sh.data.shape[-1]
         data = sh.data.reshape(m, n, L)
-        if n > self._SGN_CHUNK:
-            outs = [self._sgn_fused_flat(stype, data[:, j0:j0 + self._SGN_CHUNK],
-                                         l, LT, EQ)
-                    for j0 in range(0, n, self._SGN_CHUNK)]
-            out = jnp.concatenate(outs, axis=1)
+        # multi-limb fields (> 64-bit, e.g. SecInt(64)'s 96-bit field):
+        # the whole-protocol compile grows steeply with the bucket size
+        # (n=1024 ~5 min through the remote service, n=4096 >20 min), so
+        # larger batches chunk through the single 1024-wide program —
+        # bounded first-compile, throughput amortized over chunks
+        chunk = self._SGN_CHUNK if L <= 2 else 1024
+        if n > chunk:
+            # slice chunks on the host: device-side slicing would emit
+            # one eager slice program per distinct offset (each a
+            # multi-second compile through a remote-attached backend)
+            host = np.asarray(data)
+            outs = [np.asarray(self._sgn_fused_flat(
+                        stype, jnp.asarray(host[:, j0:j0 + chunk]),
+                        l, LT, EQ))
+                    for j0 in range(0, n, chunk)]
+            out = jnp.asarray(np.concatenate(outs, axis=1))
         else:
             out = self._sgn_fused_flat(stype, data, l, LT, EQ)
         if shape:

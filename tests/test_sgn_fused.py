@@ -16,13 +16,33 @@ from mpyc_tpu import gmpy
 from mpyc_tpu.runtime import _Options
 
 
+def _make_sim(sec_param=None):
+    from mpyc_tpu.parallel.simulator import SimRuntime
+    opts = _Options()
+    if sec_param is not None:
+        opts.sec_param = sec_param
+    return SimRuntime(3, opts)
+
+
 @pytest.fixture
 def sim(request):
-    from mpyc_tpu.parallel.simulator import SimRuntime
     old = sectypes.runtime
-    opts = _Options()
-    opts.sec_param = 8
-    rt = SimRuntime(3, opts)
+    rt = _make_sim(sec_param=8)   # tiny k keeps the CPU compiles short
+    sectypes.runtime = rt
+    asyncoro.runtime = rt
+    rt.start()
+    yield rt
+    rt.shutdown()
+    sectypes.runtime = old
+
+
+@pytest.fixture
+def sim_default_k(request):
+    """Default sec_param (k=30): the TPU-gated tests must ride the
+    kernels tools/warm_caches.py seeds (the compile key includes k, so a
+    test-only k would force a fresh ~5-10 min remote compile)."""
+    old = sectypes.runtime
+    rt = _make_sim()
     sectypes.runtime = rt
     asyncoro.runtime = rt
     rt.start()
@@ -75,11 +95,12 @@ def test_sgn_fused_matches_eager(sim):
     assert eager == fused
 
 
-def test_sgn_secint64_routed(sim):
+def test_sgn_secint64_routed(sim_default_k):
     """SecInt(64) comparisons through np_sgn on whatever plane the backend
     routes to (CPU: eager host plane — the fused graph is TPU-only there;
-    TPU: the whole-protocol Pallas kernel)."""
-    mpc = sim
+    TPU: the whole-protocol Pallas kernel).  Default sec_param so the TPU
+    run rides the kernels tools/warm_caches.py seeds."""
+    mpc = sim_default_k
     secint = mpc.SecInt(64)
     big = 1 << 62
     vals = [-big, -(1 << 33), -1, 0, 1, (1 << 33) + 5, big - 1, 42]
@@ -99,11 +120,11 @@ needs_tpu = pytest.mark.skipif(
 
 
 @needs_tpu
-def test_sgn_fused_secint64_tpu(sim):
+def test_sgn_fused_secint64_tpu(sim_default_k):
     """Bit-exact fused SecInt(64) sgn on the TPU (the l <= 62 cap is
     lifted): the whole-protocol kernel handles multi-limb fields and
     values straddling limb boundaries."""
-    mpc = sim
+    mpc = sim_default_k
     secint = mpc.SecInt(64)
     big = 1 << 62
     rnd = np.random.default_rng(7)
@@ -118,10 +139,10 @@ def test_sgn_fused_secint64_tpu(sim):
 
 
 @needs_tpu
-def test_sgn_fused_secfxp64_tpu(sim):
+def test_sgn_fused_secfxp64_tpu(sim_default_k):
     """SecFxp(64, 32) less-than through the fused comparison (f-shifted
     output bit)."""
-    mpc = sim
+    mpc = sim_default_k
     secfxp = mpc.SecFxp(64, 32)
     vals = [-2.5, -0.25, 0.0, 0.5, 3.75, -1024.0, 1024.0, 7.0]
     x = _device_input(mpc, secfxp, vals)

@@ -58,6 +58,35 @@ def warm_runtime(quick):
         rt.output(rt.np_sgn(X, LT=True))
         rt.output(rt.np_sgn(X))
         log(f'sgn buckets n={n}: {time.time()-t0:.1f}s')
+    if not quick:
+        # SecInt(64)/SecFxp(64:32) fused comparisons (96-bit field, 3
+        # uint32 limbs): each bucket is a one-time ~5 min compile through
+        # the remote service; seeding here makes the TPU-gated tests
+        # (tests/test_sgn_fused.py) and the bench metric run warm
+        # one 1024-wide program per mode serves every batch size (larger
+        # batches chunk through it, parallel/simulator._np_sgn_fused)
+        secint64 = rt.SecInt(64)
+        vals = ((np.arange(1024, dtype=np.int64) % 13) - 6).astype(object)
+        X = rt.input(secint64.array(vals))[0]
+        t0 = time.time()
+        rt.output(rt.np_sgn(X, LT=True))
+        log(f'secint64 LT bucket: {time.time()-t0:.1f}s')
+        t0 = time.time()
+        rt.output(rt.np_sgn(X))
+        log(f'secint64 sgn bucket: {time.time()-t0:.1f}s')
+        # chunked-path programs (tail pad + host-slice upload shapes)
+        vals = ((np.arange(2080, dtype=np.int64) % 13) - 6).astype(object)
+        X2 = rt.input(secint64.array(vals))[0]
+        t0 = time.time()
+        rt.output(rt.np_sgn(X2))
+        rt.output(rt.np_sgn(X2, LT=True))
+        log(f'secint64 chunked shapes: {time.time()-t0:.1f}s')
+        secfxp64 = rt.SecFxp(64, 32)
+        vals = [float(v) for v in range(-4, 4)]
+        X = rt.input(secfxp64.array(np.array(vals)))[0]
+        t0 = time.time()
+        rt.output(rt.np_less(X, 0))
+        log(f'secfxp64:32 less bucket: {time.time()-t0:.1f}s')
     rt.shutdown()
 
 
