@@ -296,10 +296,15 @@ def bench_party_plane():
     the TPU."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    # the party plane is the host-CPU native-kernel plane: it must NOT
+    # inherit this process's TPU pin (3 processes cannot share the chip,
+    # and device-resident shares would bypass the native C round path)
+    env.pop('MPYC_TPU_PARTY_DEVICE', None)
     out = subprocess.run(
         [sys.executable, os.path.join(here, 'tools', 'bench_party.py'),
          '-M3', '-n', '20'],
-        capture_output=True, text=True, timeout=280)
+        capture_output=True, text=True, timeout=280, env=env)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith('{'):
@@ -338,6 +343,25 @@ def bench_scaling_rows():
 
 
 def main():
+    # np_sha3 runs in a SUBPROCESS: do it before any in-process runtime
+    # holds the (tunnelled) chip — measured 17 ms/digest in isolation vs
+    # 136 ms when sharing the tunnel with the parent's live buffers
+    sha3_row = None
+    try:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, 'demos', 'np_sha3.py'),
+             '-M3', '--sim', '-b', '256', '--bench'],
+            capture_output=True, text=True, timeout=580,
+            cwd=os.path.join(here, 'demos'))
+        for line in r.stdout.splitlines():
+            if line.strip().startswith('{'):
+                row = json.loads(line)
+                if row.get('ok'):
+                    sha3_row = row['np_sha3_ms_per_digest']
+    except Exception as e:
+        sha3_row = ('error', str(e)[:200])
     mul_ops, err = bench_secure_mul()
     sr_ops, err2 = (None, None)
     try:
@@ -383,22 +407,10 @@ def main():
             out["secure_cmp64_skip"] = err5
     except Exception as e:
         out["secure_cmp64_error"] = str(e)[:200]
-    try:
-        import subprocess
-        here = os.path.dirname(os.path.abspath(__file__))
-        r = subprocess.run(
-            [sys.executable, os.path.join(here, 'demos', 'np_sha3.py'),
-             '-M3', '--sim', '-b', '256', '--bench'],
-            capture_output=True, text=True, timeout=580,
-            cwd=os.path.join(here, 'demos'))
-        for line in r.stdout.splitlines():
-            if line.strip().startswith('{'):
-                row = json.loads(line)
-                if row.get('ok'):
-                    out["np_sha3_ms_per_digest_b256"] = \
-                        row['np_sha3_ms_per_digest']
-    except Exception as e:
-        out["np_sha3_error"] = str(e)[:200]
+    if isinstance(sha3_row, tuple):
+        out["np_sha3_error"] = sha3_row[1]
+    elif sha3_row is not None:
+        out["np_sha3_ms_per_digest_b256"] = sha3_row
     try:
         party = bench_party_plane()
         out["party_plane_mul_m3_ops_s"] = party['party_plane_mul_ops_s']

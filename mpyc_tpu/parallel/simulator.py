@@ -476,13 +476,16 @@ class SimRuntime(Runtime):
         if n > chunk:
             # slice chunks on the host: device-side slicing would emit
             # one eager slice program per distinct offset (each a
-            # multi-second compile through a remote-attached backend)
+            # multi-second compile through a remote-attached backend).
+            # Chunk outputs stay on device and concatenate in one op, so
+            # dispatches pipeline without a per-chunk host sync.
             host = np.asarray(data)
-            outs = [np.asarray(self._sgn_fused_flat(
+            outs = [self._sgn_fused_flat(
                         stype, jnp.asarray(host[:, j0:j0 + chunk]),
-                        l, LT, EQ))
+                        l, LT, EQ)
                     for j0 in range(0, n, chunk)]
-            out = jnp.asarray(np.concatenate(outs, axis=1))
+            out = jnp.concatenate(outs, axis=1) if len(outs) > 1 \
+                else outs[0]
         else:
             out = self._sgn_fused_flat(stype, data, l, LT, EQ)
         if shape:
