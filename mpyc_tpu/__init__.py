@@ -68,9 +68,8 @@ def enable_compile_cache(probe_backend=True):
         import jax
         if probe_backend and jax.default_backend() == 'cpu':
             return
-        _populate_cache_from_seed()
-        cache_dir = os.path.join(
-            os.path.expanduser('~'), '.cache', 'mpyc_tpu', 'xla')
+        from mpyc_tpu.utils import tracecache
+        cache_dir = os.path.join(tracecache.cache_root(), 'xla')
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         # cache everything: protocol trees emit many sub-second programs
@@ -79,42 +78,6 @@ def enable_compile_cache(probe_backend=True):
         _cache_enabled = True
     except Exception:   # never block startup on cache setup
         pass
-
-
-def _populate_cache_from_seed():
-    """Copy repo-committed cache seeds into the user cache (once).
-
-    ``<repo>/.cache_seed/{trace,xla}`` holds the pre-compiled artifacts
-    of the flagship demo path (np_aes -b 64: trace exports + TPU
-    executables), built by ``tools/build_cache_seed.py``.  A true-cold
-    first run otherwise pays ~150 s of remote compiles; with the seed it
-    starts at warm speed.  Entries already present in the user cache are
-    never overwritten."""
-    import os
-    import shutil
-    if os.getenv('MPYC_TPU_NO_SEED'):
-        return   # cold-start measurement / seed (re)builds
-    seed_root = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), '.cache_seed')
-    if not os.path.isdir(seed_root):
-        return
-    dst_root = os.path.join(os.path.expanduser('~'), '.cache', 'mpyc_tpu')
-    for sub in ('trace', 'xla'):
-        src = os.path.join(seed_root, sub)
-        if not os.path.isdir(src):
-            continue
-        dst = os.path.join(dst_root, sub)
-        os.makedirs(dst, exist_ok=True)
-        for name in os.listdir(src):
-            target = os.path.join(dst, name)
-            if not os.path.exists(target):
-                try:
-                    os.link(os.path.join(src, name), target)
-                except OSError:
-                    try:
-                        shutil.copy2(os.path.join(src, name), target)
-                    except OSError:
-                        pass
 
 
 if __import__('os').getenv('MPYC_TPU_CACHE') == '1':

@@ -1533,8 +1533,11 @@ class PrimeFieldArray(FiniteFieldArray):
             return res
         d = self._data
         if isinstance(d, np.ndarray) and (d.size <= 4096
-                                          or d.dtype == object):
+                                          or d.dtype == object
+                                          or not _lazyjax.loaded()):
             # host fast path: Montgomery sums are plain modular sums
+            # (the jax-free plane serves EVERY size: one big reduction
+            # must not pull in the jax import + XLA-CPU compiles)
             ctx = self.ctx
             vals = limb.limbs_to_ints(d)  # object ints, Montgomery domain
             s = vals.sum() if axis is None else vals.sum(axis % self.ndim)
@@ -1562,7 +1565,8 @@ class PrimeFieldArray(FiniteFieldArray):
         ax = axis % self.ndim
         d = self._data
         if isinstance(d, np.ndarray) and (d.size <= 4096
-                                          or d.dtype == object):
+                                          or d.dtype == object
+                                          or not _lazyjax.loaded()):
             vals = limb.limbs_to_ints(d)  # Montgomery ints (linear in sums)
             cs = np.cumsum(vals, axis=ax)
             out = np.vectorize(lambda v: int(v) % ctx.p, otypes=[object])(

@@ -1,25 +1,24 @@
-"""Build the repo-committed compile-cache seed for the flagship demo path.
+"""(Re)build the repo-committed compile-cache seed at <repo>/.cache_seed.
 
-Runs `np_aes -M3 --sim -b 64` (and the default secure-mul/comparison
-buckets it rides on) under a scratch HOME with a cold cache, so exactly
-the artifacts that run needs are produced, then copies them into
-`<repo>/.cache_seed/{trace,xla}`.  `mpyc_tpu.enable_compile_cache()`
-hard-links the seed into `~/.cache/mpyc_tpu` on first use, so a true-cold
-container starts the flagship demo at warm speed (target: np_aes -b 64
-<= 30 s nothing-seeded; was ~150 s of remote compiles).
+The persistent caches live REPO-LOCAL by default (utils/tracecache.py
+cache_root): the compile-cache keys — local persistent cache AND the
+remote compile service's — hash the compile options, which embed the
+cache-dir path, so a per-HOME path made every fresh container a full
+miss (measured: np_aes -b 64 cold ~190 s vs warm ~31 s).  With the
+stable repo path, artifacts committed here start true-cold containers at
+warm speed.
 
-Artifacts are keyed by a salt over {pipelines,keccak,limb}.py + the jax
-version + backend (utils/tracecache.py), so the seed must be rebuilt
-after editing those files: `python tools/build_cache_seed.py`.
+This tool populates the seed by running the flagship workloads (np_aes,
+np_sha3, the default secure-mul/comparison buckets incl. SecInt(64))
+against the repo cache dir, then prints its size.  Trace exports are
+path-independent and salted on {pipelines,keccak,limb}.py — rebuild the
+seed after editing those files.
 
-Also prints the measured cold wall time — the honest "true cold start"
-number for STATUS.md.
+Usage: python tools/build_cache_seed.py [--quick]
 """
 import os
-import shutil
 import subprocess
 import sys
-import tempfile
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -27,35 +26,37 @@ REPO = os.path.dirname(HERE)
 SEED = os.path.join(REPO, '.cache_seed')
 
 
-def main():
-    scratch = tempfile.mkdtemp(prefix='mpyc-tpu-coldhome-')
-    env = dict(os.environ, HOME=scratch, MPYC_TPU_NO_SEED='1',
-               MPYC_TPU_PARTY_DEVICE='tpu')
+def run(args, timeout=1800):
     t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, 'demos', 'np_aes.py'),
-         '-M3', '--sim', '-b', '64'],
-        cwd=os.path.join(REPO, 'demos'), env=env, timeout=1800,
-        capture_output=True, text=True)
-    cold = time.time() - t0
-    print(f'cold np_aes -b 64: {cold:.1f}s (rc={r.returncode})')
+    env = dict(os.environ, MPYC_TPU_PARTY_DEVICE='tpu')
+    r = subprocess.run([sys.executable] + args,
+                       cwd=os.path.join(REPO, 'demos'), env=env,
+                       timeout=timeout, capture_output=True, text=True)
+    print(f'{" ".join(args)}: {time.time()-t0:.1f}s rc={r.returncode}',
+          flush=True)
     if r.returncode != 0:
-        print(r.stderr[-2000:])
-        sys.exit(1)
-    src_root = os.path.join(scratch, '.cache', 'mpyc_tpu')
+        print(r.stderr[-1500:])
+
+
+def main():
+    quick = '--quick' in sys.argv
+    run([os.path.join(REPO, 'demos', 'np_aes.py'), '-M3', '--sim',
+         '-b', '64'])
+    run([os.path.join(REPO, 'demos', 'np_sha3.py'), '-M3', '--sim',
+         '-b', '256', '--bench'])
+    if not quick:
+        run([os.path.join(REPO, 'tools', 'warm_caches.py'), '--quick'],
+            timeout=3600)
     total = 0
     for sub in ('trace', 'xla'):
-        src = os.path.join(src_root, sub)
-        dst = os.path.join(SEED, sub)
-        os.makedirs(dst, exist_ok=True)
-        if not os.path.isdir(src):
-            continue
-        for name in os.listdir(src):
-            shutil.copy2(os.path.join(src, name), os.path.join(dst, name))
-            total += os.path.getsize(os.path.join(src, name))
-        print(f'{sub}: {len(os.listdir(dst))} entries')
-    print(f'seed size: {total / 1e6:.1f} MB at {SEED}')
-    shutil.rmtree(scratch, ignore_errors=True)
+        d = os.path.join(SEED, sub)
+        if os.path.isdir(d):
+            n = len(os.listdir(d))
+            sz = sum(os.path.getsize(os.path.join(d, f))
+                     for f in os.listdir(d))
+            total += sz
+            print(f'{sub}: {n} entries, {sz/1e6:.1f} MB')
+    print(f'seed total: {total/1e6:.1f} MB at {SEED}')
 
 
 if __name__ == '__main__':
