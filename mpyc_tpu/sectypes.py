@@ -496,7 +496,10 @@ class SecureInteger(SecureNumber):
 
     @classmethod
     def _output_conversion(cls, a):
-        return int(cls.field(int(a.value[()])))
+        # explicit signed representative: the GF class is shared and its
+        # is_signed flag is flipped by SecFld factories (reference has
+        # the same mutable-flag pattern, sectypes.py:626)
+        return cls.field(int(a.value[()])).signed_()
 
 
 class SecureFixedPoint(SecureNumber):
@@ -528,7 +531,7 @@ class SecureFixedPoint(SecureNumber):
     @classmethod
     def _output_conversion(cls, a):
         f = cls.frac_length
-        v = int(cls.field(int(a.value[()])))
+        v = cls.field(int(a.value[()])).signed_()
         return v / (1 << f)
 
 
@@ -839,8 +842,9 @@ def _SecFld(field, m, t):
     return secfld
 
 
-def _pfield(l, f, p, n):
-    k = runtime.options.sec_param
+def _pfield(l, f, p, n, k=None):
+    if k is None:
+        k = runtime.options.sec_param
     if p is None:
         p = finfields.find_prime_root(l + f + k + 2, n=n)
     elif p.bit_length() <= l + f + k + 1:
@@ -854,15 +858,19 @@ def SecInt(l=None, p=None, n=2):
     """Secure l-bit integers."""
     if l is None:
         l = runtime.options.bit_length
-    return _SecInt(l, p, n)
+    # the field width depends on the runtime's security parameter: it
+    # must be part of the cache key, or a class minted under one k is
+    # silently reused under another (an l+k+2-bit protocol then
+    # overflows the smaller cached field)
+    return _SecInt(l, p, n, runtime.options.sec_param)
 
 
 @functools.cache
-def _SecInt(l, p, n):
+def _SecInt(l, p, n, k):
     name = f'SecInt{l}' if p is None else f'SecInt{l}({p})'
     secint = type(name, (SecureInteger,), {'__slots__': ()})
     secint.__doc__ = 'Class of secret-shared integers.'
-    secint.field = _pfield(l, 0, p, n)
+    secint.field = _pfield(l, 0, p, n, k)
     secint.bit_length = l
 
     secarr = type(f'Array{name}', (SecureIntegerArray,), {'__slots__': ()})
@@ -882,15 +890,15 @@ def SecFxp(l=None, f=None, p=None, n=2):
         l = runtime.options.bit_length
     if f is None:
         f = l // 2
-    return _SecFxp(l, f, p, n)
+    return _SecFxp(l, f, p, n, runtime.options.sec_param)
 
 
 @functools.cache
-def _SecFxp(l, f, p, n):
+def _SecFxp(l, f, p, n, k):
     name = f'SecFxp{l}:{f}' if p is None else f'SecFxp{l}:{f}({p})'
     secfxp = type(name, (SecureFixedPoint,), {'__slots__': ()})
     secfxp.__doc__ = 'Class of secret-shared fixed-point numbers.'
-    secfxp.field = _pfield(l, f, p, n)
+    secfxp.field = _pfield(l, f, p, n, k)
     secfxp.bit_length = l
     secfxp.frac_length = f
 
@@ -1298,8 +1306,8 @@ class SecureIntegerArray(SecureArray):
 
     @classmethod
     def _output_conversion(cls, a):
-        signed = np.vectorize(lambda v: int(cls.sectype.field(int(v))),
-                              otypes=[object])
+        signed = np.vectorize(
+            lambda v: cls.sectype.field(int(v)).signed_(), otypes=[object])
         return signed(a.value)
 
 
@@ -1319,8 +1327,9 @@ class SecureFixedPointArray(SecureArray):
     @classmethod
     def _output_conversion(cls, a):
         f = cls.frac_length
-        conv = np.vectorize(lambda v: int(cls.sectype.field(int(v))) / (1 << f),
-                            otypes=[object])
+        conv = np.vectorize(
+            lambda v: cls.sectype.field(int(v)).signed_() / (1 << f),
+            otypes=[object])
         return conv(a.value).astype(np.float64)
 
 
