@@ -24,15 +24,13 @@ _DIR = None
 _SALT = None
 
 
-def cache_root() -> str:
-    """Root of the persistent caches: MPYC_TPU_CACHE_DIR, else the
-    repo-local `.cache_seed/` (committable — artifacts then ship with
-    the checkout and true-cold containers start warm), else ~/.cache.
+_FIXED_LINK = '/tmp/mpyc-tpu-cache'
 
-    The path must be stable across runs: the compile-cache keys (local
-    and the remote compile service's) hash the compile options, which
-    embed this path — a per-HOME path made every fresh container a full
-    cache miss (measured: np_aes -b 64 cold 190 s vs warm 31 s)."""
+
+def _storage_root() -> str:
+    """Where cache bytes actually live: MPYC_TPU_CACHE_DIR, else the
+    repo-local `.cache_seed/` (committable — artifacts ship with the
+    checkout and true-cold containers start warm), else ~/.cache."""
     d = os.getenv('MPYC_TPU_CACHE_DIR')
     if d:
         return d
@@ -42,6 +40,34 @@ def cache_root() -> str:
     if os.access(repo, os.W_OK) or os.path.isdir(seed):
         return seed
     return os.path.join(os.path.expanduser('~'), '.cache', 'mpyc_tpu')
+
+
+def cache_root() -> str:
+    """Path handed to jax's compilation-cache config.
+
+    The compile-cache keys (the local persistent cache's and the remote
+    compile service's) hash the compile options, which embed this PATH
+    STRING — a per-HOME or per-checkout path makes every fresh
+    container/clone a full cache miss (measured: np_aes -b 64 cold
+    190 s vs warm 31 s, zero key overlap).  So the configured path is
+    the FIXED string /tmp/mpyc-tpu-cache, realized as a symlink to the
+    real storage root — committed artifacts then replay regardless of
+    where the repo is checked out.  Falls back to the storage path when
+    the symlink cannot be created (keys then stable per checkout)."""
+    store = _storage_root()
+    try:
+        os.makedirs(store, exist_ok=True)
+        if os.path.islink(_FIXED_LINK):
+            if os.path.realpath(_FIXED_LINK) != os.path.realpath(store):
+                os.remove(_FIXED_LINK)
+                os.symlink(store, _FIXED_LINK)
+        elif os.path.isdir(_FIXED_LINK):
+            return _FIXED_LINK   # pre-existing real dir: use as storage
+        else:
+            os.symlink(store, _FIXED_LINK)
+        return _FIXED_LINK
+    except OSError:
+        return store
 
 
 def _cache_dir():
