@@ -1,7 +1,7 @@
 """Pre-seed the persistent trace/compile caches for the demo shape set.
 
 Run ONCE after install (or let CI do it): populates
-``~/.cache/mpyc_tpu`` — the jax.export trace cache (utils/tracecache.py)
+``<repo>/.cache_seed`` (via the fixed /tmp/mpyc-tpu-cache path; utils/tracecache.py) — the jax.export trace cache
 and the persistent XLA compilation cache (mpyc_tpu.enable_compile_cache)
 — with every fused protocol program the batched demos touch, so the
 first real run executes at warm speed. Compilation on remote-attached
